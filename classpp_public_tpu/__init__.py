@@ -1,0 +1,22 @@
+"""classpp_public_tpu — TPU-native JAX Einstein-Boltzmann framework.
+
+A ground-up rebuild of the capabilities of CLASS++ (AarhusCosmology/
+CLASSpp_public, CLASS v2.9.0 lineage) designed for TPU: the whole k-grid
+integrates in lockstep under vmap/shard_map instead of one adaptive ODE solve
+per wavenumber, tables live on uniform grids for O(1) branch-free lookup, and
+the line-of-sight transfer integrals are a single Bessel-recurrence scan with
+fused contractions.
+
+Double precision is required for sub-permille C_ell accuracy.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from .config.params import CosmoParams  # noqa: E402
+from .config.precision import PrecisionParams  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = ["CosmoParams", "PrecisionParams", "__version__"]

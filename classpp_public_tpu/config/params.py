@@ -1,0 +1,125 @@
+"""Cosmological parameter set.
+
+TPU-native analog of the reference's `background`/`thermo`/`perturbs`/... input
+structs filled by InputModule (reference source/input_module.h:32-41). Here the
+user-facing cosmology lives in one frozen dataclass registered as a JAX pytree,
+so the whole pipeline is differentiable w.r.t. it and jit-cacheable on its
+static fields.
+
+Densities follow CLASS conventions: omega_x = Omega_x h^2; internal "class
+units" densities are (8 pi G/3) rho / c^2 in Mpc^-2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as const
+
+
+def _pytree_dataclass(cls):
+    """Register a frozen dataclass as a pytree; float fields are leaves, the
+    rest (ints/strings/bools/tuples-of-static) are aux data."""
+    cls = dataclass(frozen=True)(cls)
+    float_fields = [f.name for f in dataclasses.fields(cls)
+                    if f.metadata.get("leaf", True) and f.type == "float"]
+    static_fields = [f.name for f in dataclasses.fields(cls) if f.name not in float_fields]
+
+    def flatten(obj):
+        children = tuple(getattr(obj, n) for n in float_fields)
+        aux = tuple(getattr(obj, n) for n in static_fields)
+        return children, aux
+
+    def unflatten(aux, children):
+        kwargs = dict(zip(float_fields, children))
+        kwargs.update(dict(zip(static_fields, aux)))
+        return cls(**kwargs)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    cls._leaf_fields = tuple(float_fields)
+    return cls
+
+
+@_pytree_dataclass
+class CosmoParams:
+    """User-level cosmological parameters (reference explanatory.ini semantics)."""
+
+    # background
+    h: float = 0.67810
+    T_cmb: float = 2.7255            # K
+    omega_b: float = 0.02238280      # Omega_b h^2
+    omega_cdm: float = 0.1201075     # Omega_cdm h^2
+    N_ur: float = 3.046              # effective number of massless neutrinos
+    Omega_k: float = 0.0
+    # dark energy: cosmological constant by default; CLP fluid if w0 != -1 or wa != 0
+    w0_fld: float = -1.0
+    wa_fld: float = 0.0
+    use_fld: bool = False            # if True, close budget with fld instead of Lambda
+    cs2_fld: float = 1.0
+    # massive neutrinos / ncdm (round-1: degenerate species described by mass list)
+    m_ncdm: Tuple[float, ...] = ()   # masses in eV (one per species)
+    deg_ncdm: Tuple[float, ...] = () # degeneracy per species (default 1)
+    T_ncdm: Tuple[float, ...] = ()   # per-species T_ncdm/T_cmb (default 0.71611)
+
+    # primordial (analytic power law)
+    A_s: float = 2.100549e-09
+    n_s: float = 0.9660499
+    alpha_s: float = 0.0
+    k_pivot: float = 0.05            # 1/Mpc
+    r: float = 0.0                   # tensor-to-scalar ratio
+    n_t: float = 0.0                 # tensor tilt ('scc' consistency handled in primordial)
+    alpha_t: float = 0.0
+
+    # thermodynamics
+    YHe: Optional[float] = None      # None => BBN table interpolation
+    tau_reio: float = 0.05430842
+    z_reio: Optional[float] = None   # alternative to tau_reio
+    reio_parametrization: str = "reio_camb"
+    reionization_exponent: float = 1.5
+    reionization_width: float = 0.5
+    helium_fullreio_redshift: float = 3.5
+    helium_fullreio_width: float = 0.5
+
+    # fixed physics options (static / hashable)
+    gauge: str = "synchronous"       # or "newtonian"
+    recombination: str = "recfast"
+
+    @property
+    def H0(self) -> float:
+        """H0 in 1/Mpc."""
+        return self.h * const.H0_h_to_inv_Mpc
+
+    @property
+    def Omega0_g(self) -> float:
+        return const.rho_gamma_class_units(self.T_cmb) / (self.H0 * self.H0)
+
+    @property
+    def Omega0_b(self) -> float:
+        return self.omega_b / (self.h * self.h)
+
+    @property
+    def Omega0_cdm(self) -> float:
+        return self.omega_cdm / (self.h * self.h)
+
+    @property
+    def Omega0_ur(self) -> float:
+        return self.N_ur * const.ur_over_g_factor * self.Omega0_g
+
+    @property
+    def N_ncdm(self) -> int:
+        return len(self.m_ncdm)
+
+    def T_ncdm_of(self, i: int) -> float:
+        # 0.71611 is the CLASS default accounting for non-instantaneous decoupling
+        return self.T_ncdm[i] if i < len(self.T_ncdm) else 0.71611
+
+    def deg_ncdm_of(self, i: int) -> float:
+        return self.deg_ncdm[i] if i < len(self.deg_ncdm) else 1.0
+
+    def replace(self, **kw) -> "CosmoParams":
+        return dataclasses.replace(self, **kw)

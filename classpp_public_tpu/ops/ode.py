@@ -1,0 +1,146 @@
+"""ODE integrators.
+
+TPU-native replacements for the reference evolvers:
+  - `rkck_step` / `rkck_integrate`: embedded Cash-Karp RK45 with adaptive step
+    control — functional equivalent of generic_integrator (tools/dei_rkck.c)
+    and evolver_rk (tools/evolver_rkck.c:3), written as lax.while_loop so the
+    whole k-grid integrates in lockstep under vmap (each lane keeps its own
+    adaptive step).
+  - `rk4_fixed`: classic RK4 over a fixed grid via lax.scan (thermo history).
+
+No per-k adaptive *order* control (reference ndf15): stiff transients are
+removed by the tight-coupling approximation mask instead, which is what makes
+the explicit lockstep solve viable (see models/perturbations).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Cash-Karp tableau
+_CK_C = jnp.array([0.0, 1 / 5, 3 / 10, 3 / 5, 1.0, 7 / 8])
+_CK_A = [
+    [],
+    [1 / 5],
+    [3 / 40, 9 / 40],
+    [3 / 10, -9 / 10, 6 / 5],
+    [-11 / 54, 5 / 2, -70 / 27, 35 / 27],
+    [1631 / 55296, 175 / 512, 575 / 13824, 44275 / 110592, 253 / 4096],
+]
+_CK_B5 = jnp.array([37 / 378, 0.0, 250 / 621, 125 / 594, 0.0, 512 / 1771])
+_CK_B4 = jnp.array([2825 / 27648, 0.0, 18575 / 48384, 13525 / 55296, 277 / 14336, 1 / 4])
+
+_SAFETY = 0.9
+_MIN_SCALE = 0.2
+_MAX_SCALE = 5.0
+
+
+def rkck_step(rhs: Callable, t, y, h, args):
+    """One Cash-Karp embedded step. Returns (y5, err_ratio) where err_ratio is
+    max |err| / tol scale left to the caller."""
+    k1 = rhs(t, y, args)
+    k2 = rhs(t + _CK_C[1] * h, y + h * (_CK_A[1][0] * k1), args)
+    k3 = rhs(t + _CK_C[2] * h, y + h * (_CK_A[2][0] * k1 + _CK_A[2][1] * k2), args)
+    k4 = rhs(t + _CK_C[3] * h, y + h * (_CK_A[3][0] * k1 + _CK_A[3][1] * k2 + _CK_A[3][2] * k3), args)
+    k5 = rhs(t + _CK_C[4] * h, y + h * (_CK_A[4][0] * k1 + _CK_A[4][1] * k2 + _CK_A[4][2] * k3 + _CK_A[4][3] * k4), args)
+    k6 = rhs(
+        t + _CK_C[5] * h,
+        y + h * (_CK_A[5][0] * k1 + _CK_A[5][1] * k2 + _CK_A[5][2] * k3 + _CK_A[5][3] * k4 + _CK_A[5][4] * k5),
+        args,
+    )
+    y5 = y + h * (_CK_B5[0] * k1 + _CK_B5[2] * k3 + _CK_B5[3] * k4 + _CK_B5[5] * k6)
+    y4 = y + h * (_CK_B4[0] * k1 + _CK_B4[2] * k3 + _CK_B4[3] * k4 + _CK_B4[4] * k5 + _CK_B4[5] * k6)
+    return y5, y5 - y4, k1
+
+
+class OdeStats(NamedTuple):
+    steps: jnp.ndarray      # accepted steps
+    failed: jnp.ndarray     # rejected steps
+
+
+def rkck_integrate(
+    rhs: Callable,
+    y0: jnp.ndarray,
+    t0,
+    t1,
+    args,
+    rtol: float = 1e-5,
+    atol=1e-12,
+    h0=None,
+    max_steps: int = 100_000,
+    y_scale=None,
+):
+    """Adaptive RKCK45 from t0 to t1 (t1 >= t0). Returns (y(t1), h_last, stats).
+
+    Error control mirrors the reference evolver_rk/generic_integrator
+    (tools/evolver_rkck.c:3, include/dei_rkck.h:50): per-component
+    |err| / (rtol*|y| + atol), step accepted when max ratio <= 1.
+    vmap-safe: all control flow is lax.while_loop.
+    """
+    dtype = y0.dtype
+    t0 = jnp.asarray(t0, dtype)
+    t1 = jnp.asarray(t1, dtype)
+    span = t1 - t0
+    h_init = span if h0 is None else jnp.asarray(h0, dtype)
+    h_init = jnp.clip(h_init, 1e-300, jnp.maximum(span, 1e-300))
+
+    def cond(state):
+        t, y, h, n_acc, n_rej, done = state
+        return jnp.logical_and(~done, n_acc + n_rej < max_steps)
+
+    def body(state):
+        t, y, h, n_acc, n_rej, done = state
+        h_eff = jnp.minimum(h, t1 - t)
+        y_new, err, _ = rkck_step(rhs, t, y, h_eff, args)
+        scale = rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new)) + atol
+        ratio = jnp.max(jnp.abs(err) / scale)
+        ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.inf)
+        accept = ratio <= 1.0
+        # PI-free classical controller (matches dei_rkck)
+        fac = _SAFETY * jnp.where(ratio > 0, ratio ** (-0.2), _MAX_SCALE)
+        fac = jnp.clip(fac, _MIN_SCALE, _MAX_SCALE)
+        h_next = h_eff * fac
+        t_new = jnp.where(accept, t + h_eff, t)
+        y_out = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), y, y_new)
+        done_new = t_new >= t1 * (1.0 - 1e-15)
+        return (
+            t_new,
+            y_out,
+            jnp.maximum(h_next, 1e-300),
+            n_acc + accept.astype(jnp.int32),
+            n_rej + (~accept).astype(jnp.int32),
+            done_new,
+        )
+
+    state0 = (t0, y0, h_init, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), span <= 0.0)
+    t, y, h, n_acc, n_rej, _ = jax.lax.while_loop(cond, body, state0)
+    return y, h, OdeStats(n_acc, n_rej)
+
+
+def rk4_fixed(rhs: Callable, y0: jnp.ndarray, ts: jnp.ndarray, args, substeps: int = 1):
+    """Classic RK4 over the fixed grid ts, with `substeps` sub-steps per
+    interval. Returns ys with ys[i] = y(ts[i]) (ys[0] = y0). lax.scan based."""
+
+    def one_rk4(t, y, h):
+        k1 = rhs(t, y, args)
+        k2 = rhs(t + h / 2, y + h / 2 * k1, args)
+        k3 = rhs(t + h / 2, y + h / 2 * k2, args)
+        k4 = rhs(t + h, y + h * k3, args)
+        return y + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    def step(y, t_pair):
+        ta, tb = t_pair
+        h = (tb - ta) / substeps
+
+        def sub(i, yy):
+            return one_rk4(ta + i * h, yy, h)
+
+        y_new = jax.lax.fori_loop(0, substeps, sub, y)
+        return y_new, y_new
+
+    _, ys = jax.lax.scan(step, y0, (ts[:-1], ts[1:]))
+    return jnp.concatenate([y0[None], ys], axis=0)
