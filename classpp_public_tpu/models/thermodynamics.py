@@ -1,0 +1,704 @@
+"""Thermodynamics (L4): recombination + reionization history.
+
+TPU-native rebuild of the reference ThermodynamicsModule
+(source/thermodynamics_module.cpp). Recombination follows the published
+RECFAST 1.5 physics (Seager, Sasselov & Scott 1999; Wong, Moss & Scott 2008)
+exactly as configured by the reference precision registry
+(thermodynamics_recombination_with_recfast, :3335 and
+thermodynamics_derivs_with_recfast, :3727) — but as a single lax.scan over the
+fixed 20000-point z grid with fixed RK4 substeps, instead of a C loop around
+an adaptive integrator. The staged Saha approximations and their smoothed
+transitions (f1/f2 smoothsteps, source/thermodynamics.h:46-47) become masked
+selects inside the scan.
+
+Reionization (reio_camb tanh parametrization,
+thermodynamics_reionization_function :1893) is evaluated on a dense fixed z
+grid; the tau_reio -> z_reio inversion (reference: bisection, :2159) is done
+by evaluating tau(z_reio) for a whole *vector* of candidate redshifts at once
+and inverting by monotone interpolation — no sequential root-find.
+
+Outputs are resampled onto the shared uniform-ln(tau) runtime grid used by the
+perturbation hot loop.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from pathlib import Path
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as const
+from ..config.params import CosmoParams
+from ..config.precision import PrecisionParams
+from ..ops.splines import (UniformSpline, spline_d2, spline_eval,
+                           spline_integrate, spline_integrate_reverse)
+from .background import BackgroundResult, BgIdx
+
+# ---------------------------------------------------------------------------
+# RECFAST atomic data (public values, reference source/thermodynamics.h:360-420)
+
+_Lambda_H = 8.2245809          # 2s->1s two-photon rate [1/s]
+_Lambda_He = 51.3
+_L_H_ion = 1.096787737e7       # level energies in 1/m
+_L_H_alpha = 8.225916453e6
+_L_He1_ion = 1.98310772e7
+_L_He2_ion = 4.389088863e7
+_L_He_2s = 1.66277434e7
+_L_He_2p = 1.71134891e7
+_A2P_s = 1.798287e9
+_A2P_t = 177.58
+_L_He_2Pt = 1.690871466e7
+_L_He_2St = 1.5985597526e7
+_L_He2St_ion = 3.8454693845e6
+_sigma_He_2Ps = 1.436289e-22
+_sigma_He_2Pt = 1.484872e-22
+_a_PPB, _b_PPB, _c_PPB, _d_PPB = 4.309, -0.6166, 0.6703, 0.5300
+_T_0 = 10.0 ** 0.477121
+_a_VF, _b_VF = 10.0 ** (-16.744), 0.711
+_T_1 = 10.0 ** 5.114
+_a_trip, _b_trip = 10.0 ** (-16.306), 0.761
+
+
+def _f1(x):
+    """Smoothstep 0->1 for x in [-1, 1] (reference thermodynamics.h:46)."""
+    return -0.75 * x * (x * x / 3.0 - 1.0) + 0.5
+
+
+def _f2(x):
+    """Smoothstep 0->1 for x in [0, 1] (reference thermodynamics.h:47)."""
+    return x * x * (0.5 - x / 3.0) * 6.0
+
+
+class RecfastCtx(NamedTuple):
+    """Precomputed constants for the recfast ODE (one per cosmology)."""
+
+    fHe: jnp.ndarray
+    Nnow: jnp.ndarray       # hydrogen number density today [1/m^3]
+    Tnow: jnp.ndarray       # K
+    fu: jnp.ndarray         # H fudge
+    H0_s: jnp.ndarray       # H0 in 1/s
+    CDB: jnp.ndarray
+    CDB_He: jnp.ndarray
+    CB1: jnp.ndarray
+    CB1_He1: jnp.ndarray
+    CB1_He2: jnp.ndarray
+    CR: jnp.ndarray
+    CK: jnp.ndarray
+    CK_He: jnp.ndarray
+    CL: jnp.ndarray
+    CL_He: jnp.ndarray
+    CT: jnp.ndarray
+    Bfact: jnp.ndarray
+    H_of_z: UniformSpline   # H [1/Mpc] and H' on uniform loga grid (cols: H, H_prime)
+    YHe: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# BBN helium abundance
+
+
+@lru_cache(maxsize=1)
+def _bbn_table():
+    """sBBN_2017.dat layout: header line "n_omegab n_dneff", then rows
+    (omega_b, DeltaNeff, YHe) grouped by DeltaNeff with omega_b varying fastest."""
+    path = Path(__file__).parent.parent / "data" / "sBBN_2017.dat"
+    rows = []
+    with open(path) as f:
+        for line in f:
+            s = line.split("#")[0].split()
+            if len(s) == 3:
+                rows.append([float(v) for v in s])
+    raw = np.array(rows)
+    omegab = np.unique(raw[:, 0])
+    dneff = np.unique(raw[:, 1])
+    yp = raw[:, 2].reshape(len(dneff), len(omegab))
+    return omegab, dneff, yp
+
+
+def helium_from_bbn_np(omega_b: float, N_ur: float) -> float:
+    """YHe from the standard BBN table by bilinear interpolation (reference
+    thermodynamics_helium_from_bbn, thermodynamics_module.cpp:1535;
+    data table bbn/sBBN_2017.dat)."""
+    omegab_g, dneff_g, yp = _bbn_table()
+    dneff = N_ur - 3.046
+    # bilinear interpolation
+    i = np.clip(np.searchsorted(omegab_g, omega_b) - 1, 0, len(omegab_g) - 2)
+    j = np.clip(np.searchsorted(dneff_g, dneff) - 1, 0, len(dneff_g) - 2)
+    tx = (omega_b - omegab_g[i]) / (omegab_g[i + 1] - omegab_g[i])
+    ty = (dneff - dneff_g[j]) / (dneff_g[j + 1] - dneff_g[j])
+    return float(
+        yp[j, i] * (1 - tx) * (1 - ty)
+        + yp[j, i + 1] * tx * (1 - ty)
+        + yp[j + 1, i] * (1 - tx) * ty
+        + yp[j + 1, i + 1] * tx * ty
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def make_recfast_ctx(params: CosmoParams, pr: PrecisionParams, bg: BackgroundResult, idx: BgIdx) -> RecfastCtx:
+    YHe = params.YHe if params.YHe is not None else helium_from_bbn_np(params.omega_b, params.N_ur)
+    H0_s = params.H0 * const.c_SI / const.Mpc_over_m
+    mu_H = 1.0 / (1.0 - YHe)
+    fHe = YHe / (const.not4 * (1.0 - YHe))
+    Nnow = 3.0 * H0_s**2 * float(bg.Omega0_b) / (8.0 * math.pi * const.G_SI * mu_H * const.m_H)
+    fu = pr.recfast_fudge_H + (pr.recfast_delta_fudge_H if pr.recfast_Hswitch else 0.0)
+
+    Lalpha = 1.0 / _L_H_alpha
+    Lalpha_He = 1.0 / _L_He_2p
+    CDB = const.h_P * const.c_SI * (_L_H_ion - _L_H_alpha) / const.k_B
+    CDB_He = const.h_P * const.c_SI * (_L_He1_ion - _L_He_2s) / const.k_B
+    CB1 = const.h_P * const.c_SI * _L_H_ion / const.k_B
+    CB1_He1 = const.h_P * const.c_SI * _L_He1_ion / const.k_B
+    CB1_He2 = const.h_P * const.c_SI * _L_He2_ion / const.k_B
+    CR = 2.0 * math.pi * (const.m_e / const.h_P) * (const.k_B / const.h_P)
+    CK = Lalpha**3 / (8.0 * math.pi)
+    CK_He = Lalpha_He**3 / (8.0 * math.pi)
+    CL = const.c_SI * const.h_P / (const.k_B * Lalpha)
+    CL_He = const.c_SI * const.h_P / (const.k_B / _L_He_2s)
+    CT = (8.0 / 3.0) * (const.sigma_T / (const.m_e * const.c_SI)) * (
+        8.0 * math.pi**5 * const.k_B**4 / 15.0 / const.h_P**3 / const.c_SI**3
+    )
+    Bfact = const.h_P * const.c_SI * (_L_He_2p - _L_He_2s) / const.k_B
+
+    # H(z) lookup: uniform loga spline of (H, H') columns
+    dloga = bg.loga[1] - bg.loga[0]
+    Hcols = jnp.stack([bg.table[:, idx["H"]], bg.table[:, idx["H_prime"]]], axis=1)
+    H_of_z = UniformSpline.build(bg.loga[0], dloga, Hcols)
+
+    f = jnp.asarray
+    return RecfastCtx(
+        fHe=f(fHe), Nnow=f(Nnow), Tnow=f(params.T_cmb), fu=f(fu), H0_s=f(H0_s),
+        CDB=f(CDB), CDB_He=f(CDB_He), CB1=f(CB1), CB1_He1=f(CB1_He1), CB1_He2=f(CB1_He2),
+        CR=f(CR), CK=f(CK), CK_He=f(CK_He), CL=f(CL), CL_He=f(CL_He), CT=f(CT),
+        Bfact=f(Bfact), H_of_z=H_of_z, YHe=f(YHe),
+    )
+
+
+def _hubble_si(ctx: RecfastCtx, z):
+    """H in 1/s and dH/dz in 1/s at redshift z."""
+    vals = ctx.H_of_z.eval(-jnp.log1p(z))
+    H_mpc, Hp_mpc = vals[..., 0], vals[..., 1]
+    conv = const.c_SI / const.Mpc_over_m
+    Hz = H_mpc * conv
+    dHdz = -Hp_mpc / H_mpc * conv  # dH/dz = -H'/H (H' = dH/dtau in Mpc^-2)
+    return Hz, dHdz
+
+
+def recfast_derivs(z, y, args):
+    """RECFAST 1.5 derivatives d(x_H, x_He, Tmat)/dz.
+
+    Physics per reference thermodynamics_derivs_with_recfast
+    (thermodynamics_module.cpp:3727-3960), Heswitch=6, Hswitch=True, no energy
+    injection (added separately).
+    """
+    ctx, pr_tuple = args
+    (x_H0_trigger, x_H0_trigger2, x_He0_trigger2, AG1, AG2, zG1, zG2, wG1, wG2, H_frac, fudge_He) = pr_tuple
+
+    x_H = jnp.clip(y[0], 0.0, 1.0)
+    x_He = jnp.clip(y[1], 0.0, 1.0)
+    Tmat = jnp.maximum(y[2], 1e-3)
+    x = x_H + ctx.fHe * x_He
+
+    n = ctx.Nnow * (1.0 + z) ** 3
+    n_He = ctx.fHe * n
+    Trad = ctx.Tnow * (1.0 + z)
+    Hz, dHdz = _hubble_si(ctx, z)
+
+    Rdown = 1e-19 * _a_PPB * (Tmat / 1e4) ** _b_PPB / (1.0 + _c_PPB * (Tmat / 1e4) ** _d_PPB)
+    Rup = Rdown * (ctx.CR * Tmat) ** 1.5 * jnp.exp(-ctx.CDB / Tmat)
+
+    sq_0 = jnp.sqrt(Tmat / _T_0)
+    sq_1 = jnp.sqrt(Tmat / _T_1)
+    Rdown_He = _a_VF / (sq_0 * (1.0 + sq_0) ** (1.0 - _b_VF) * (1.0 + sq_1) ** (1.0 + _b_VF))
+    Rup_He = 4.0 * Rdown_He * (ctx.CR * Tmat) ** 1.5 * jnp.exp(-ctx.CDB_He / Tmat)
+
+    K = ctx.CK / Hz * (
+        1.0
+        + AG1 * jnp.exp(-(((jnp.log1p(z) - zG1) / wG1) ** 2))
+        + AG2 * jnp.exp(-(((jnp.log1p(z) - zG2) / wG2) ** 2))
+    )
+
+    Rdown_trip = _a_trip / (sq_0 * (1.0 + sq_0) ** (1.0 - _b_trip) * (1.0 + sq_1) ** (1.0 + _b_trip))
+    Rup_trip = Rdown_trip * jnp.exp(-const.h_P * const.c_SI * _L_He2St_ion / (const.k_B * Tmat)) * (ctx.CR * Tmat) ** 1.5 * 4.0 / 3.0
+
+    # Helium K_He with Heswitch=6 (full), gated by he_active mask
+    he_active = jnp.logical_and(x_He >= 5e-9, x_He <= x_He0_trigger2)
+    one_m_xHe = jnp.clip(1.0 - x_He, 1e-30, None)
+    tauHe_s = _A2P_s * ctx.CK_He * 3.0 * n_He * one_m_xHe / Hz
+    pHe_s = (1.0 - jnp.exp(-tauHe_s)) / jnp.maximum(tauHe_s, 1e-30)
+
+    Doppler_s = const.c_SI * _L_He_2p * jnp.sqrt(2.0 * const.k_B * Tmat / (const.m_H * const.not4 * const.c_SI**2))
+    one_m_xH = jnp.clip(1.0 - x_H, 1e-30, None)
+    gamma_2Ps = (
+        3.0 * _A2P_s * ctx.fHe * one_m_xHe * const.c_SI**2
+        / (jnp.sqrt(math.pi) * _sigma_He_2Ps * 8.0 * math.pi * Doppler_s * one_m_xH)
+        / (const.c_SI * _L_He_2p) ** 2
+    )
+    AHcon = _A2P_s / (1.0 + 0.36 * gamma_2Ps**fudge_He)
+    use_doppler_s = x_H < 0.9999999
+    K_He_denom = jnp.where(use_doppler_s, (_A2P_s * pHe_s + AHcon), _A2P_s * pHe_s) * 3.0 * n_He * one_m_xHe
+    K_He = jnp.where(he_active, 1.0 / jnp.maximum(K_He_denom, 1e-300), ctx.CK_He / Hz)
+
+    # triplet correction (Heflag >= 3)
+    tauHe_t = _A2P_t * n_He * one_m_xHe * 3.0 / (8.0 * math.pi * Hz * _L_He_2Pt**3)
+    pHe_t = (1.0 - jnp.exp(-tauHe_t)) / jnp.maximum(tauHe_t, 1e-30)
+    CL_PSt = const.h_P * const.c_SI * (_L_He_2Pt - _L_He_2St) / const.k_B
+    Doppler_t = const.c_SI * _L_He_2Pt * jnp.sqrt(2.0 * const.k_B * Tmat / (const.m_H * const.not4 * const.c_SI**2))
+    gamma_2Pt = (
+        3.0 * _A2P_t * ctx.fHe * one_m_xHe * const.c_SI**2
+        / (jnp.sqrt(math.pi) * _sigma_He_2Pt * 8.0 * math.pi * Doppler_t * one_m_xH)
+        / (const.c_SI * _L_He_2Pt) ** 2
+    )
+    AHcon_t = _A2P_t / (1.0 + 0.66 * gamma_2Pt**0.9) / 3.0
+    simple_t = x_H >= 0.99999
+    CfHe_t_num = jnp.where(simple_t, _A2P_t * pHe_t, (_A2P_t * pHe_t + AHcon_t)) * jnp.exp(-CL_PSt / Tmat)
+    CfHe_t = CfHe_t_num / (Rup_trip + CfHe_t_num)
+    CfHe_t = jnp.where(he_active, CfHe_t, 0.0)
+
+    # --- hydrogen
+    C_peebles = jnp.where(
+        x_H < x_H0_trigger2,
+        (1.0 + K * _Lambda_H * n * one_m_xH)
+        / (1.0 / ctx.fu + K * _Lambda_H * n * one_m_xH / ctx.fu + K * Rup * n * one_m_xH),
+        1.0,
+    )
+    dxH = (x * x_H * n * Rdown - Rup * one_m_xH * jnp.exp(-ctx.CL / Tmat)) * C_peebles / (Hz * (1.0 + z))
+    dxH = jnp.where(x_H > x_H0_trigger, 0.0, dxH)
+
+    # --- helium
+    He_Boltz = jnp.exp(jnp.minimum(ctx.Bfact / Tmat, 680.0))
+    dxHe = (
+        (x * x_He * n * Rdown_He - Rup_He * one_m_xHe * jnp.exp(-ctx.CL_He / Tmat))
+        * (1.0 + K_He * _Lambda_He * n_He * one_m_xHe * He_Boltz)
+    ) / (Hz * (1.0 + z) * (1.0 + K_He * (_Lambda_He + Rup_He) * n_He * one_m_xHe * He_Boltz))
+    dxHe = dxHe + (
+        x * x_He * n * Rdown_trip
+        - one_m_xHe * 3.0 * Rup_trip * jnp.exp(-const.h_P * const.c_SI * _L_He_2St / (const.k_B * Tmat))
+    ) * CfHe_t / (Hz * (1.0 + z))
+    dxHe = jnp.where(x_He < 1e-15, 0.0, dxHe)
+
+    # --- matter temperature
+    timeTh = (1.0 / (ctx.CT * Trad**4)) * (1.0 + x + ctx.fHe) / jnp.maximum(x, 1e-30)
+    timeH = 2.0 / (3.0 * ctx.H0_s * (1.0 + z) ** 1.5)
+    epsilon = Hz * (1.0 + x + ctx.fHe) / (ctx.CT * Trad**3 * jnp.maximum(x, 1e-30))
+    dT_steady = (
+        ctx.Tnow
+        + epsilon * ((1.0 + ctx.fHe) / (1.0 + ctx.fHe + x)) * ((dxH + ctx.fHe * dxHe) / jnp.maximum(x, 1e-30))
+        - epsilon * dHdz / Hz
+        + 3.0 * epsilon / (1.0 + z)
+    )
+    dT_full = ctx.CT * Trad**4 * x / (1.0 + x + ctx.fHe) * (Tmat - Trad) / (Hz * (1.0 + z)) + 2.0 * Tmat / (1.0 + z)
+    dT = jnp.where(timeTh < H_frac * timeH, dT_steady, dT_full)
+
+    return jnp.array([dxH, dxHe, dT])
+
+
+class RecoTable(NamedTuple):
+    z: jnp.ndarray          # ascending
+    xe: jnp.ndarray
+    Tb: jnp.ndarray
+    wb: jnp.ndarray
+    cb2: jnp.ndarray
+    dkappadtau: jnp.ndarray
+
+
+def compute_recombination(params: CosmoParams, pr: PrecisionParams, ctx: RecfastCtx) -> RecoTable:
+    """RECFAST history as one lax.scan over the fixed z grid (descending),
+    mirroring the staged approximation scheme of
+    thermodynamics_recombination_with_recfast (:3461-3647)."""
+    Nz = pr.recfast_Nz0
+    z_init = pr.recfast_z_initial
+    i_arr = jnp.arange(Nz)
+    zstart = z_init * (Nz - i_arr) / Nz
+    zend = z_init * (Nz - i_arr - 1) / Nz
+
+    pr_tuple = (
+        pr.recfast_x_H0_trigger, pr.recfast_x_H0_trigger2, pr.recfast_x_He0_trigger2,
+        pr.recfast_AGauss1, pr.recfast_AGauss2, pr.recfast_zGauss1, pr.recfast_zGauss2,
+        pr.recfast_wGauss1, pr.recfast_wGauss2, pr.recfast_H_frac, pr.recfast_fudge_He,
+    )
+    args = (ctx, pr_tuple)
+
+    def rk4_interval(y, za, zb, nsub=4):
+        h = (zb - za) / nsub
+
+        def sub(i, yy):
+            zz = za + i * h
+            k1 = recfast_derivs(zz, yy, args)
+            k2 = recfast_derivs(zz + h / 2, yy + h / 2 * k1, args)
+            k3 = recfast_derivs(zz + h / 2, yy + h / 2 * k2, args)
+            k4 = recfast_derivs(zz + h, yy + h * k3, args)
+            return yy + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+        return jax.lax.fori_loop(0, nsub, sub, y)
+
+    fHe = ctx.fHe
+
+    def saha_rhs(z, CB1_x, factor=1.0):
+        return factor * jnp.exp(1.5 * jnp.log(ctx.CR * ctx.Tnow / (1.0 + z)) - CB1_x / (ctx.Tnow * (1.0 + z))) / ctx.Nnow
+
+    def step(y, zs):
+        za, zb = zs
+        z = zb
+        Trad = ctx.Tnow * (1.0 + z)
+
+        # candidate: full integration from carry
+        y_int = rk4_interval(y, za, zb)
+
+        # Saha values at zb
+        rhs_He2 = saha_rhs(z, ctx.CB1_He2)
+        x0_He3 = 0.5 * (jnp.sqrt((rhs_He2 - 1.0 - fHe) ** 2 + 4.0 * (1.0 + 2.0 * fHe) * rhs_He2) - (rhs_He2 - 1.0 - fHe))
+        rhs_He1 = saha_rhs(z, ctx.CB1_He1, 4.0)
+        x0_He1 = 0.5 * (jnp.sqrt((rhs_He1 - 1.0) ** 2 + 4.0 * (1.0 + fHe) * rhs_He1) - (rhs_He1 - 1.0))
+        rhs_H = saha_rhs(z, ctx.CB1)
+        x_H0_saha = 0.5 * (jnp.sqrt(rhs_H**2 + 4.0 * rhs_H) - rhs_H)
+
+        # regime flags from carry y (pre-integration, as in the reference)
+        in_A = z > pr.recfast_z_He_1 + pr.recfast_delta_z_He_1
+        in_B = jnp.logical_and(~in_A, z > pr.recfast_z_He_2 + pr.recfast_delta_z_He_2)
+        in_C = jnp.logical_and(~(in_A | in_B), z > pr.recfast_z_He_3 + pr.recfast_delta_z_He_3)
+        in_D = jnp.logical_and(~(in_A | in_B | in_C), y[1] > pr.recfast_x_He0_trigger)
+        in_E = jnp.logical_and(~(in_A | in_B | in_C | in_D), y[0] > pr.recfast_x_H0_trigger)
+        in_F = ~(in_A | in_B | in_C | in_D | in_E)
+
+        # --- regime A: fully ionized
+        x0_A = 1.0 + 2.0 * fHe
+
+        # --- regime B: HeIII Saha, smoothed from A
+        sB = (pr.recfast_z_He_1 - z) / pr.recfast_delta_z_He_1
+        wB = _f1(jnp.clip(sB, -1.0, 1.0))
+        x0_B = jnp.where(z > pr.recfast_z_He_1 - pr.recfast_delta_z_He_1, wB * x0_He3 + (1.0 - wB) * x0_A, x0_He3)
+
+        # --- regime C: HeIII done, smoothed from B
+        sC = (pr.recfast_z_He_2 - z) / pr.recfast_delta_z_He_2
+        wC = _f1(jnp.clip(sC, -1.0, 1.0))
+        x0_C = jnp.where(z > pr.recfast_z_He_2 - pr.recfast_delta_z_He_2, wC * (1.0 + fHe) + (1.0 - wC) * x0_He3, 1.0 + fHe)
+
+        # --- regime D: HeI Saha, smoothed from C
+        sD = (pr.recfast_z_He_3 - z) / pr.recfast_delta_z_He_3
+        wD = _f1(jnp.clip(sD, -1.0, 1.0))
+        x0_D = jnp.where(z > pr.recfast_z_He_3 - pr.recfast_delta_z_He_3, wD * x0_He1 + (1.0 - wD) * (1.0 + fHe), x0_He1)
+        xHe_D = (x0_D - 1.0) / fHe
+
+        # --- regime E: integrate He, H from Saha; smooth x0 between HeI Saha and integrated
+        yE = y_int.at[0].set(x_H0_saha)
+        sE = jnp.clip((pr.recfast_x_He0_trigger - y_int[1]) / pr.recfast_x_He0_trigger_delta, 0.0, 1.0)
+        wE = _f2(sE)
+        x0_E_new = yE[0] + fHe * yE[1]
+        x0_E = jnp.where(
+            pr.recfast_x_He0_trigger - y_int[1] < pr.recfast_x_He0_trigger_delta,
+            wE * x0_E_new + (1.0 - wE) * x0_He1,
+            x0_E_new,
+        )
+
+        # --- regime F: full integration; smooth with H Saha
+        sF = jnp.clip((pr.recfast_x_H0_trigger - y_int[0]) / pr.recfast_x_H0_trigger_delta, 0.0, 1.0)
+        wF = _f2(sF)
+        x0_F = jnp.where(
+            pr.recfast_x_H0_trigger - y_int[0] < pr.recfast_x_H0_trigger_delta,
+            wF * y_int[0] + (1.0 - wF) * x_H0_saha + fHe * y_int[1],
+            y_int[0] + fHe * y_int[1],
+        )
+
+        # select y_new and x0 by regime
+        y_pinned = jnp.array([1.0, 1.0, Trad])
+        y_D = jnp.array([1.0, 1.0, Trad])
+        y_D = y_D.at[1].set(xHe_D)
+        y_new = jnp.where(in_A | in_B | in_C, y_pinned, jnp.where(in_D, y_D, jnp.where(in_E, yE, y_int)))
+        x0 = jnp.where(
+            in_A, x0_A,
+            jnp.where(in_B, x0_B, jnp.where(in_C, x0_C, jnp.where(in_D, x0_D, jnp.where(in_E, x0_E, x0_F)))),
+        )
+
+        # derived columns at zb (reference stores these per row, :3647-3680)
+        dy = recfast_derivs(z, y_new, args)
+        Tb = y_new[2]
+        wb = const.k_B / (const.c_SI**2 * const.m_H) * (1.0 + (1.0 / const.not4 - 1.0) * ctx.YHe + x0 * (1.0 - ctx.YHe)) * Tb
+        cb2 = wb * (1.0 + (1.0 + z) * dy[2] / Tb / 3.0)
+        dkappadtau = (1.0 + z) ** 2 * ctx.Nnow * x0 * const.sigma_T * const.Mpc_over_m
+
+        out = jnp.array([z, x0, Tb, wb, cb2, dkappadtau])
+        return y_new, out
+
+    y0 = jnp.array([1.0, 1.0, ctx.Tnow * (1.0 + z_init)])
+    _, rows = jax.lax.scan(step, y0, (zstart, zend))
+    rows = rows[::-1]  # ascending z
+    return RecoTable(z=rows[:, 0], xe=rows[:, 1], Tb=rows[:, 2], wb=rows[:, 3], cb2=rows[:, 4], dkappadtau=rows[:, 5])
+
+
+# ---------------------------------------------------------------------------
+# Reionization (reio_camb) + merge + runtime table
+
+
+class ThIdx:
+    """Column indices of the thermodynamics runtime table (analog of
+    index_th_*, source/thermodynamics_module.h)."""
+
+    names = ["xe", "dkappa", "ddkappa", "dddkappa", "exp_m_kappa", "g", "dg", "ddg",
+             "Tb", "cb2", "tau_d_depth", "kappa"]
+    ix = {n: i for i, n in enumerate(names)}
+    n = len(names)
+
+    def __class_getitem__(cls, name):
+        return cls.ix[name]
+
+
+class ThermoResult(NamedTuple):
+    lntau_spline: UniformSpline   # runtime table, columns per ThIdx
+    # merged z-grid tables (for output / inspection)
+    z_grid: jnp.ndarray
+    xe_of_z: jnp.ndarray
+    Tb_of_z: jnp.ndarray
+    cb2_of_z: jnp.ndarray
+    dkappa_of_z: jnp.ndarray
+    # derived scalars
+    YHe: jnp.ndarray
+    fHe: jnp.ndarray
+    z_reio: jnp.ndarray
+    tau_reio: jnp.ndarray
+    z_rec: jnp.ndarray
+    tau_rec: jnp.ndarray
+    rs_rec: jnp.ndarray
+    z_star: jnp.ndarray
+    tau_star: jnp.ndarray
+    rs_star: jnp.ndarray
+    ra_star: jnp.ndarray          # comoving angular distance to z_star
+    z_d: jnp.ndarray
+    tau_d: jnp.ndarray
+    rs_d: jnp.ndarray
+    angular_rescaling: jnp.ndarray
+
+    def at_tau(self, tau):
+        return self.lntau_spline.eval(jnp.log(tau))
+
+
+def _xe_reio_camb(z, z_reio, z_start, xe_before, xe_after, fHe, params: CosmoParams):
+    """reio_camb ionization function (reference
+    thermodynamics_reionization_function, thermodynamics_module.cpp:1893)."""
+    ex = params.reionization_exponent
+    arg = ((1.0 + z_reio) ** ex - (1.0 + z) ** ex) / (ex * (1.0 + z_reio) ** (ex - 1.0)) / params.reionization_width
+    xe = (xe_after - xe_before) * (jnp.tanh(arg) + 1.0) / 2.0 + xe_before
+    arg_he = (params.helium_fullreio_redshift - z) / params.helium_fullreio_width
+    xe = xe + fHe * (jnp.tanh(arg_he) + 1.0) / 2.0
+    return jnp.where(z > z_start, xe_before, xe)
+
+
+def compute_thermodynamics(params: CosmoParams, pr: PrecisionParams,
+                           bg: BackgroundResult, bidx: BgIdx) -> ThermoResult:
+    """Full thermodynamics pipeline: recfast scan -> reio_camb (vectorized
+    tau_reio inversion) -> Tb/cb2 through reionization -> merge -> runtime
+    uniform-ln(tau) table with optical depth, visibility and derivatives.
+
+    Reference: thermodynamics_init (thermodynamics_module.cpp:293-1297).
+    """
+    ctx = make_recfast_ctx(params, pr, bg, bidx)
+    reco = compute_recombination(params, pr, ctx)
+    fHe = ctx.fHe
+    xe_after = 1.0 + fHe
+
+    # --- fine reio z grid
+    n_fine = 4096
+    z_fine = jnp.linspace(0.0, pr.reionization_z_start_max, n_fine)
+    H_fine = ctx.H_of_z.eval(-jnp.log1p(z_fine))[:, 0]  # [1/Mpc]
+    # recombination xe on the fine grid (residual ionization, pre-reio)
+    xe_reco_fine = jnp.interp(z_fine, reco.z, reco.xe)
+    kappa_fac = ctx.Nnow * const.sigma_T * const.Mpc_over_m  # (1+z)^2 * xe * this = kappa' [1/Mpc]
+
+    def tau_reio_of_zreio(z_reio):
+        z_start = z_reio + pr.reionization_start_factor * params.reionization_width
+        z_start = jnp.maximum(z_start, params.helium_fullreio_redshift
+                              + pr.reionization_start_factor * params.helium_fullreio_width)
+        xe_before = jnp.interp(z_start, reco.z, reco.xe)
+        xe = _xe_reio_camb(z_fine, z_reio, z_start, xe_before, xe_after, fHe, params)
+        integrand = (1.0 + z_fine) ** 2 * kappa_fac * xe / H_fine
+        mask = z_fine <= z_start
+        return jnp.trapezoid(jnp.where(mask, integrand, 0.0), z_fine)
+
+    if params.z_reio is not None:
+        z_reio = jnp.asarray(params.z_reio)
+        tau_reio = tau_reio_of_zreio(z_reio)
+    else:
+        # vectorized inversion: tau(z_reio) is monotone increasing
+        z_cand = jnp.linspace(0.0, pr.reionization_z_start_max
+                              - pr.reionization_start_factor * params.reionization_width - 1e-3, 512)
+        tau_cand = jax.vmap(tau_reio_of_zreio)(z_cand)
+        z_reio = jnp.interp(params.tau_reio, tau_cand, z_cand)
+        # one secant refinement
+        t0 = tau_reio_of_zreio(z_reio)
+        t1 = tau_reio_of_zreio(z_reio + 0.01)
+        z_reio = z_reio + (params.tau_reio - t0) * 0.01 / (t1 - t0)
+        tau_reio = tau_reio_of_zreio(z_reio)
+
+    z_start = jnp.maximum(
+        z_reio + pr.reionization_start_factor * params.reionization_width,
+        params.helium_fullreio_redshift + pr.reionization_start_factor * params.helium_fullreio_width,
+    )
+    xe_before = jnp.interp(z_start, reco.z, reco.xe)
+    xe_fine = _xe_reio_camb(z_fine, z_reio, z_start, xe_before, xe_after, fHe, params)
+    # above z_start the merged table keeps the recombination history (the
+    # xe_before constant is only the tanh baseline, reference
+    # thermodynamics_merge_reco_and_reio)
+    xe_fine = jnp.where(z_fine > z_start, xe_reco_fine, xe_fine)
+
+    # --- Tb through reionization: backward Euler march on the fine grid
+    # (reference thermodynamics_reionization_sample, :2880-2960)
+    Tb_start = jnp.interp(z_start, reco.z, reco.Tb)
+    rho_g_fine = bg.Omega0_g * bg.H0**2 * (1.0 + z_fine) ** 4
+    rho_b_fine = bg.Omega0_b * bg.H0**2 * (1.0 + z_fine) ** 3
+
+    idx_start = jnp.searchsorted(z_fine, z_start)  # integrate from idx_start down to 0
+
+    def dTdz_fn(i, Tb):
+        z = z_fine[i]
+        xe = xe_fine[i]
+        opacity = (1.0 + z) ** 2 * kappa_fac * xe
+        mu = const.m_H / (1.0 + (1.0 / const.not4 - 1.0) * ctx.YHe + xe * (1.0 - ctx.YHe))
+        return (
+            2.0 / (1.0 + z) * Tb
+            - 2.0 * mu / const.m_e * 4.0 * rho_g_fine[i] / 3.0 / rho_b_fine[i] * opacity
+            * (params.T_cmb * (1.0 + z) - Tb) / H_fine[i]
+        )
+
+    dzf = z_fine[1] - z_fine[0]
+
+    def tb_step(carry, i):
+        Tb = carry
+        # march downward in z: from index i+1 to i (only active below idx_start)
+        active = i < idx_start
+        dT = dTdz_fn(i + 1, Tb)
+        Tb_new = jnp.where(active, Tb - dT * dzf, Tb)
+        return Tb_new, Tb_new
+
+    # initialize at z_start: walk indices from high to low
+    idxs = jnp.arange(n_fine - 2, -1, -1)
+    # set carry to Tb_start; indices above idx_start keep Tb_start (overwritten by reco interp later)
+    _, Tb_marched = jax.lax.scan(tb_step, Tb_start, idxs)
+    Tb_fine = Tb_marched[::-1]
+    Tb_fine = jnp.concatenate([Tb_fine, jnp.array([Tb_start])])  # index n_fine-1 placeholder
+    # above z_start use reco
+    Tb_fine = jnp.where(z_fine >= z_start, jnp.interp(z_fine, reco.z, reco.Tb), Tb_fine)
+
+    mu_fine = const.m_H / (1.0 + (1.0 / const.not4 - 1.0) * ctx.YHe + xe_fine * (1.0 - ctx.YHe))
+    wb_fine = const.k_B / (const.c_SI**2) / mu_fine * Tb_fine
+    dTdz_fine = jax.vmap(lambda i: dTdz_fn(i, Tb_fine[i]))(jnp.arange(n_fine))
+    cb2_fine = wb_fine * (1.0 + (1.0 + z_fine) / 3.0 * dTdz_fine / Tb_fine)
+    cb2_fine = jnp.where(z_fine >= z_start, jnp.interp(z_fine, reco.z, reco.cb2), cb2_fine)
+    dkappa_fine = (1.0 + z_fine) ** 2 * kappa_fac * xe_fine
+
+    # --- merged z tables: fine grid below z_start_max, reco grid above
+    hi = reco.z > pr.reionization_z_start_max
+    z_merged = jnp.concatenate([z_fine, reco.z[hi]])
+    xe_merged = jnp.concatenate([xe_fine, reco.xe[hi]])
+    Tb_merged = jnp.concatenate([Tb_fine, reco.Tb[hi]])
+    cb2_merged = jnp.concatenate([cb2_fine, reco.cb2[hi]])
+    dkappa_merged = jnp.concatenate([dkappa_fine, reco.dkappadtau[hi]])
+
+    # --- runtime uniform-ln(tau) grid
+    n_rt = 32768
+    lntau0 = jnp.log(bg.tau_of_loga[0])
+    lntau1 = jnp.log(bg.tau0)
+    lntau_u = jnp.linspace(lntau0, lntau1, n_rt)
+    dlntau = lntau_u[1] - lntau_u[0]
+    tau_u = jnp.exp(lntau_u)
+    bgvals = bg.lntau_spline.eval(lntau_u)
+    a_u = bgvals[:, bidx["a"]]
+    z_u = 1.0 / a_u - 1.0
+
+    # interpolate merged z tables -> tau grid (above recfast_z_initial, early-
+    # universe: xe frozen at its high-z table value, Tb ~ Tcmb(1+z))
+    loz = jnp.log1p(jnp.clip(z_u, 0.0, None))
+    lom = jnp.log1p(z_merged)
+    xe_u = jnp.interp(loz, lom, xe_merged)
+    Tb_u = jnp.where(z_u > z_merged[-1], params.T_cmb * (1.0 + z_u), jnp.interp(loz, lom, Tb_merged))
+    cb2_u = jnp.where(
+        z_u > z_merged[-1],
+        const.k_B / (const.c_SI**2) * (1.0 + (1.0 / const.not4 - 1.0) * ctx.YHe + xe_merged[-1] * (1.0 - ctx.YHe))
+        / const.m_H * params.T_cmb * (1.0 + z_u) * 4.0 / 3.0,
+        jnp.interp(loz, lom, cb2_merged),
+    )
+    dkappa_u = jnp.where(
+        z_u > z_merged[-1],
+        (1.0 + z_u) ** 2 * kappa_fac * xe_merged[-1],
+        jnp.interp(loz, lom, dkappa_merged),
+    )
+
+    # optical depth kappa(tau) = int_tau^tau0 kappa' dtau (integrate in lntau)
+    integrand = dkappa_u * tau_u  # dtau = tau dlntau
+    d2i = spline_d2(lntau_u, integrand)
+    kappa_u = spline_integrate_reverse(lntau_u, integrand, d2i)
+
+    exp_m_kappa = jnp.exp(-kappa_u)
+    g_u = dkappa_u * exp_m_kappa
+
+    # derivatives of kappa' and g w.r.t. tau via spline on lntau
+    spl_dk = UniformSpline.build(lntau_u[0], dlntau, dkappa_u)
+    ddkappa_u = spl_dk.eval_deriv(lntau_u) / tau_u
+    spl_ddk = UniformSpline.build(lntau_u[0], dlntau, ddkappa_u)
+    dddkappa_u = spl_ddk.eval_deriv(lntau_u) / tau_u
+    dg_u = (ddkappa_u - dkappa_u**2) * exp_m_kappa
+    ddg_u = (dddkappa_u - 3.0 * dkappa_u * ddkappa_u + dkappa_u**3) * exp_m_kappa
+
+    # baryon drag depth tau_d(tau) = int_tau^tau0 kappa'/R dtau, R = 3 rho_b/(4 rho_g)
+    R_u = 3.0 * bgvals[:, bidx["rho_b"]] / (4.0 * bgvals[:, bidx["rho_g"]])
+    integrand_d = dkappa_u / R_u * tau_u
+    d2d = spline_d2(lntau_u, integrand_d)
+    taud_u = spline_integrate_reverse(lntau_u, integrand_d, d2d)
+
+    cols = [xe_u, dkappa_u, ddkappa_u, dddkappa_u, exp_m_kappa, g_u, dg_u, ddg_u,
+            Tb_u, cb2_u, taud_u, kappa_u]
+    table_u = jnp.stack(cols, axis=1)
+    lntau_spline = UniformSpline.build(lntau_u[0], dlntau, table_u)
+
+    # --- derived epochs
+    # z_rec: maximum of visibility g
+    i_rec = jnp.argmax(g_u)
+    # quadratic refinement in lntau
+    gm, g0, gp = g_u[i_rec - 1], g_u[i_rec], g_u[i_rec + 1]
+    dl = 0.5 * (gm - gp) / (gm - 2.0 * g0 + gp)
+    lntau_rec = lntau_u[i_rec] + dl * dlntau
+    tau_rec = jnp.exp(lntau_rec)
+    bg_rec = bg.lntau_spline.eval(lntau_rec)
+    z_rec = 1.0 / bg_rec[bidx["a"]] - 1.0
+    rs_rec = bg_rec[bidx["rs"]]
+
+    # z_star: kappa = 1
+    # kappa decreases with tau; find crossing
+    i_star = jnp.searchsorted(-kappa_u, -1.0)
+    k0, k1 = kappa_u[i_star - 1], kappa_u[i_star]
+    w = (k0 - 1.0) / (k0 - k1)
+    lntau_star = lntau_u[i_star - 1] + w * dlntau
+    tau_star = jnp.exp(lntau_star)
+    bg_star = bg.lntau_spline.eval(lntau_star)
+    z_star = 1.0 / bg_star[bidx["a"]] - 1.0
+    rs_star = bg_star[bidx["rs"]]
+    ra_star = bg.tau0 - tau_star  # flat; curvature handled via conf_distance col
+    ra_star = bg_star[bidx["conf_distance"]]
+
+    # z_d: baryon drag depth = 1
+    i_d = jnp.searchsorted(-taud_u, -1.0)
+    t0d, t1d = taud_u[i_d - 1], taud_u[i_d]
+    wd = (t0d - 1.0) / (t0d - t1d)
+    lntau_d = lntau_u[i_d - 1] + wd * dlntau
+    tau_d = jnp.exp(lntau_d)
+    bg_d = bg.lntau_spline.eval(lntau_d)
+    z_d = 1.0 / bg_d[bidx["a"]] - 1.0
+    rs_d = bg_d[bidx["rs"]]
+
+    return ThermoResult(
+        lntau_spline=lntau_spline,
+        z_grid=z_merged, xe_of_z=xe_merged, Tb_of_z=Tb_merged, cb2_of_z=cb2_merged,
+        dkappa_of_z=dkappa_merged,
+        YHe=ctx.YHe, fHe=fHe,
+        z_reio=z_reio, tau_reio=tau_reio,
+        z_rec=z_rec, tau_rec=tau_rec, rs_rec=rs_rec,
+        z_star=z_star, tau_star=tau_star, rs_star=rs_star, ra_star=ra_star,
+        z_d=z_d, tau_d=tau_d, rs_d=rs_d,
+        angular_rescaling=jnp.asarray(1.0),
+    )

@@ -137,6 +137,19 @@ def spline_integrate(x: jnp.ndarray, y: jnp.ndarray, y2: jnp.ndarray) -> jnp.nda
     return out
 
 
+def spline_integrate_reverse(x: jnp.ndarray, y: jnp.ndarray, y2: jnp.ndarray) -> jnp.ndarray:
+    """Cumulative integral of the spline from each x[i] to x[-1]: out[i] =
+    int_{x[i]}^{x[-1]} y dx. Accumulates from the upper end, avoiding the
+    catastrophic cancellation of `total - forward_cumsum` when the integrand
+    spans many orders of magnitude (e.g. optical depth kappa(tau))."""
+    h = jnp.diff(x)
+    if y.ndim > 1:
+        h = h[:, None]
+    seg = h * (y[:-1] + y[1:]) / 2.0 - h**3 * (y2[:-1] + y2[1:]) / 24.0
+    rev = jnp.cumsum(seg[::-1], axis=0)[::-1]
+    return jnp.concatenate([rev, jnp.zeros_like(y[:1])], axis=0)
+
+
 class UniformSpline(NamedTuple):
     """Cubic spline on a uniform grid: O(1) arithmetic lookup, gather-light eval.
 
