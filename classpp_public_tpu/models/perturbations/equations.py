@@ -1,0 +1,453 @@
+"""Scalar perturbation equations: RHS, initial conditions, approximation
+remaps and CMB/LSS source assembly.
+
+Physics follows the reference exactly (synchronous gauge, flat, LambdaCDM+ur):
+  - Einstein constraints: perturb_einstein (perturbations_module.cpp:5840)
+  - stress-energy sums:   perturb_total_stress_energy (:6047)
+  - Boltzmann hierarchies and fluid equations: perturb_derivs (:7861)
+  - tight coupling, compromise_CLASS scheme: perturb_tca_slip_and_shear (:9229)
+  - radiation streaming (rsa_MD_with_reio):  perturb_rsa_delta_and_theta (:9530)
+  - ur fluid approximation (ufa_CLASS):      derivs (:8710)
+  - adiabatic ICs: perturb_initial_conditions (:4723)
+  - approximation-switch state remaps: perturb_vector_init (:3880-3975)
+  - sources: perturb_sources (:6731)
+
+The TPU-native difference: no dynamic state resizing and no branching — a
+single maximal state vector with approximation *masks* (jnp.where), so one
+trace covers every (k, regime) and vmap runs the whole k-grid in lockstep.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..background import BgIdx
+from ..thermodynamics import ThIdx
+from .indices import PtIdx, SrcIdx
+
+
+class PertCtx(NamedTuple):
+    """Everything the RHS needs besides (tau, y): wavenumber, approximation
+    flags for the current segment, and the runtime interpolation tables."""
+
+    k: jnp.ndarray
+    tca_on: jnp.ndarray   # bool
+    rsa_on: jnp.ndarray   # bool
+    ufa_on: jnp.ndarray   # bool
+    bg_spline: object     # UniformSpline over ln(tau), background columns
+    th_spline: object     # UniformSpline over ln(tau), thermo columns
+    bidx: object          # BgIdx
+    idx: PtIdx
+
+
+class Locals(NamedTuple):
+    """Quantities computed inside the RHS that sources also need."""
+
+    a: jnp.ndarray
+    aH: jnp.ndarray
+    app_a: jnp.ndarray        # a''/a = aH' + 2(aH)^2
+    aH_prime: jnp.ndarray     # (a'/a)' = aH' + (aH)^2
+    h_prime: jnp.ndarray
+    eta_prime: jnp.ndarray
+    alpha: jnp.ndarray
+    alpha_prime: jnp.ndarray
+    delta_g_eff: jnp.ndarray
+    P: jnp.ndarray            # polarization source combo
+    delta_m: jnp.ndarray
+    theta_m: jnp.ndarray
+    delta_cb: jnp.ndarray
+    theta_cb: jnp.ndarray
+    theta_b_prime: jnp.ndarray
+    g: jnp.ndarray
+    dg: jnp.ndarray
+    exp_m_kappa: jnp.ndarray
+    eta: jnp.ndarray
+
+
+def rhs_full(tau, y, ctx: PertCtx):
+    """dy/dtau plus the Locals needed for source assembly."""
+    idx = ctx.idx
+    bidx = ctx.bidx
+    k = ctx.k
+    k2 = k * k
+    lntau = jnp.log(tau)
+    bgv = ctx.bg_spline.eval(lntau)
+    thv = ctx.th_spline.eval(lntau)
+
+    a = bgv[bidx["a"]]
+    H = bgv[bidx["H"]]
+    Hp = bgv[bidx["H_prime"]]
+    rho_g = bgv[bidx["rho_g"]]
+    rho_b = bgv[bidx["rho_b"]]
+    rho_cdm = bgv[bidx["rho_cdm"]]
+    rho_ur = bgv[bidx["rho_ur"]]
+    a2 = a * a
+    aH = a * H
+    app_a = Hp * a + 2.0 * aH * aH     # a''/a
+    aH_prime = Hp * a + aH * aH        # (a'/a)'
+
+    cb2 = thv[ThIdx.ix["cb2"]]
+    kap = thv[ThIdx.ix["dkappa"]]
+    kapp = thv[ThIdx.ix["ddkappa"]]
+    g_vis = thv[ThIdx.ix["g"]]
+    dg_vis = thv[ThIdx.ix["dg"]]
+    emk = thv[ThIdx.ix["exp_m_kappa"]]
+
+    R = 4.0 / 3.0 * rho_g / rho_b
+
+    tca = ctx.tca_on
+    rsa = ctx.rsa_on
+    ufa = ctx.ufa_on
+
+    # --- unpack state
+    delta_g = y[idx.delta_g]
+    theta_g = y[idx.theta_g]
+    shear_g = y[idx.shear_g]
+    F_g = jax.lax.dynamic_slice(y, (idx.F_g,), (idx.n_F_g,))           # l=3..lmax_g
+    G = jax.lax.dynamic_slice(y, (idx.G_g,), (idx.n_G_g,))             # l=0..lmax_pol
+    delta_b = y[idx.delta_b]
+    theta_b = y[idx.theta_b]
+    delta_cdm = y[idx.delta_cdm]
+    delta_ur = y[idx.delta_ur]
+    theta_ur = y[idx.theta_ur]
+    shear_ur = y[idx.shear_ur]
+    F_ur = jax.lax.dynamic_slice(y, (idx.F_ur,), (idx.n_F_ur,))        # l=3..lmax_ur
+    eta = y[idx.eta]
+
+    # --- effective photon/ur variables entering the Einstein sums
+    # (perturb_total_stress_energy :6107-6170): zero under RSA; under TCA the
+    # state delta/theta are used and shear enters via its 1st-order value.
+    zero = jnp.zeros_like(delta_g)
+    d_g = jnp.where(rsa, zero, delta_g)
+    t_g = jnp.where(rsa, zero, theta_g)
+    s_g = jnp.where(rsa | tca, zero, shear_g)
+    d_ur = jnp.where(rsa, zero, delta_ur)
+    t_ur = jnp.where(rsa, zero, theta_ur)
+    s_ur = jnp.where(rsa, zero, shear_ur)
+
+    delta_rho = rho_g * d_g + rho_b * delta_b + rho_cdm * delta_cdm + rho_ur * d_ur
+    rho_plus_p_theta = 4.0 / 3.0 * rho_g * t_g + rho_b * theta_b + 4.0 / 3.0 * rho_ur * t_ur
+    rho_plus_p_shear = 4.0 / 3.0 * rho_g * s_g + 4.0 / 3.0 * rho_ur * s_ur
+    delta_p = 1.0 / 3.0 * rho_g * d_g + cb2 * rho_b * delta_b + 1.0 / 3.0 * rho_ur * d_ur
+
+    # --- Einstein 00: h' (perturb_einstein :5911)
+    h_prime = (k2 * eta + 1.5 * a2 * delta_rho) / (0.5 * aH)
+
+    # --- radiation streaming values (perturb_rsa_delta_and_theta :9575-9615,
+    # synchronous, rsa_MD_with_reio)
+    rsa_delta_g = 4.0 / k2 * (aH * h_prime - k2 * eta) \
+        - 4.0 / k2 * kap * (theta_b + 0.5 * h_prime)
+    rsa_theta_g = -0.5 * h_prime + 3.0 / k2 * (
+        kapp * (theta_b + 0.5 * h_prime)
+        + kap * (-aH * theta_b + cb2 * k2 * delta_b - aH * h_prime + k2 * eta)
+    )
+    rsa_delta_ur = 4.0 / k2 * (aH * h_prime - k2 * eta)
+    rsa_theta_ur = -0.5 * h_prime
+
+    delta_rho = delta_rho + jnp.where(rsa, rho_g * rsa_delta_g + rho_ur * rsa_delta_ur, zero)
+    rho_plus_p_theta = rho_plus_p_theta + jnp.where(
+        rsa, 4.0 / 3.0 * rho_g * rsa_theta_g + 4.0 / 3.0 * rho_ur * rsa_theta_ur, zero)
+
+    # --- Einstein 0i, trace, shear (perturb_einstein :5941-5976), flat K=0
+    eta_prime = 1.5 * a2 * rho_plus_p_theta / k2
+    h_prime_prime = -2.0 * aH * h_prime + 2.0 * k2 * eta - 9.0 * a2 * delta_p
+    alpha = (h_prime + 6.0 * eta_prime) / (2.0 * k2)
+
+    tca_shear_g_1 = 16.0 / 45.0 / kap * (theta_g + k2 * alpha)
+    rho_plus_p_shear = rho_plus_p_shear + jnp.where(tca, 4.0 / 3.0 * rho_g * tca_shear_g_1, zero)
+    alpha_prime = -2.0 * aH * alpha + eta - 4.5 * (a2 / k2) * rho_plus_p_shear
+
+    metric_continuity = 0.5 * h_prime
+    metric_shear = k2 * alpha
+    metric_shear_prime = k2 * alpha_prime
+
+    # --- effective delta/theta for the evolution equations under RSA
+    d_g = jnp.where(rsa, rsa_delta_g, delta_g)
+    t_g = jnp.where(rsa, rsa_theta_g, theta_g)
+
+    # --- TCA slip & shear, compromise_CLASS (perturb_tca_slip_and_shear :9229)
+    tau_c = 1.0 / kap
+    dtau_c = -kapp * tau_c * tau_c
+    F = tau_c / (1.0 + R)
+    F_prime = dtau_c / (1.0 + R) + tau_c * aH * R / (1.0 + R) ** 2
+    slip_1 = (dtau_c / tau_c - 2.0 * aH / (1.0 + R)) * (theta_b - t_g) + F * (
+        -app_a * theta_b
+        + k2 * (-aH * d_g / 2.0
+                + cb2 * (-theta_b - metric_continuity)
+                + (t_g + metric_continuity) / 3.0)
+    )
+    shear_g_tca1 = 16.0 / 45.0 * tau_c * (t_g + metric_shear)
+    theta_prime0 = (-aH * theta_b + k2 * (cb2 * delta_b + R / 4.0 * d_g)) / (1.0 + R)
+    shear_g_prime1 = 16.0 / 45.0 * (tau_c * (theta_prime0 + metric_shear_prime)
+                                    + dtau_c * (t_g + metric_shear))
+    tca_slip = (1.0 - 2.0 * aH * F) * slip_1 + F * k2 * (
+        2.0 * aH * shear_g_tca1 + shear_g_prime1
+        - (1.0 / 3.0 - cb2) * (F * theta_prime0 + 2.0 * F_prime * theta_b)
+    )
+    tca_shear_g = (1.0 - 11.0 / 6.0 * dtau_c) * shear_g_tca1 \
+        - 11.0 / 6.0 * tau_c * 16.0 / 45.0 * tau_c * (theta_prime0 + metric_shear_prime)
+
+    # --- assemble dy
+    dy = jnp.zeros_like(y)
+
+    # photons: density (off under RSA)
+    d_delta_g = -4.0 / 3.0 * (t_g + metric_continuity)
+    dy = dy.at[idx.delta_g].set(jnp.where(rsa, zero, d_delta_g))
+
+    # baryons
+    d_delta_b = -(theta_b + metric_continuity)
+    theta_b_prime_notca = (-aH * theta_b + k2 * cb2 * delta_b
+                           + R * kap * (t_g - theta_b))
+    theta_b_prime_tca = (-aH * theta_b
+                         + k2 * (cb2 * delta_b + R * (d_g / 4.0 - tca_shear_g))
+                         + R * tca_slip) / (1.0 + R)
+    theta_b_prime = jnp.where(tca, theta_b_prime_tca, theta_b_prime_notca)
+    dy = dy.at[idx.delta_b].set(d_delta_b)
+    dy = dy.at[idx.theta_b].set(theta_b_prime)
+
+    # photon velocity
+    P0 = (G[0] + G[2] + 2.0 * shear_g) / 8.0
+    theta_g_prime_full = k2 * (d_g / 4.0 - shear_g) + kap * (theta_b - t_g)
+    theta_g_prime_tca = (-(theta_b_prime + aH * theta_b - k2 * cb2 * delta_b) / R
+                         + k2 * (0.25 * d_g - tca_shear_g))
+    dy = dy.at[idx.theta_g].set(
+        jnp.where(rsa, zero, jnp.where(tca, theta_g_prime_tca, theta_g_prime_full)))
+
+    hier_on = ~(tca | rsa)
+
+    # photon shear and higher moments (flat: s_l = 1, cotKgen = 1/(k tau))
+    cotk = 1.0 / (k * tau)
+    d_shear_g = 0.5 * (8.0 / 15.0 * (theta_g + metric_shear)
+                       - 3.0 / 5.0 * k * F_g[0]
+                       - kap * (2.0 * shear_g - 4.0 / 5.0 * P0))
+    dy = dy.at[idx.shear_g].set(jnp.where(hier_on, d_shear_g, zero))
+
+    # F_g l=3..lmax: build the (lmax-2,) derivative vector
+    lmax_g = idx.l_max_g
+    ls = jnp.arange(3, lmax_g + 1, dtype=y.dtype)
+    F_lm1 = jnp.concatenate([jnp.array([2.0 * shear_g]), F_g[:-1]])
+    F_lp1 = jnp.concatenate([F_g[1:], jnp.array([0.0])])
+    dF = k / (2.0 * ls + 1.0) * (ls * F_lm1 - (ls + 1.0) * F_lp1) - kap * F_g
+    # lmax closure: F'_lmax = k(F_{lmax-1} - (lmax+1) cotk F_lmax) - kap F_lmax
+    dF_last = k * (F_g[-2] - (lmax_g + 1.0) * cotk * F_g[-1]) - kap * F_g[-1]
+    dF = dF.at[-1].set(dF_last)
+    dy = jax.lax.dynamic_update_slice(dy, jnp.where(hier_on, dF, jnp.zeros_like(dF)), (idx.F_g,))
+
+    # polarization l=0..lmax_pol
+    lmax_p = idx.l_max_pol_g
+    lp = jnp.arange(0, lmax_p + 1, dtype=y.dtype)
+    G_lm1 = jnp.concatenate([jnp.array([0.0]), G[:-1]])
+    G_lp1 = jnp.concatenate([G[1:], jnp.array([0.0])])
+    dG = k / (2.0 * lp + 1.0) * (lp * G_lm1 - (lp + 1.0) * G_lp1) - kap * G
+    dG = dG.at[0].set(-k * G[1] - kap * (G[0] - 4.0 * P0))
+    dG = dG.at[2].set(k / 5.0 * (2.0 * G[1] - 3.0 * G[3]) - kap * (G[2] - 4.0 / 5.0 * P0))
+    dG_last = k * (G[-2] - (lmax_p + 1.0) * cotk * G[-1]) - kap * G[-1]
+    dG = dG.at[-1].set(dG_last)
+    dy = jax.lax.dynamic_update_slice(dy, jnp.where(hier_on, dG, jnp.zeros_like(dG)), (idx.G_g,))
+
+    # cdm (synchronous: theta_cdm = 0)
+    dy = dy.at[idx.delta_cdm].set(-metric_continuity)
+
+    # ur
+    d_delta_ur = -4.0 / 3.0 * (theta_ur + metric_continuity)
+    d_theta_ur = k2 * (delta_ur / 4.0 - shear_ur)
+    d_shear_ur_full = 0.5 * (8.0 / 15.0 * (theta_ur + metric_shear) - 3.0 / 5.0 * k * F_ur[0])
+    d_shear_ur_ufa = -3.0 / tau * shear_ur + 2.0 / 3.0 * (theta_ur + metric_continuity)
+    ur_on = ~rsa
+    dy = dy.at[idx.delta_ur].set(jnp.where(ur_on, d_delta_ur, zero))
+    dy = dy.at[idx.theta_ur].set(jnp.where(ur_on, d_theta_ur, zero))
+    dy = dy.at[idx.shear_ur].set(
+        jnp.where(ur_on, jnp.where(ufa, d_shear_ur_ufa, d_shear_ur_full), zero))
+
+    lmax_u = idx.l_max_ur
+    lu = jnp.arange(3, lmax_u + 1, dtype=y.dtype)
+    Fu_lm1 = jnp.concatenate([jnp.array([2.0 * shear_ur]), F_ur[:-1]])
+    Fu_lp1 = jnp.concatenate([F_ur[1:], jnp.array([0.0])])
+    dFu = k / (2.0 * lu + 1.0) * (lu * Fu_lm1 - (lu + 1.0) * Fu_lp1)
+    dFu_last = k * (F_ur[-2] - (lmax_u + 1.0) * cotk * F_ur[-1])
+    dFu = dFu.at[-1].set(dFu_last)
+    ur_hier_on = ur_on & (~ufa)
+    dy = jax.lax.dynamic_update_slice(
+        dy, jnp.where(ur_hier_on, dFu, jnp.zeros_like(dFu)), (idx.F_ur,))
+
+    # metric
+    dy = dy.at[idx.eta].set(eta_prime)
+
+    # --- gauge-invariant matter variables (perturb_einstein :5986-6006).
+    # Note the order: the 3aH*theta/k^2 shift uses the synchronous-gauge
+    # theta_m; the alpha*k^2 shift applies to the theta_m source afterwards.
+    rho_m = rho_b + rho_cdm
+    theta_m_sync = (rho_b * theta_b) / rho_m
+    delta_m = (rho_b * delta_b + rho_cdm * delta_cdm) / rho_m + 3.0 * aH * theta_m_sync / k2
+    theta_m = theta_m_sync + k2 * alpha
+    delta_cb = delta_m
+    theta_cb = theta_m
+
+    # polarization source combo P (perturb_sources :6800-6809)
+    P = jnp.where(rsa, zero,
+                  jnp.where(tca, 5.0 * tca_shear_g / 8.0,
+                            (G[0] + G[2] + 2.0 * shear_g) / 8.0))
+    delta_g_src = jnp.where(rsa, rsa_delta_g, delta_g)
+
+    loc = Locals(
+        a=a, aH=aH, app_a=app_a, aH_prime=aH_prime,
+        h_prime=h_prime, eta_prime=eta_prime, alpha=alpha, alpha_prime=alpha_prime,
+        delta_g_eff=delta_g_src, P=P,
+        delta_m=delta_m, theta_m=theta_m, delta_cb=delta_cb, theta_cb=theta_cb,
+        theta_b_prime=theta_b_prime, g=g_vis, dg=dg_vis, exp_m_kappa=emk, eta=eta,
+    )
+    return dy, loc
+
+
+def rhs(tau, y, ctx: PertCtx):
+    return rhs_full(tau, y, ctx)[0]
+
+
+# ---------------------------------------------------------------------------
+
+
+def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
+    """Adiabatic initial conditions, synchronous gauge, flat
+    (perturb_initial_conditions :4825-4935)."""
+    idx = ctx.idx
+    bidx = ctx.bidx
+    bgv = ctx.bg_spline.eval(jnp.log(tau))
+    a = bgv[bidx["a"]]
+    rho_g = bgv[bidx["rho_g"]]
+    rho_b = bgv[bidx["rho_b"]]
+    rho_cdm = bgv[bidx["rho_cdm"]]
+    rho_ur = bgv[bidx["rho_ur"]]
+
+    rho_r = rho_g + rho_ur
+    rho_m = rho_b + rho_cdm
+    rho_nu = rho_ur
+    fracnu = rho_nu / rho_r
+    fracb = rho_b / rho_m
+    om = a * rho_m / jnp.sqrt(rho_r)
+
+    ktau2 = (k * tau) ** 2
+    ktau3 = (k * tau) ** 3
+
+    delta_g = -ktau2 / 3.0 * (1.0 - om * tau / 5.0) * curvature_ini
+    theta_g = -k * ktau3 / 36.0 * (1.0 - 3.0 * (1.0 + 5.0 * fracb - fracnu)
+                                   / 20.0 / (1.0 - fracnu) * om * tau) * curvature_ini
+    delta_ur = delta_g
+    theta_ur = -k * ktau3 / 36.0 / (4.0 * fracnu + 15.0) * (
+        4.0 * fracnu + 23.0
+        - 3.0 * (8.0 * fracnu * fracnu + 50.0 * fracnu + 275.0) / 20.0 / (2.0 * fracnu + 15.0) * tau * om
+    ) * curvature_ini
+    shear_ur = ktau2 / (45.0 + 12.0 * fracnu) * 2.0 * (
+        1.0 + (4.0 * fracnu - 5.0) / 4.0 / (2.0 * fracnu + 15.0) * tau * om) * curvature_ini
+    l3_ur = ktau3 * 2.0 / 7.0 / (12.0 * fracnu + 45.0) * curvature_ini
+    eta = curvature_ini * (1.0 - ktau2 / 12.0 / (15.0 + 4.0 * fracnu) * (
+        5.0 + 4.0 * fracnu
+        - (16.0 * fracnu**2 + 280.0 * fracnu + 325.0) / 10.0 / (2.0 * fracnu + 15.0) * tau * om))
+
+    y = jnp.zeros((idx.size,))
+    y = y.at[idx.delta_g].set(delta_g)
+    y = y.at[idx.theta_g].set(theta_g)
+    y = y.at[idx.delta_b].set(0.75 * delta_g)
+    y = y.at[idx.theta_b].set(theta_g)
+    y = y.at[idx.delta_cdm].set(0.75 * delta_g)
+    y = y.at[idx.delta_ur].set(delta_ur)
+    y = y.at[idx.theta_ur].set(theta_ur)
+    y = y.at[idx.shear_ur].set(shear_ur)
+    y = y.at[idx.F_ur].set(l3_ur)
+    y = y.at[idx.eta].set(eta)
+    return y
+
+
+def remap_tca_off(y, tau, ctx: PertCtx):
+    """State re-initialization when tight coupling switches off
+    (perturb_vector_init :3900-3920): fill the photon hierarchy slots from
+    their tight-coupling values."""
+    idx = ctx.idx
+    ctx_tca = ctx._replace(tca_on=jnp.asarray(True))
+    _, loc = rhs_full(tau, y, ctx_tca)
+    thv = ctx.th_spline.eval(jnp.log(tau))
+    kap = thv[ThIdx.ix["dkappa"]]
+    k = ctx.k
+    # recompute tca shear at switch time
+    shear_g = 8.0 / 5.0 * loc.P  # P = 5 shear/8 under TCA
+    y = y.at[idx.shear_g].set(shear_g)
+    y = y.at[idx.F_g].set(6.0 / 7.0 * k / kap * shear_g)                 # l=3
+    y = y.at[idx.G_g + 0].set(2.5 * shear_g)
+    y = y.at[idx.G_g + 1].set(k / kap * 0.5 * shear_g)                   # (5-2 s2)/6 = 1/2 flat
+    y = y.at[idx.G_g + 2].set(0.5 * shear_g)
+    y = y.at[idx.G_g + 3].set(k / kap * 3.0 / 14.0 * shear_g)
+    return y
+
+
+def remap_ufa_on(y, ctx: PertCtx):
+    """Drop the ur hierarchy above l=2 when the fluid approximation starts
+    (perturb_vector_init, ufa branch)."""
+    idx = ctx.idx
+    return jax.lax.dynamic_update_slice(
+        y, jnp.zeros((idx.n_F_ur,), y.dtype), (idx.F_ur,))
+
+
+def remap_rsa_on(y, ctx: PertCtx):
+    """Zero all radiation slots when free streaming starts; their values are
+    algebraic from then on (perturb_vector_init, rsa branch)."""
+    idx = ctx.idx
+    y = y.at[idx.delta_g].set(0.0)
+    y = y.at[idx.theta_g].set(0.0)
+    y = y.at[idx.shear_g].set(0.0)
+    y = jax.lax.dynamic_update_slice(y, jnp.zeros((idx.n_F_g,), y.dtype), (idx.F_g,))
+    y = jax.lax.dynamic_update_slice(y, jnp.zeros((idx.n_G_g,), y.dtype), (idx.G_g,))
+    y = y.at[idx.delta_ur].set(0.0)
+    y = y.at[idx.theta_ur].set(0.0)
+    y = y.at[idx.shear_ur].set(0.0)
+    y = jax.lax.dynamic_update_slice(y, jnp.zeros((idx.n_F_ur,), y.dtype), (idx.F_ur,))
+    return y
+
+
+# ---------------------------------------------------------------------------
+
+
+def compute_sources(tau, y, ctx: PertCtx):
+    """All source functions at (k, tau) — reference perturb_sources (:6830-7010),
+    synchronous gauge 'efficient' form. Returns (SrcIdx.n,) vector."""
+    k = ctx.k
+    k2 = k * k
+    dy, L = rhs_full(tau, y, ctx)
+    idx = ctx.idx
+
+    g = L.g
+    dg = L.dg
+    emk = L.exp_m_kappa
+
+    t0 = (g * (L.delta_g_eff / 4.0 + L.alpha_prime)
+          + g * (L.eta - L.alpha_prime - 2.0 * L.aH * L.alpha)
+          + emk * 2.0 * (L.eta_prime - L.aH_prime * L.alpha - L.aH * L.alpha_prime)
+          + g * (L.theta_b_prime / k2 + L.alpha_prime)
+          + dg * (y[idx.theta_b] / k2 + L.alpha))
+    t1 = emk * k * (L.alpha_prime + 2.0 * L.aH * L.alpha - L.eta)
+    t2 = g * L.P
+    p = jnp.sqrt(6.0) * g * L.P
+
+    phi = L.eta - L.aH * L.alpha
+    psi = L.aH * L.alpha + L.alpha_prime
+    phi_plus_psi = L.eta + L.alpha_prime
+    phi_prime = L.eta_prime - L.aH_prime * L.alpha - L.aH * L.alpha_prime
+
+    out = jnp.zeros((SrcIdx.n,))
+    six = SrcIdx.ix
+    out = out.at[six["t0"]].set(t0)
+    out = out.at[six["t1"]].set(t1)
+    out = out.at[six["t2"]].set(t2)
+    out = out.at[six["p"]].set(p)
+    out = out.at[six["phi"]].set(phi)
+    out = out.at[six["psi"]].set(psi)
+    out = out.at[six["phi_plus_psi"]].set(phi_plus_psi)
+    out = out.at[six["phi_prime"]].set(phi_prime)
+    out = out.at[six["delta_m"]].set(L.delta_m)
+    out = out.at[six["theta_m"]].set(L.theta_m)
+    out = out.at[six["delta_cb"]].set(L.delta_cb)
+    out = out.at[six["theta_cb"]].set(L.theta_cb)
+    out = out.at[six["h_prime"]].set(L.h_prime)
+    out = out.at[six["eta_src"]].set(L.eta)
+    return out

@@ -1,0 +1,106 @@
+"""Static state-vector layout for scalar perturbations.
+
+TPU-native redesign of the reference's dynamically-resized perturbation vector
+(perturb_vector_init, perturbations_module.cpp:3271-4696): instead of growing/
+shrinking the ODE state at approximation switches, the state has one fixed
+maximal layout; slots inactive under the current approximation (e.g. the
+photon hierarchy during tight coupling) simply carry zero derivative and are
+re-initialized by a remap at the switch (see equations.remap_*). Fixed shapes
+are what allow the whole k-grid to integrate in lockstep under vmap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PtIdx:
+    """Index layout, parametrized by hierarchy truncations (precision params
+    l_max_g, l_max_pol_g, l_max_ur; reference include/precisions.h:209-215)."""
+
+    l_max_g: int = 12
+    l_max_pol_g: int = 10
+    l_max_ur: int = 17
+    has_ur: bool = True
+
+    # --- photons
+    @property
+    def delta_g(self):
+        return 0
+
+    @property
+    def theta_g(self):
+        return 1
+
+    @property
+    def shear_g(self):
+        return 2
+
+    @property
+    def F_g(self):  # F_g[l] for l=3..l_max_g lives at F_g + (l-3)
+        return 3
+
+    @property
+    def n_F_g(self):
+        return self.l_max_g - 2  # l = 3..l_max_g
+
+    @property
+    def G_g(self):  # polarization G_l, l=0..l_max_pol_g
+        return self.F_g + self.n_F_g - 1 + 1
+
+    @property
+    def n_G_g(self):
+        return self.l_max_pol_g + 1
+
+    # --- baryons / cdm
+    @property
+    def delta_b(self):
+        return self.G_g + self.n_G_g
+
+    @property
+    def theta_b(self):
+        return self.delta_b + 1
+
+    @property
+    def delta_cdm(self):
+        return self.theta_b + 1
+
+    # --- massless neutrinos
+    @property
+    def delta_ur(self):
+        return self.delta_cdm + 1
+
+    @property
+    def theta_ur(self):
+        return self.delta_ur + 1
+
+    @property
+    def shear_ur(self):
+        return self.theta_ur + 1
+
+    @property
+    def F_ur(self):  # l=3..l_max_ur
+        return self.shear_ur + 1
+
+    @property
+    def n_F_ur(self):
+        return self.l_max_ur - 2
+
+    # --- metric
+    @property
+    def eta(self):
+        return self.F_ur + self.n_F_ur
+
+    @property
+    def size(self):
+        return self.eta + 1
+
+
+class SrcIdx:
+    """Source-type columns (analog of index_tp_*, perturbations_module.h)."""
+
+    names = ["t0", "t1", "t2", "p", "phi", "psi", "phi_plus_psi", "phi_prime",
+             "delta_m", "theta_m", "delta_cb", "theta_cb", "h_prime", "eta_src"]
+    ix = {n: i for i, n in enumerate(names)}
+    n = len(names)

@@ -1,0 +1,138 @@
+"""Batched perturbation solve: the whole k-grid in lockstep.
+
+This replaces the reference's thread pool of per-k adaptive ndf15 solves
+(perturb_init task loop, perturbations_module.cpp:668-718; perturb_solve,
+:2463) with ONE vmapped program: every k-mode runs the same lax.scan over the
+shared source-sampling grid, with per-k adaptive RKCK45 sub-stepping inside
+each interval (lax.while_loop) and per-k approximation switch times handled by
+splitting intervals at the (clipped, sorted) switch instants. Under vmap the
+switch logic is pure data flow — no shape changes, no branching.
+
+The result is the source table S[k, tau, type] (reference sources_ layout,
+perturbations_module.h:152-155).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config.params import CosmoParams
+from ...config.precision import PrecisionParams
+from ...ops.ode import rkck_integrate
+from ..background import BackgroundResult, BgIdx
+from ..thermodynamics import ThermoResult
+from . import equations as eq
+from .grids import KSchedule, get_k_list, get_k_schedule, get_tau_sampling
+from .indices import PtIdx, SrcIdx
+
+
+class PerturbResult(NamedTuple):
+    k: jnp.ndarray            # (nk,)
+    tau: jnp.ndarray          # (ntau,)
+    sources: jnp.ndarray      # (nk, ntau, SrcIdx.n)
+    tau0: jnp.ndarray
+    k_size_cmb: int           # number of k used for CMB transfer
+    stats_steps: jnp.ndarray  # (nk,) accepted RKCK steps per mode
+
+
+def _make_ctx(k, tca, rsa, ufa, bg, bidx, th, idx):
+    return eq.PertCtx(k=k, tca_on=tca, rsa_on=rsa, ufa_on=ufa,
+                      bg_spline=bg.lntau_spline, th_spline=th.lntau_spline,
+                      bidx=bidx, idx=idx)
+
+
+def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, taus, bg, bidx, th, idx, rtol):
+    """Integrate one k-mode over all sampling intervals, emitting sources.
+    Designed to be vmapped over k (all arguments except taus/bg/th/idx map)."""
+
+    def ctx_at(t):
+        return _make_ctx(k, t < t_tca, t >= t_rsa, t >= t_ufa, bg, bidx, th, idx)
+
+    def integrate_segment(y, h, t_a, t_b, t_mid):
+        c = ctx_at(t_mid)
+        # absolute floor: the state is normalized to curvature_ini ~ O(1),
+        # so errors below ~1e-11 are physically irrelevant; without the floor
+        # the pure-relative control wastes steps resolving hierarchy moments
+        # that start at exactly zero.
+        y, h, stats = rkck_integrate(eq.rhs, y, t_a, t_b, c, rtol=rtol, atol=1e-11,
+                                     h0=h, max_steps=20000)
+        return y, h, stats.steps
+
+    def interval_with_switches(y, h, t_a, t_b):
+        """Integrate [t_a, t_b]; split at any approximation switch inside and
+        apply the corresponding state remap at the crossing."""
+        ts = jnp.sort(jnp.clip(jnp.stack([t_tca, t_ufa, t_rsa]), t_a, t_b))
+        bounds = jnp.concatenate([jnp.array([t_a]), ts, jnp.array([t_b])])
+        nsteps = jnp.zeros((), jnp.int32)
+
+        def apply_remaps(y, bj):
+            inside = jnp.logical_and(bj > t_a, bj < t_b)
+
+            def maybe(cond, new, old):
+                return jnp.where(jnp.logical_and(inside, cond), new, old)
+
+            y = maybe(t_tca == bj, eq.remap_tca_off(y, bj, ctx_at(bj)), y)
+            y = maybe(t_ufa == bj, eq.remap_ufa_on(y, ctx_at(bj)), y)
+            y = maybe(t_rsa == bj, eq.remap_rsa_on(y, ctx_at(bj)), y)
+            return y
+
+        for j in range(4):
+            t0s, t1s = bounds[j], bounds[j + 1]
+            y, h, ns = integrate_segment(y, h, t0s, t1s, 0.5 * (t0s + t1s))
+            nsteps = nsteps + ns
+            if j < 3:
+                y = apply_remaps(y, t1s)
+        return y, h, nsteps
+
+    # initial conditions at tau_ini (always deep in tight coupling)
+    ctx0 = ctx_at(tau_ini)
+    y0 = eq.adiabatic_ic(k, tau_ini, ctx0)
+    h0 = 0.1 * tau_ini
+
+    # pre-phase up to the first sampling point
+    y, h, n0 = interval_with_switches(y0, h0, tau_ini, taus[0])
+    src0 = eq.compute_sources(taus[0], y, ctx_at(taus[0]))
+
+    def step(carry, tpair):
+        y, h, ns = carry
+        t_a, t_b = tpair
+        y, h, n = interval_with_switches(y, h, t_a, t_b)
+        src = eq.compute_sources(t_b, y, ctx_at(t_b))
+        return (y, h, ns + n), src
+
+    (_, _, ntot), srcs = jax.lax.scan(step, (y, h, n0), (taus[:-1], taus[1:]))
+    return jnp.concatenate([src0[None], srcs], axis=0), ntot
+
+
+def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
+                          bg: BackgroundResult, bidx: BgIdx, th: ThermoResult,
+                          l_scalar_max: int = 2500, k_max_for_pk: float = 10.0,
+                          has_cls: bool = True, has_pk: bool = True,
+                          z_max_pk: float = 5.0) -> PerturbResult:
+    """Full scalar perturbation stage: grids + schedule + batched solve."""
+    ks = get_k_list(params, pr, bg, th, l_scalar_max=l_scalar_max,
+                    k_max_for_pk=k_max_for_pk, has_cls=has_cls, has_pk=has_pk)
+    taus = get_tau_sampling(params, pr, bg, bidx, th, has_cmb=has_cls, z_max_pk=z_max_pk)
+    sched = get_k_schedule(ks, pr, bg, bidx, th, tau_first_sample=float(taus[0]))
+
+    k_max_cmb = pr.k_max_tau0_over_l_max * l_scalar_max / float(bg.tau0)
+    k_size_cmb = int(np.searchsorted(ks, k_max_cmb, side="right")) if has_cls else 0
+    k_size_cmb = min(k_size_cmb + 1, len(ks))
+
+    idx = PtIdx(l_max_g=pr.l_max_g, l_max_pol_g=pr.l_max_pol_g, l_max_ur=pr.l_max_ur)
+    taus_j = jnp.asarray(taus)
+
+    solve = jax.jit(jax.vmap(
+        partial(solve_one_k, taus=taus_j, bg=bg, bidx=bidx, th=th, idx=idx,
+                rtol=pr.tol_perturb_integration)))
+    sources, nsteps = solve(jnp.asarray(sched.k), jnp.asarray(sched.tau_ini),
+                            jnp.asarray(sched.tau_tca_off), jnp.asarray(sched.tau_ufa_on),
+                            jnp.asarray(sched.tau_rsa_on))
+
+    return PerturbResult(k=jnp.asarray(ks), tau=taus_j, sources=sources,
+                         tau0=bg.tau0, k_size_cmb=k_size_cmb, stats_steps=nsteps)

@@ -85,8 +85,10 @@ def rkck_integrate(
     t0 = jnp.asarray(t0, dtype)
     t1 = jnp.asarray(t1, dtype)
     span = t1 - t0
-    h_init = span if h0 is None else jnp.asarray(h0, dtype)
-    h_init = jnp.clip(h_init, 1e-300, jnp.maximum(span, 1e-300))
+    # NOTE: h is the *desired* step carried across calls — never clip it to
+    # the span (zero-length segments must pass h through unchanged, and a
+    # span-truncated final step must not shrink the carried h).
+    h_init = jnp.maximum(jnp.asarray(span if h0 is None else h0, dtype), 1e-300)
 
     def cond(state):
         t, y, h, n_acc, n_rej, done = state
@@ -95,15 +97,22 @@ def rkck_integrate(
     def body(state):
         t, y, h, n_acc, n_rej, done = state
         h_eff = jnp.minimum(h, t1 - t)
-        y_new, err, _ = rkck_step(rhs, t, y, h_eff, args)
-        scale = rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new)) + atol
+        y_new, err, k1 = rkck_step(rhs, t, y, h_eff, args)
+        # error scale as in the reference generic_integrator (dei_rkck.c):
+        # yscal = |y| + |h dy/dt| + TINY  (pure relative control, robust for
+        # oscillatory components crossing zero)
+        scale = rtol * (jnp.abs(y) + jnp.abs(h_eff * k1) + 1e-30) + atol
         ratio = jnp.max(jnp.abs(err) / scale)
         ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.inf)
         accept = ratio <= 1.0
         # PI-free classical controller (matches dei_rkck)
         fac = _SAFETY * jnp.where(ratio > 0, ratio ** (-0.2), _MAX_SCALE)
         fac = jnp.clip(fac, _MIN_SCALE, _MAX_SCALE)
-        h_next = h_eff * fac
+        # if the step was truncated by the interval end and accepted, keep the
+        # larger desired step instead of growing from the truncated one
+        clipped = h_eff < h
+        h_next = jnp.where(jnp.logical_and(accept, clipped),
+                           jnp.maximum(h, h_eff * fac), h_eff * fac)
         t_new = jnp.where(accept, t + h_eff, t)
         y_out = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, b, a), y, y_new)
         done_new = t_new >= t1 * (1.0 - 1e-15)
