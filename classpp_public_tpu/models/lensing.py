@@ -1,0 +1,260 @@
+"""Lensed CMB spectra by the correlation-function method (L10).
+
+Reference LensingModule (lensing_module.cpp:149-1935), following Challinor &
+Lewis 2005: build the lensed correlation functions ksi/ksiX/ksi+- on a mu
+grid from the unlensed C_l, the deflection power Cgl/Cgl2/sigma2 and the X_abc
+functions, then project back onto multipoles.
+
+TPU-native shape: the reference's twelve hand-written Wigner-d recurrence
+routines (lensing_d00..d4m4, :1261-1935) collapse into ONE generic d^l_{mm'}
+three-term recurrence scanned over l and vectorized over the mu grid; the
+ksi accumulations ride inside the same scan (no (l x mu) tables), and the
+final quadrature is a second scan emitting lensed C_l at the sparse l-list.
+
+Default is the reference's fast mode: Riemann integration of the correlation
+*difference* on theta in [0, pi/16] plus unlensed add-back
+(lensing_addback_*, precision flag accurate_lensing).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.precision import PrecisionParams
+from ..ops.quadrature import gauss_legendre
+from ..ops.splines import spline_d2, spline_eval
+from .spectra import CT_TYPES, SpectraResult
+
+# Wigner-d orders needed; keys are (m, mp) with m >= |mp|
+_PAIRS = [(0, 0), (1, 1), (1, -1), (2, -2), (2, 0), (3, -1), (4, -2),
+          (2, 2), (3, 1), (3, -3), (4, 0), (4, -4)]
+
+
+def _wigner_seed(m, mp, mu):
+    """d^{l0}_{m mp}(mu) at l0 = m (requires m >= |mp|):
+    sqrt(binom(2m, m-mp)) cos(b/2)^{m+mp} (-sin(b/2))^{m-mp}."""
+    c2 = (1.0 + mu) / 2.0   # cos^2(beta/2)
+    s2 = (1.0 - mu) / 2.0   # sin^2(beta/2)
+    binom = math.comb(2 * m, m - mp)
+    # (-sin)^{m-mp}: every pair used here has even (m - mp), so the sign is +1
+    return math.sqrt(binom) * c2 ** ((m + mp) / 2.0) * s2 ** ((m - mp) / 2.0)
+
+
+def _wigner_coeffs(m, mp, lmax):
+    """Three-term recurrence coefficients for plain d^l_{m mp}:
+    B_{l+1} d^{l+1} = (2l+1)(mu - m*mp/(l(l+1))) d^l - B_l d^{l-1},
+    B_l = sqrt(l^2-m^2) sqrt(l^2-mp^2)/l."""
+    l = np.arange(0, lmax + 2, dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        B = np.sqrt(np.maximum(l**2 - m**2, 0.0)) * np.sqrt(np.maximum(l**2 - mp**2, 0.0)) / np.maximum(l, 1)
+        shift = np.where(l > 0, m * mp / np.maximum(l * (l + 1), 1e-300), 0.0)
+    return B, shift
+
+
+class LensedResult(NamedTuple):
+    ell: jnp.ndarray
+    cl: jnp.ndarray          # (nl, nct) lensed C_l, CT_TYPES order (pp/tp/ep = unlensed copies)
+
+
+def compute_lensing(sp: SpectraResult, pr: PrecisionParams, l_lensed_max: int) -> LensedResult:
+    l_unlensed_max = int(sp.ell[-1])
+    cl = sp.cl  # (nl, nct) at integer l = 2..l_unlensed_max
+    ct = {n: i for i, n in enumerate(CT_TYPES)}
+    # pad to arrays indexed by l (0..lmax)
+    pad = jnp.zeros((2, cl.shape[1]))
+    cl_of_l = jnp.concatenate([pad, cl], axis=0)          # (lmax+1, nct)
+    cl_tt = cl_of_l[:, ct["tt"]]
+    cl_te = cl_of_l[:, ct["te"]]
+    cl_ee = cl_of_l[:, ct["ee"]]
+    cl_bb = cl_of_l[:, ct["bb"]]
+    cl_pp = cl_of_l[:, ct["pp"]]
+
+    # --- mu grid (fast mode: theta Riemann sum on [0, pi/16]; accurate: GL)
+    if pr.accurate_lensing:
+        num_mu = l_unlensed_max + pr.num_mu_minus_lmax
+        num_mu += num_mu % 2
+        mu_np, w8_np = gauss_legendre(num_mu - 1)
+        mu = jnp.asarray(mu_np)
+        w8 = jnp.asarray(w8_np)
+    else:
+        num_mu = (l_unlensed_max * 2) // 16
+        dtheta = math.pi / 16.0 / (num_mu - 1)
+        theta = (np.arange(num_mu - 1) + 1) * dtheta
+        mu = jnp.asarray(np.cos(theta))
+        w8 = jnp.asarray(np.sin(theta) * dtheta)
+
+    ls = jnp.arange(0, l_unlensed_max + 1, dtype=jnp.float64)
+
+    # --- pass 1: Cgl, Cgl2 over mu, and Cgl(1) analytic (d11(1)=1)
+    coefs = {p: _wigner_coeffs(*p, l_unlensed_max) for p in _PAIRS}
+    Bs = {p: jnp.asarray(c[0]) for p, c in coefs.items()}
+    shifts = {p: jnp.asarray(c[1]) for p, c in coefs.items()}
+
+    def d_step(p, dl, dlm1, l_int):
+        """advance d^l -> d^{l+1} for pair p, vectorized over mu."""
+        lf = l_int.astype(mu.dtype)
+        B = Bs[p][l_int + 1]
+        Bl = Bs[p][l_int]
+        sh = shifts[p][l_int]
+        dlp1 = jnp.where(B > 0, ((2.0 * lf + 1.0) * (mu - sh) * dl - Bl * dlm1) / jnp.maximum(B, 1e-300), 0.0)
+        return dlp1
+
+    def seeds(p):
+        m, _ = p
+        s = _wigner_seed(*p, mu)
+        return s, jnp.zeros_like(mu), m  # (d_{l0}, d_{l0-1}, l0)
+
+    # accumulate Cgl, Cgl2
+    w_pp = (2.0 * ls + 1.0) * ls * (ls + 1.0) * cl_pp / (4.0 * math.pi)
+
+    def pass1_body(carry, l_int):
+        (d11, d11m), (d1m1, d1m1m), cgl, cgl2 = carry
+        active = l_int >= 2
+        cgl = cgl + jnp.where(active, w_pp[l_int] * d11, 0.0)
+        cgl2 = cgl2 + jnp.where(active, w_pp[l_int] * d1m1, 0.0)
+        d11n = d_step((1, 1), d11, d11m, l_int)
+        d1m1n = d_step((1, -1), d1m1, d1m1m, l_int)
+        return ((d11n, d11), (d1m1n, d1m1), cgl, cgl2), None
+
+    s11, z11, _ = seeds((1, 1))
+    s1m1, z1m1, _ = seeds((1, -1))
+    # advance seeds from l0=1 so carry holds d_l at the scanned l (start l=1)
+    init1 = ((s11, z11), (s1m1, z1m1), jnp.zeros_like(mu), jnp.zeros_like(mu))
+    carry, _ = jax.lax.scan(pass1_body, init1, jnp.arange(1, l_unlensed_max + 1))
+    _, _, Cgl, Cgl2 = carry
+    Cgl_at_1 = jnp.sum(w_pp[2:])   # d11(mu=1)=1 for all l
+    sigma2 = Cgl_at_1 - Cgl
+
+    # --- pass 2: accumulate ksi, ksiX, ksip, ksim over l
+    sq1 = jnp.sqrt((ls + 2) * (ls + 1) * ls * jnp.maximum(ls - 1, 0))
+    sq2 = jnp.sqrt(jnp.maximum((ls + 2) * (ls - 1), 0))
+    sq3 = jnp.sqrt(jnp.maximum((ls + 3) * (ls - 2), 0))
+    sq4 = jnp.sqrt(jnp.maximum((ls + 4) * (ls + 3) * (ls - 2) * (ls - 3), 0))
+    sq5 = jnp.sqrt(ls * (ls + 1))
+
+    fast = not pr.accurate_lensing
+
+    def pass2_body(carry, l_int):
+        ds, ksi, ksiX, ksip, ksim = carry
+        lf = l_int.astype(mu.dtype)
+        active = l_int >= 2
+        fac = lf * (lf + 1.0) / 4.0
+        fac1 = (2.0 * lf + 1.0) / (4.0 * math.pi)
+
+        X000 = jnp.exp(-fac * sigma2)
+        Xp000 = -fac * X000
+        X220 = 0.25 * sq1[l_int] * X000
+        X022 = X000 * (1.0 + sigma2 * (1.0 + 0.5 * sigma2))
+        Xp022 = -(fac - 1.0) * X022
+        X242 = 0.25 * sq4[l_int] * X000
+        X121 = -0.5 * sq2[l_int] * X000 * (1.0 + 2.0 / 3.0 * sigma2)
+        X132 = -0.5 * sq3[l_int] * X000 * (1.0 + 5.0 / 3.0 * sigma2)
+
+        d00, d11, d1m1, d2m2, d20, d3m1, d4m2, d22, d31, d3m3, d40, d4m4 = \
+            [ds[p][0] for p in _PAIRS]
+
+        lens_tt = (X000 * X000 * d00
+                   + Xp000 * Xp000 * d1m1 * Cgl2 * 8.0 / jnp.maximum(lf * (lf + 1.0), 1e-300)
+                   + (Xp000 * Xp000 * d00 + X220 * X220 * d2m2) * Cgl2 * Cgl2)
+        if fast:
+            lens_tt = lens_tt - d00
+        ksi = ksi + jnp.where(active, fac1 * cl_tt[l_int] * lens_tt, 0.0)
+
+        lens_te = (X022 * X000 * d20
+                   + Cgl2 * 2.0 * Xp000 / jnp.maximum(sq5[l_int], 1e-300)
+                   * (X121 * d11 + X132 * d3m1)
+                   + 0.5 * Cgl2 * Cgl2 * ((2.0 * Xp022 * Xp000 + X220 * X220) * d20
+                                          + X220 * X242 * d4m2))
+        if fast:
+            lens_te = lens_te - d20
+        ksiX = ksiX + jnp.where(active, fac1 * cl_te[l_int] * lens_te, 0.0)
+
+        lens_p = (X022 * X022 * d22
+                  + 2.0 * Cgl2 * X132 * X121 * d31
+                  + Cgl2 * Cgl2 * (Xp022 * Xp022 * d22 + X242 * X220 * d40))
+        lens_m = (X022 * X022 * d2m2
+                  + Cgl2 * (X121 * X121 * d1m1 + X132 * X132 * d3m3)
+                  + 0.5 * Cgl2 * Cgl2 * (2.0 * Xp022 * Xp022 * d2m2
+                                         + X220 * X220 * d00 + X242 * X242 * d4m4))
+        if fast:
+            lens_p = lens_p - d22
+            lens_m = lens_m - d2m2
+        ksip = ksip + jnp.where(active, fac1 * (cl_ee[l_int] + cl_bb[l_int]) * lens_p, 0.0)
+        ksim = ksim + jnp.where(active, fac1 * (cl_ee[l_int] - cl_bb[l_int]) * lens_m, 0.0)
+
+        ds_new = {p: (d_step(p, ds[p][0], ds[p][1], l_int), ds[p][0]) for p in _PAIRS}
+        return (ds_new, ksi, ksiX, ksip, ksim), None
+
+    # initialize all pairs at l=0 by stepping seeds forward to l=0..: simpler,
+    # start carry at l=0 with d_l = seed if l0==0 else 0, and rely on the
+    # recurrence kicking in at l = l0 via the seed injection below.
+    def init_pair(p):
+        m, _ = p
+        seed = _wigner_seed(*p, mu)
+        if m == 0:
+            return (jnp.ones_like(mu), jnp.zeros_like(mu))  # d0_00 = 1
+        return (jnp.zeros_like(mu), jnp.zeros_like(mu))
+
+    ds0 = {p: init_pair(p) for p in _PAIRS}
+
+    def with_seed_injection(body):
+        """wrap a scan body so that at l == l0(p) the seed value replaces the
+        recurrence output (B_{l0} = 0 makes the recurrence yield 0 there)."""
+        def wrapped(carry, l_int):
+            ds = carry[0]
+            ds = {p: (jnp.where(l_int == p[0], _wigner_seed(*p, mu), ds[p][0]), ds[p][1])
+                  for p in _PAIRS}
+            return body((ds,) + carry[1:], l_int)
+        return wrapped
+
+    z = jnp.zeros_like(mu)
+    carry2, _ = jax.lax.scan(with_seed_injection(pass2_body),
+                             (ds0, z, z, z, z), jnp.arange(0, l_unlensed_max + 1))
+    _, ksi, ksiX, ksip, ksim = carry2
+
+    # --- pass 3: project back: Cl = 2 pi sum_mu w8 ksi d (+ addback in fast mode)
+    out_ls = np.arange(2, l_lensed_max + 1)
+
+    def pass3_body(carry, l_int):
+        ds = carry
+        d00, d2m2, d20, d22 = ds[(0, 0)][0], ds[(2, -2)][0], ds[(2, 0)][0], ds[(2, 2)][0]
+        cle_tt = 2.0 * math.pi * jnp.sum(ksi * d00 * w8)
+        cle_te = 2.0 * math.pi * jnp.sum(ksiX * d20 * w8)
+        cle_ee = 2.0 * math.pi * jnp.sum(0.5 * (ksip * d22 + ksim * d2m2) * w8)
+        cle_bb = 2.0 * math.pi * jnp.sum(0.5 * (ksip * d22 - ksim * d2m2) * w8)
+        ds_new = {p: (d_step(p, ds[p][0], ds[p][1], l_int), ds[p][0]) for p in _PAIRS}
+        return ds_new, jnp.stack([cle_tt, cle_ee, cle_te, cle_bb])
+
+    def pass3_wrapped(carry, l_int):
+        ds = carry
+        ds = {p: (jnp.where(l_int == p[0], _wigner_seed(*p, mu), ds[p][0]), ds[p][1])
+              for p in _PAIRS}
+        return pass3_body(ds, l_int)
+
+    _, cls_delta = jax.lax.scan(pass3_wrapped, ds0, jnp.arange(0, l_lensed_max + 1))
+    cls_delta = cls_delta[2:]   # l = 2..l_lensed_max, columns (tt, ee, te, bb)
+
+    if fast:
+        add = jnp.stack([cl_tt, cl_ee, cl_te, cl_bb], axis=1)[2: l_lensed_max + 1]
+        cls_lensed = cls_delta + add
+    else:
+        cls_lensed = cls_delta
+
+    # assemble full ct table: lensed tt/ee/te/bb, unlensed pp/tp/ep
+    ell_out = jnp.asarray(out_ls)
+    n = len(out_ls)
+    out = jnp.zeros((n, len(CT_TYPES)))
+    out = out.at[:, ct["tt"]].set(cls_lensed[:, 0])
+    out = out.at[:, ct["ee"]].set(cls_lensed[:, 1])
+    out = out.at[:, ct["te"]].set(cls_lensed[:, 2])
+    out = out.at[:, ct["bb"]].set(cls_lensed[:, 3])
+    out = out.at[:, ct["pp"]].set(cl_of_l[2: l_lensed_max + 1, ct["pp"]])
+    out = out.at[:, ct["tp"]].set(cl_of_l[2: l_lensed_max + 1, ct["tp"]])
+    out = out.at[:, ct["ep"]].set(cl_of_l[2: l_lensed_max + 1, ct["ep"]])
+
+    return LensedResult(ell=ell_out, cl=out)

@@ -642,8 +642,10 @@ def compute_thermodynamics(params: CosmoParams, pr: PrecisionParams,
     ddkappa_u = spl_dk.eval_deriv(lntau_u) / tau_u
     spl_ddk = UniformSpline.build(lntau_u[0], dlntau, ddkappa_u)
     dddkappa_u = spl_ddk.eval_deriv(lntau_u) / tau_u
-    dg_u = (ddkappa_u - dkappa_u**2) * exp_m_kappa
-    ddg_u = (dddkappa_u - 3.0 * dkappa_u * ddkappa_u + dkappa_u**3) * exp_m_kappa
+    # g = kappa' e^-kappa with dkappa/dtau = -kappa' (kappa integrates from
+    # tau to today), hence d(e^-kappa)/dtau = +kappa' e^-kappa:
+    dg_u = (ddkappa_u + dkappa_u**2) * exp_m_kappa
+    ddg_u = (dddkappa_u + 3.0 * dkappa_u * ddkappa_u + dkappa_u**3) * exp_m_kappa
 
     # baryon drag depth tau_d(tau) = int_tau^tau0 kappa'/R dtau, R = 3 rho_b/(4 rho_g)
     R_u = 3.0 * bgvals[:, bidx["rho_b"]] / (4.0 * bgvals[:, bidx["rho_g"]])

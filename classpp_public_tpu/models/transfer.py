@@ -1,0 +1,229 @@
+"""Transfer functions Delta_l(q) by line-of-sight integration (L8).
+
+TPU-native redesign of the reference TransferModule (transfer_module.cpp):
+instead of per-(q,l) calls interpolating precomputed Bessel tables and running
+a trapezoidal convolution in C (transfer_integrate :2750 +
+array_trapezoidal_convolution), the whole LOS stage is ONE lax.scan over
+multipole order: spherical Bessel functions j_l(x) on the full (q, tau) grid
+advance by the three-term recurrence, and at every l in the output l-list the
+radial functions (j, j', j'' combinations; transfer_radial_function :3274-3439)
+contract against the weighted sources in a single fused reduction. No Bessel
+tables, no gathers, no inner loops.
+
+Flat geometry in round 1 (x = q (tau0 - tau), nu = 1); curved K != 0 comes
+with the hyperspherical extension.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import gammaln
+
+from ..config.precision import PrecisionParams
+from ..ops.splines import spline_d2, spline_eval
+from .perturbations.indices import SrcIdx
+
+
+# transfer type order in the output array
+TT_TYPES = ["t0", "t1", "t2", "e", "lcmb"]
+RADIAL = {"t0": "j", "t1": "jp", "t2": "T2", "e": "E", "lcmb": "j"}
+
+
+def get_l_list(pr: PrecisionParams, l_max: int, rescaling: float = 1.0) -> np.ndarray:
+    """Multipole list: log spacing turning linear (transfer_get_l_list :694)."""
+    ls = [2]
+    current = 2
+    inc = max(int(current * (pr.l_logstep**rescaling - 1.0)), 1)
+    while current + inc < l_max and inc < pr.l_linstep * rescaling:
+        current += inc
+        ls.append(current)
+        inc = max(int(current * (pr.l_logstep**rescaling - 1.0)), 1)
+    inc = int(pr.l_linstep * rescaling)
+    while current + inc <= l_max:
+        current += inc
+        ls.append(current)
+    if current != l_max:
+        ls.append(l_max)
+    return np.array(ls, dtype=np.int64)
+
+
+def get_q_list(pr: PrecisionParams, k_min: float, k_max: float,
+               tau0: float, tau_rec: float) -> np.ndarray:
+    """Flat-case q sampling: log step turning linear with scale q_period =
+    2 pi/(tau0 - tau_rec) (transfer_get_q_list :884-1010)."""
+    q_period = 2.0 * math.pi / (tau0 - tau_rec)
+    qs = [k_min]
+    q = k_min
+    while q < k_max:
+        q = q + q_period * pr.q_linstep * q / (q + pr.q_linstep / pr.q_logstep_spline)
+        qs.append(q)
+    if qs[-1] > k_max:
+        qs.pop()
+    return np.array(qs)
+
+
+class TransferResult(NamedTuple):
+    l: jnp.ndarray          # (nl,) multipoles
+    q: jnp.ndarray          # (nq,)
+    delta: jnp.ndarray      # (nl, ntt, nq) transfer functions, TT_TYPES order
+    tau0: jnp.ndarray
+
+
+def _weighted_sources(pert, th, pr, q: np.ndarray):
+    """Interpolate CMB sources k->q (spline over k; reference
+    transfer_interpolate_sources :1767) and fold in the trapezoidal tau
+    weights and per-type rescalings (transfer_sources :1845)."""
+    taus = pert.tau
+    tau0 = pert.tau0
+    k = pert.k[: pert.k_size_cmb]
+    S = pert.sources[: pert.k_size_cmb]          # (nk, ntau, nsrc)
+    six = SrcIdx.ix
+
+    # trapezoidal weights over tau
+    dt = jnp.diff(taus)
+    z = jnp.zeros((1,))
+    w_tau = jnp.concatenate([dt / 2, z]) + jnp.concatenate([z, dt / 2])
+
+    # lcmb source: -W(tau)(phi+psi)Theta(tau - tau_rec), W per :1920-1950
+    tau_rec = th.tau_rec
+    resc = (tau_rec - taus) / (tau0 - taus) / (tau0 - tau_rec)
+    resc = jnp.where(taus > tau_rec, resc, 0.0)
+    resc = resc.at[-1].set(0.0)
+
+    src_cols = jnp.stack([
+        S[:, :, six["t0"]],
+        S[:, :, six["t1"]],
+        S[:, :, six["t2"]],
+        S[:, :, six["p"]],
+        S[:, :, six["phi_plus_psi"]] * resc[None, :],
+    ], axis=0)                                   # (ntt, nk, ntau)
+
+    # spline along k, evaluate at q
+    lnk = jnp.log(k)
+    y = src_cols.transpose(1, 0, 2).reshape(S.shape[0], -1)          # (nk, ntt*ntau)
+    d2 = spline_d2(lnk, y)
+    yq = spline_eval(lnk, y, d2, jnp.log(jnp.asarray(q)))            # (nq, ntt*ntau)
+    Sq = yq.reshape(len(q), len(TT_TYPES), S.shape[1]).transpose(1, 0, 2)  # (ntt, nq, ntau)
+
+    W = Sq * w_tau[None, None, :]
+    return W, Sq, taus
+
+
+def compute_transfer(pert, th, pr: PrecisionParams, l_max: int) -> TransferResult:
+    """Delta_l^X(q) for X in TT_TYPES via the Bessel-recurrence scan."""
+    tau0 = float(pert.tau0)
+    ls = get_l_list(pr, l_max)
+    k = np.asarray(pert.k[: pert.k_size_cmb])
+    q = get_q_list(pr, float(k[0]), float(k[-1]), tau0, float(th.tau_rec))
+
+    W, Sq, taus = _weighted_sources(pert, th, pr, q)   # (ntt, nq, ntau)
+    qj = jnp.asarray(q)
+
+    # x grid: (nq, ntau)
+    chi = pert.tau0 - taus                           # (ntau,)
+    x = jnp.maximum(qj[:, None] * chi[None, :], 1e-12)
+    inv_x = 1.0 / x
+
+    l_emit = jnp.asarray(ls)
+    n_l = len(ls)
+    n_tt = len(TT_TYPES)
+    nq = len(q)
+
+    # seed values j_0, j_1 with series protection at small x
+    small = x < 0.3
+    x2 = x * x
+    j0 = jnp.where(small, 1.0 - x2 / 6.0 * (1.0 - x2 / 20.0 * (1.0 - x2 / 42.0)),
+                   jnp.sin(x) * inv_x)
+    j1 = jnp.where(small, x / 3.0 * (1.0 - x2 / 10.0 * (1.0 - x2 / 28.0)),
+                   (jnp.sin(x) * inv_x - jnp.cos(x)) * inv_x)
+
+    # indices in l_emit for each scanned l (or -1)
+    lmax_scan = int(ls[-1])
+    emit_idx_np = np.full(lmax_scan + 1, -1, dtype=np.int32)
+    for i, lv in enumerate(ls):
+        emit_idx_np[lv] = i
+    emit_idx = jnp.asarray(emit_idx_np)
+
+    e_fac = jnp.sqrt(3.0 / 8.0 * (l_emit + 2.0) * (l_emit + 1.0) * l_emit * (l_emit - 1.0))
+
+    def body(carry, l_int):
+        jm1, jm2, acc = carry          # j_{l-1}, j_{l-2}, (nl, ntt, nq)
+        l = l_int.astype(x.dtype)
+        jl = (2.0 * l - 1.0) * inv_x * jm1 - jm2
+        # kill exponentially-small forbidden-region values before the upward
+        # recurrence amplifies roundoff along the Neumann solution (the 1/x
+        # factor per step explodes roundoff at small x within a few steps)
+        mask = l <= x + 6.0 * jnp.cbrt(x) + 2.0
+        jl = jnp.where(mask, jl, 0.0)
+
+        ei = emit_idx[l_int]
+
+        def do_emit(acc):
+            # small-x branch: ascending series j_l = x^l/(2l+1)!! (1 - ...),
+            # evaluated in log space; the recurrence loses all accuracy for
+            # x << l while the series is exact there.
+            lnx = jnp.log(x)
+            ln2 = math.log(2.0)
+            lndf = gammaln(2.0 * l + 2.0) - l * ln2 - gammaln(l + 1.0)
+            lndf1 = gammaln(2.0 * l + 4.0) - (l + 1.0) * ln2 - gammaln(l + 2.0)
+            c1 = 2.0 * l + 3.0
+            corr = 1.0 - x2 / (2.0 * c1) * (1.0 - x2 / (4.0 * (c1 + 2.0))
+                                            * (1.0 - x2 / (6.0 * (c1 + 4.0))))
+            c1b = 2.0 * l + 5.0
+            corr1 = 1.0 - x2 / (2.0 * c1b) * (1.0 - x2 / (4.0 * (c1b + 2.0))
+                                              * (1.0 - x2 / (6.0 * (c1b + 4.0))))
+            js = jnp.exp(l * lnx - lndf) * corr
+            js1 = jnp.exp((l + 1.0) * lnx - lndf1) * corr1
+            use_series = x < 1.0
+            jl_e = jnp.where(use_series, js, jl)
+            jp_e = jnp.where(use_series, l * inv_x * js - js1, jm1 - (l + 1.0) * inv_x * jl)
+            jpp = -2.0 * inv_x * jp_e - (1.0 - l * (l + 1.0) * inv_x * inv_x) * jl_e
+            rad_t2 = 0.5 * (3.0 * jpp + jl_e)
+            rad_e = e_fac[ei] * jl_e * inv_x * inv_x
+            # contractions over tau: (nq, ntau) x (ntt, nq, ntau) -> (ntt, nq)
+            d_t0 = jnp.sum(W[0] * jl_e, axis=-1)
+            d_t1 = jnp.sum(W[1] * jp_e, axis=-1)
+            d_t2 = jnp.sum(W[2] * rad_t2, axis=-1)
+            d_e = jnp.sum(W[3] * rad_e, axis=-1)
+            d_l = jnp.sum(W[4] * jl_e, axis=-1)
+            row = jnp.stack([d_t0, d_t1, d_t2, d_e, d_l], axis=0)  # (ntt, nq)
+            z32 = jnp.zeros((), ei.dtype)
+            return jax.lax.dynamic_update_slice(acc, row[None], (ei, z32, z32))
+
+        acc = jax.lax.cond(ei >= 0, do_emit, lambda a: a, acc)
+        return (jl, jm1, acc), None
+
+    acc0 = jnp.zeros((n_l, n_tt, nq))
+    (jm1, jm2, acc), _ = jax.lax.scan(
+        body, (j1, j0, acc0), jnp.arange(2, lmax_scan + 1))
+
+    # --- Limber approximation for the lensing potential at l > l_switch_limber
+    # (reference transfer_use_limber :2678 + transfer_limber :2912): the
+    # reference never integrates lcmb against Bessels above l=10, and the
+    # smooth lensing kernel makes Limber the accurate choice there.
+    lf = l_emit.astype(jnp.float64)
+    ipg = jnp.sqrt(math.pi / (2.0 * lf)) * (1.0 - 0.25 / lf + 1.0 / (32.0 * lf * lf))
+    tau_lim = pert.tau0 - (lf[:, None] + 0.5) / qj[None, :]        # (nl, nq)
+    S_lcmb = Sq[4]                                                  # (nq, ntau)
+    # linear interpolation in tau for each q row
+    idx_t = jnp.clip(jnp.searchsorted(taus, tau_lim, side="right") - 1, 0, len(taus) - 2)
+    t_lo = taus[idx_t]
+    t_hi = taus[idx_t + 1]
+    wt = (tau_lim - t_lo) / (t_hi - t_lo)
+    # gather S_lcmb[q, idx_t[l, q]] for each (l, q)
+    def gather_row(ilq):
+        return S_lcmb[jnp.arange(nq), ilq]
+    S_lo = jax.vmap(gather_row)(idx_t)      # (nl, nq)
+    S_hi = jax.vmap(gather_row)(idx_t + 1)
+    S_at = (1.0 - wt) * S_lo + wt * S_hi
+    inside = (tau_lim > taus[0]) & (tau_lim < taus[-1])
+    d_limber = jnp.where(inside, ipg[:, None] * S_at / qj[None, :], 0.0)
+    use_limber = (lf > pr.l_switch_limber)[:, None]
+    acc = acc.at[:, 4, :].set(jnp.where(use_limber, d_limber, acc[:, 4, :]))
+
+    return TransferResult(l=l_emit, q=qj, delta=acc, tau0=pert.tau0)
