@@ -16,7 +16,10 @@ jax.config.update("jax_enable_x64", True)
 
 from .config.params import CosmoParams  # noqa: E402
 from .config.precision import PrecisionParams  # noqa: E402
+from .pipeline import Cosmology, OutputSelection  # noqa: E402
+from .classy import Class, CosmoComputationError, CosmoSevereError  # noqa: E402
 
 __version__ = "0.1.0"
 
-__all__ = ["CosmoParams", "PrecisionParams", "__version__"]
+__all__ = ["CosmoParams", "PrecisionParams", "Cosmology", "OutputSelection",
+           "Class", "CosmoSevereError", "CosmoComputationError", "__version__"]

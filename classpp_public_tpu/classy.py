@@ -1,0 +1,539 @@
+"""classy-compatible Python API.
+
+Drop-in analog of the reference Cython wrapper (classy.pyx): `Class` with
+set()/compute()/raw_cl()/lensed_cl()/pk()/... so scripts and samplers written
+against classy (MontePython/Cobaya style) run against the TPU pipeline.
+Method names, units and return conventions follow classy.pyx:127-1776.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+from . import constants as const
+from .config.params import CosmoParams
+from .config.precision import PrecisionParams
+from .pipeline import Cosmology, OutputSelection
+
+
+class CosmoError(Exception):
+    pass
+
+
+class CosmoSevereError(CosmoError):
+    pass
+
+
+class CosmoComputationError(CosmoError):
+    pass
+
+
+def _parse_bool(v) -> bool:
+    if isinstance(v, str):
+        return v.strip().lower() in ("yes", "y", "true", "1", "on")
+    return bool(v)
+
+
+def _parse_list(v) -> List[float]:
+    if isinstance(v, str):
+        return [float(x) for x in v.replace(",", " ").split()]
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return [float(x) for x in v]
+    return [float(v)]
+
+
+class Class:
+    """The classy entry point (classy.pyx `Class`/`PyCosmology`)."""
+
+    def __init__(self):
+        self._pars: Dict = {}
+        self._cosmo: Optional[Cosmology] = None
+        self.parameters_changed = True
+
+    # --- configuration ------------------------------------------------------
+
+    def set(self, *args, **kwargs):
+        if args and isinstance(args[0], dict):
+            self._pars.update(args[0])
+        self._pars.update(kwargs)
+        self.parameters_changed = True
+        return True
+
+    def empty(self):
+        self._pars = {}
+        self.parameters_changed = True
+
+    def struct_cleanup(self):
+        self._cosmo = None
+        self.parameters_changed = True
+
+    # --- input translation ---------------------------------------------------
+
+    def _build(self) -> Cosmology:
+        p = dict(self._pars)
+        kw = {}
+        prkw = {}
+        if "h" in p:
+            h = float(p.pop("h"))
+        elif "H0" in p:
+            h = float(p.pop("H0")) / 100.0
+        else:
+            h = 0.6781
+        p.pop("H0", None)
+        kw["h"] = h
+
+        if "omega_b" in p:
+            kw["omega_b"] = float(p.pop("omega_b"))
+        elif "Omega_b" in p:
+            kw["omega_b"] = float(p.pop("Omega_b")) * h * h
+        if "omega_cdm" in p:
+            kw["omega_cdm"] = float(p.pop("omega_cdm"))
+        elif "Omega_cdm" in p:
+            kw["omega_cdm"] = float(p.pop("Omega_cdm")) * h * h
+
+        if "ln10^{10}A_s" in p:
+            kw["A_s"] = float(np.exp(float(p.pop("ln10^{10}A_s")))) * 1e-10
+        if "A_s" in p:
+            kw["A_s"] = float(p.pop("A_s"))
+        for name in ("n_s", "alpha_s", "k_pivot", "T_cmb", "N_ur", "Omega_k",
+                     "w0_fld", "wa_fld", "cs2_fld", "tau_reio", "z_reio", "YHe",
+                     "r", "n_t", "reionization_width", "reionization_exponent",
+                     "helium_fullreio_redshift", "helium_fullreio_width"):
+            if name in p:
+                v = p.pop(name)
+                if name == "YHe" and isinstance(v, str) and v.strip().upper() == "BBN":
+                    kw["YHe"] = None
+                else:
+                    kw[name] = float(v)
+        if "tau_reio" in kw and "z_reio" not in kw:
+            kw["z_reio"] = None
+        if "gauge" in p:
+            kw["gauge"] = str(p.pop("gauge")).strip().lower()
+            if kw["gauge"] not in ("synchronous",):
+                raise CosmoSevereError("only synchronous gauge implemented so far")
+        if "recombination" in p:
+            kw["recombination"] = str(p.pop("recombination")).strip().lower()
+
+        # ncdm
+        n_ncdm = int(p.pop("N_ncdm", 0) or 0)
+        if n_ncdm > 0:
+            masses = _parse_list(p.pop("m_ncdm", "0.06"))
+            kw["m_ncdm"] = tuple(masses)
+            if "T_ncdm" in p:
+                kw["T_ncdm"] = tuple(_parse_list(p.pop("T_ncdm")))
+            if "deg_ncdm" in p:
+                kw["deg_ncdm"] = tuple(_parse_list(p.pop("deg_ncdm")))
+            raise CosmoSevereError("ncdm perturbations not yet implemented in this build")
+        if "Omega_Lambda" in p and float(p["Omega_Lambda"]) == 0.0:
+            p.pop("Omega_Lambda")
+            kw["use_fld"] = True
+
+        # output selection
+        out = OutputSelection()
+        output = str(p.pop("output", "tCl,pCl,lCl,mPk"))
+        out.tCl = "tCl" in output
+        out.pCl = "pCl" in output
+        out.lCl = "lCl" in output
+        out.mPk = "mPk" in output
+        out.dTk = "dTk" in output
+        out.vTk = "vTk" in output
+        if ("nCl" in output) or ("sCl" in output):
+            raise CosmoSevereError("number-count / galaxy-lensing Cls not yet implemented")
+        out.lensing = _parse_bool(p.pop("lensing", "yes" if out.lCl else "no"))
+        out.l_scalar_max = int(float(p.pop("l_max_scalars", 2500)))
+        if "P_k_max_1/Mpc" in p:
+            out.P_k_max = float(p.pop("P_k_max_1/Mpc"))
+        if "P_k_max_h/Mpc" in p:
+            out.P_k_max = float(p.pop("P_k_max_h/Mpc")) * h
+        if "z_pk" in p:
+            out.z_pk = tuple(_parse_list(p.pop("z_pk")))
+        if "z_max_pk" in p:
+            out.z_max_pk = float(p.pop("z_max_pk"))
+        out.non_linear = str(p.pop("non linear", p.pop("non_linear", ""))).strip().lower()
+        modes = str(p.pop("modes", "s"))
+        if "t" in modes.replace("s", ""):
+            raise CosmoSevereError("tensor modes not yet implemented in this build")
+        ic = str(p.pop("ic", "ad"))
+        if ic.strip() != "ad":
+            raise CosmoSevereError("only adiabatic initial conditions implemented so far")
+
+        # precision overrides
+        pr = PrecisionParams()
+        pr_fields = {f.name for f in dataclasses.fields(PrecisionParams)}
+        for key in list(p.keys()):
+            if key in pr_fields:
+                cur = getattr(pr, key)
+                val = p.pop(key)
+                prkw[key] = type(cur)(val) if not isinstance(cur, bool) else _parse_bool(val)
+        if prkw:
+            pr = pr.replace(**prkw)
+
+        # ignore verbosity and echo parameters
+        for key in list(p.keys()):
+            if key.endswith("_verbose") or key in ("root", "headers", "format",
+                                                   "write background", "write thermodynamics",
+                                                   "write primordial", "k_output_values"):
+                p.pop(key)
+        if p:
+            # unused parameters: reference warns; we do too via attribute
+            self.unused_params = dict(p)
+
+        params = CosmoParams(**kw)
+        return Cosmology(params, pr, out)
+
+    # --- compute -------------------------------------------------------------
+
+    def compute(self, level=("lensing",)):
+        if isinstance(level, str):
+            level = [level]
+        if self.parameters_changed or self._cosmo is None:
+            self._cosmo = self._build()
+            self.parameters_changed = False
+        lv = list(level)
+        if self._cosmo.out.lensing is False and "lensing" in lv:
+            lv = ["spectra" if x == "lensing" else x for x in lv]
+        if not self._cosmo.out.has_cls:
+            lv = ["nonlinear" if x in ("lensing", "spectra", "transfer") else x for x in lv]
+        self._cosmo.compute(lv)
+        return
+
+    @property
+    def cosmo(self) -> Cosmology:
+        if self._cosmo is None:
+            raise CosmoSevereError("call compute() first")
+        return self._cosmo
+
+    # --- Cl accessors ----------------------------------------------------------
+
+    def raw_cl(self, lmax=-1):
+        """Unlensed C_l dict (classy.pyx raw_cl, keys per cl_output_index_map)."""
+        sp = self.cosmo.spectra
+        ell = np.asarray(sp.ell)
+        cl = np.asarray(sp.cl)
+        if lmax < 0:
+            lmax = self.cosmo.out.l_scalar_max
+        n = lmax + 1
+        out = {"ell": np.arange(n)}
+        from .models.spectra import CT_TYPES
+
+        for i, name in enumerate(CT_TYPES):
+            arr = np.zeros(n)
+            m = ell <= lmax
+            arr[ell[m]] = cl[m, i]
+            out[name] = arr
+        return out
+
+    def lensed_cl(self, lmax=-1):
+        le = self.cosmo.lensing
+        ell = np.asarray(le.ell)
+        cl = np.asarray(le.cl)
+        if lmax < 0:
+            lmax = self.cosmo.out.l_scalar_max
+        n = lmax + 1
+        out = {"ell": np.arange(n)}
+        from .models.spectra import CT_TYPES
+
+        for i, name in enumerate(CT_TYPES):
+            arr = np.zeros(n)
+            m = ell <= lmax
+            arr[ell[m]] = cl[m, i]
+            out[name] = arr
+        return out
+
+    # --- background accessors ---------------------------------------------------
+
+    def _bg(self):
+        bg, bidx = self.cosmo.background
+        return bg, bidx
+
+    def Hubble(self, z):
+        """H(z) in 1/Mpc (classy.pyx Hubble)."""
+        bg, bidx = self._bg()
+        loga = -np.log1p(np.asarray(z, dtype=float))
+        return np.interp(loga, np.asarray(bg.loga), np.asarray(bg.table[:, bidx["H"]]))
+
+    def angular_distance(self, z):
+        bg, bidx = self._bg()
+        loga = -np.log1p(np.asarray(z, dtype=float))
+        return np.interp(loga, np.asarray(bg.loga), np.asarray(bg.table[:, bidx["ang_distance"]]))
+
+    def luminosity_distance(self, z):
+        bg, bidx = self._bg()
+        loga = -np.log1p(np.asarray(z, dtype=float))
+        return np.interp(loga, np.asarray(bg.loga), np.asarray(bg.table[:, bidx["lum_distance"]]))
+
+    def comoving_distance(self, z):
+        bg, bidx = self._bg()
+        loga = -np.log1p(np.asarray(z, dtype=float))
+        return np.interp(loga, np.asarray(bg.loga), np.asarray(bg.table[:, bidx["conf_distance"]]))
+
+    def z_of_r(self, z_arr):
+        r = self.comoving_distance(z_arr)
+        dzdr = self.Hubble(z_arr)
+        return r, dzdr
+
+    def scale_independent_growth_factor(self, z):
+        bg, bidx = self._bg()
+        loga = -np.log1p(np.asarray(z, dtype=float))
+        return np.interp(loga, np.asarray(bg.loga), np.asarray(bg.table[:, bidx["D"]]))
+
+    def scale_independent_growth_factor_f(self, z):
+        bg, bidx = self._bg()
+        loga = -np.log1p(np.asarray(z, dtype=float))
+        return np.interp(loga, np.asarray(bg.loga), np.asarray(bg.table[:, bidx["f"]]))
+
+    def h(self):
+        return self.cosmo.params.h
+
+    def n_s(self):
+        return self.cosmo.params.n_s
+
+    def A_s(self):
+        return self.cosmo.params.A_s
+
+    def tau_reio(self):
+        return float(self.cosmo.thermodynamics.tau_reio)
+
+    def T_cmb(self):
+        return self.cosmo.params.T_cmb
+
+    def age(self):
+        bg, _ = self._bg()
+        return float(bg.age)
+
+    def Omega_m(self):
+        bg, _ = self._bg()
+        return float(bg.Omega0_m)
+
+    def Omega_b(self):
+        bg, _ = self._bg()
+        return float(bg.Omega0_b)
+
+    def omega_b(self):
+        return self.cosmo.params.omega_b
+
+    def Omega_Lambda(self):
+        bg, _ = self._bg()
+        return float(bg.Omega0_lambda)
+
+    def Omega_g(self):
+        bg, _ = self._bg()
+        return float(bg.Omega0_g)
+
+    def Omega_r(self):
+        bg, _ = self._bg()
+        return float(bg.Omega0_r)
+
+    def Neff(self):
+        return self.cosmo.params.N_ur  # + ncdm contributions when present
+
+    def theta_s_100(self):
+        th = self.cosmo.thermodynamics
+        bg, bidx = self._bg()
+        # 100 rs(z_rec)/ra(z_rec), reference convention
+        tau_rec = float(th.tau_rec)
+        vals = bg.lntau_spline.eval(np.log(tau_rec))
+        return 100.0 * float(th.rs_rec) / float(vals[bidx["conf_distance"]])
+
+    def theta_star_100(self):
+        th = self.cosmo.thermodynamics
+        return 100.0 * float(th.rs_star) / float(th.ra_star)
+
+    def rs_drag(self):
+        return float(self.cosmo.thermodynamics.rs_d)
+
+    def z_reio(self):
+        return float(self.cosmo.thermodynamics.z_reio)
+
+    # --- power spectra ------------------------------------------------------------
+
+    def _pk_interp(self, k, z, table_k, table_pk):
+        lnk = np.log(np.asarray(table_k))
+        lnp = np.log(np.asarray(table_pk))
+        return float(np.exp(np.interp(np.log(k), lnk, lnp)))
+
+    def pk_lin(self, k, z):
+        """Linear P_m(k,z) in Mpc^3 (classy.pyx pk_lin)."""
+        from .models.nonlinear import pk_linear_at_z
+
+        bg, _ = self._bg()
+        pert = self.cosmo.perturbations
+        pm = self.cosmo.primordial
+        pk = np.asarray(pk_linear_at_z(pert, bg, pm, float(z)))
+        return self._pk_interp(k, z, pert.k, pk)
+
+    def pk(self, k, z):
+        """P_m(k,z): nonlinear if 'non linear' was requested, else linear."""
+        if self.cosmo.out.non_linear == "halofit":
+            nl = self.cosmo.nonlinear
+            zs = np.asarray(nl.z)
+            iz = int(np.argmin(np.abs(zs - z)))
+            if abs(zs[iz] - z) > 1e-8:
+                raise CosmoSevereError(f"z={z} not in computed z_pk list {zs}")
+            return self._pk_interp(k, z, nl.k, np.asarray(nl.pk_nl[iz]))
+        return self.pk_lin(k, z)
+
+    def pk_cb_lin(self, k, z):
+        from .models.nonlinear import pk_linear_at_z
+
+        bg, _ = self._bg()
+        pert = self.cosmo.perturbations
+        pk = np.asarray(pk_linear_at_z(pert, bg, self.cosmo.primordial, float(z), "delta_cb"))
+        return self._pk_interp(k, z, pert.k, pk)
+
+    def pk_cb(self, k, z):
+        if self.cosmo.out.non_linear == "halofit":
+            nl = self.cosmo.nonlinear
+            zs = np.asarray(nl.z)
+            iz = int(np.argmin(np.abs(zs - z)))
+            return self._pk_interp(k, z, nl.k, np.asarray(nl.pk_cb_nl[iz]))
+        return self.pk_cb_lin(k, z)
+
+    def get_pk_array(self, k, z, nk, nz, nonlinear=False):
+        k = np.asarray(k).reshape(nz, nk) if np.ndim(k) == 1 else np.asarray(k)
+        out = np.zeros((nz, nk))
+        for iz in range(nz):
+            for ik in range(nk):
+                zz = z[iz] if np.ndim(z) else z
+                out[iz, ik] = self.pk(k[iz, ik], zz) if nonlinear else self.pk_lin(k[iz, ik], zz)
+        return out.flatten()
+
+    def sigma(self, R, z):
+        from .models.nonlinear import pk_linear_at_z, sigma_R
+
+        bg, _ = self._bg()
+        pert = self.cosmo.perturbations
+        pk = pk_linear_at_z(pert, bg, self.cosmo.primordial, float(z))
+        return float(sigma_R(pert.k, pk, R)[0])
+
+    def sigma8(self):
+        return self.sigma(8.0 / self.cosmo.params.h, 0.0)
+
+    def sigma8_cb(self):
+        from .models.nonlinear import pk_linear_at_z, sigma_R
+
+        bg, _ = self._bg()
+        pert = self.cosmo.perturbations
+        pk = pk_linear_at_z(pert, bg, self.cosmo.primordial, 0.0, "delta_cb")
+        return float(sigma_R(pert.k, pk, 8.0 / self.cosmo.params.h)[0])
+
+    def nonlinear_scale(self, z, nz):
+        nl = self.cosmo.nonlinear
+        return np.asarray(nl.k_nl)[:nz]
+
+    # --- tables ----------------------------------------------------------------
+
+    def get_background(self):
+        """Background table dict (classy.pyx get_background)."""
+        bg, bidx = self._bg()
+        t = np.asarray(bg.table)
+        z = 1.0 / t[:, bidx["a"]] - 1.0
+        out = {
+            "z": z,
+            "proper time [Gyr]": t[:, bidx["time"]],
+            "conf. time [Mpc]": np.asarray(bg.tau_of_loga),
+            "H [1/Mpc]": t[:, bidx["H"]],
+            "comov. dist.": t[:, bidx["conf_distance"]],
+            "ang.diam.dist.": t[:, bidx["ang_distance"]],
+            "lum. dist.": t[:, bidx["lum_distance"]],
+            "comov.snd.hrz.": t[:, bidx["rs"]],
+            "(.)rho_g": t[:, bidx["rho_g"]],
+            "(.)rho_b": t[:, bidx["rho_b"]],
+            "(.)rho_cdm": t[:, bidx["rho_cdm"]],
+            "(.)rho_lambda": t[:, bidx["rho_lambda"]],
+            "(.)rho_ur": t[:, bidx["rho_ur"]],
+            "(.)rho_crit": t[:, bidx["rho_crit"]],
+            "gr.fac. D": t[:, bidx["D"]],
+            "gr.fac. f": t[:, bidx["f"]],
+        }
+        return out
+
+    def get_thermodynamics(self):
+        th = self.cosmo.thermodynamics
+        return {
+            "z": np.asarray(th.z_grid),
+            "x_e": np.asarray(th.xe_of_z),
+            "Tb [K]": np.asarray(th.Tb_of_z),
+            "c_b^2": np.asarray(th.cb2_of_z),
+            "kappa' [Mpc^-1]": np.asarray(th.dkappa_of_z),
+        }
+
+    def get_primordial(self):
+        pert = self.cosmo.perturbations
+        pm = self.cosmo.primordial
+        k = np.asarray(pert.k)
+        return {"k [1/Mpc]": k, "P_scalar(k)": np.asarray(pm.scalar_pk(pert.k))}
+
+    def get_transfer(self, z=0.0, output_format="class"):
+        """Density/velocity transfer functions at z (classy.pyx get_transfer)."""
+        from .models.perturbations.indices import SrcIdx
+        from .models.nonlinear import _interp_sources_at_z
+
+        bg, _ = self._bg()
+        pert = self.cosmo.perturbations
+        out = {"k (h/Mpc)": np.asarray(pert.k) / self.cosmo.params.h}
+        for name, col in [("d_m", "delta_m"), ("d_cdm", "delta_cb"),
+                          ("phi", "phi"), ("psi", "psi"),
+                          ("t_m", "theta_m"), ("h_prime", "h_prime")]:
+            out[name] = np.asarray(_interp_sources_at_z(pert, bg, z, SrcIdx.ix[col]))
+        return out
+
+    def get_current_derived_parameters(self, names: Iterable[str]):
+        th = self.cosmo.thermodynamics
+        bg, _ = self._bg()
+        vals = {}
+        for name in names:
+            if name == "h":
+                vals[name] = self.cosmo.params.h
+            elif name == "H0":
+                vals[name] = self.cosmo.params.h * 100.0
+            elif name == "age":
+                vals[name] = self.age()
+            elif name == "conformal_age":
+                vals[name] = float(bg.tau0)
+            elif name in ("z_rec", "z_reio", "z_d"):
+                vals[name] = float(getattr(th, name if name != "z_d" else "z_d"))
+            elif name == "tau_rec":
+                vals[name] = float(th.tau_rec)
+            elif name in ("rs_rec", "rs_d"):
+                vals[name] = float(getattr(th, name))
+            elif name == "z_star":
+                vals[name] = float(th.z_star)
+            elif name == "rs_star":
+                vals[name] = float(th.rs_star)
+            elif name == "100*theta_s":
+                vals[name] = self.theta_s_100()
+            elif name == "100*theta_star":
+                vals[name] = self.theta_star_100()
+            elif name == "sigma8":
+                vals[name] = self.sigma8()
+            elif name == "sigma8_cb":
+                vals[name] = self.sigma8_cb()
+            elif name == "Neff":
+                vals[name] = self.Neff()
+            elif name == "tau_reio":
+                vals[name] = float(th.tau_reio)
+            elif name == "Omega_m":
+                vals[name] = self.Omega_m()
+            elif name == "YHe":
+                vals[name] = float(th.YHe)
+            elif name == "z_eq":
+                vals[name] = float(bg.z_eq)
+            elif name == "tau_eq":
+                vals[name] = float(bg.tau_eq)
+            else:
+                raise CosmoSevereError(f"derived parameter {name!r} not implemented")
+        return vals
+
+    def get_current_derived_parameters_dict(self, names):
+        return self.get_current_derived_parameters(names)
+
+    # MontePython hook
+    def __call__(self, ctx):
+        data = ctx.get("data")
+        self.set(data.cosmo_arguments)
+        self.compute()
+        return self

@@ -1,0 +1,49 @@
+"""Command-line interface: `python -m classpp_public_tpu params.ini [prec.pre]`.
+
+Mirrors the reference CLI (main/class.cpp:9-24): parse the .ini (+ optional
+precision file), run the requested pipeline stages, write .dat outputs under
+the `root` prefix.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m classpp_public_tpu params.ini [precision.pre]")
+        return 1
+
+    from .classy import Class
+    from .config.ini import read_config
+    from .models import output as om
+
+    pars = read_config(argv[0], argv[1] if len(argv) > 1 else None)
+    root = pars.pop("root", "output/run_")
+
+    cosmo = Class()
+    cosmo.set(pars)
+    t0 = time.time()
+    want_cls = "Cl" in pars.get("output", "tCl")
+    cosmo.compute(["lensing"] if want_cls else ["nonlinear"])
+    print(f"pipeline computed in {time.time() - t0:.2f} s")
+
+    c = cosmo.cosmo
+    if want_cls:
+        om.output_cl(c, root)
+    if c.out.has_pk:
+        c.nonlinear
+        om.output_pk(c, root)
+    if pars.get("write background", "no").lower() in ("yes", "y", "true"):
+        om.output_background(c, root)
+    if pars.get("write thermodynamics", "no").lower() in ("yes", "y", "true"):
+        om.output_thermodynamics(c, root)
+    print(f"output written under {root}*")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

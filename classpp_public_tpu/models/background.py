@@ -38,6 +38,7 @@ class BgIdx:
     source/background_module.h:40-99). Built per-run since ncdm count varies."""
 
     def __init__(self, n_ncdm: int, has_fld: bool):
+        self.key = (n_ncdm, has_fld)
         names = ["a", "H", "H_prime", "rho_g", "rho_b", "rho_cdm", "rho_lambda", "rho_ur"]
         if has_fld:
             names += ["rho_fld", "w_fld"]

@@ -61,13 +61,32 @@ class LensedResult(NamedTuple):
     cl: jnp.ndarray          # (nl, nct) lensed C_l, CT_TYPES order (pp/tp/ep = unlensed copies)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _lensing_core(l_unlensed_max: int, l_lensed_max: int, accurate: bool,
+                  num_mu_minus_lmax: int):
+    def core(cl_of_l):
+        return _lensing_impl(cl_of_l, l_unlensed_max, l_lensed_max, accurate,
+                             num_mu_minus_lmax)
+
+    return jax.jit(core)
+
+
 def compute_lensing(sp: SpectraResult, pr: PrecisionParams, l_lensed_max: int) -> LensedResult:
     l_unlensed_max = int(sp.ell[-1])
-    cl = sp.cl  # (nl, nct) at integer l = 2..l_unlensed_max
     ct = {n: i for i, n in enumerate(CT_TYPES)}
-    # pad to arrays indexed by l (0..lmax)
-    pad = jnp.zeros((2, cl.shape[1]))
-    cl_of_l = jnp.concatenate([pad, cl], axis=0)          # (lmax+1, nct)
+    pad = jnp.zeros((2, sp.cl.shape[1]))
+    cl_of_l = jnp.concatenate([pad, sp.cl], axis=0)
+    core = _lensing_core(l_unlensed_max, l_lensed_max, pr.accurate_lensing,
+                         pr.num_mu_minus_lmax)
+    out = core(cl_of_l)
+    return LensedResult(ell=jnp.arange(2, l_lensed_max + 1), cl=out)
+
+
+def _lensing_impl(cl_of_l, l_unlensed_max, l_lensed_max, accurate, num_mu_minus_lmax):
+    ct = {n: i for i, n in enumerate(CT_TYPES)}
     cl_tt = cl_of_l[:, ct["tt"]]
     cl_te = cl_of_l[:, ct["te"]]
     cl_ee = cl_of_l[:, ct["ee"]]
@@ -75,8 +94,8 @@ def compute_lensing(sp: SpectraResult, pr: PrecisionParams, l_lensed_max: int) -
     cl_pp = cl_of_l[:, ct["pp"]]
 
     # --- mu grid (fast mode: theta Riemann sum on [0, pi/16]; accurate: GL)
-    if pr.accurate_lensing:
-        num_mu = l_unlensed_max + pr.num_mu_minus_lmax
+    if accurate:
+        num_mu = l_unlensed_max + num_mu_minus_lmax
         num_mu += num_mu % 2
         mu_np, w8_np = gauss_legendre(num_mu - 1)
         mu = jnp.asarray(mu_np)
@@ -137,7 +156,7 @@ def compute_lensing(sp: SpectraResult, pr: PrecisionParams, l_lensed_max: int) -
     sq4 = jnp.sqrt(jnp.maximum((ls + 4) * (ls + 3) * (ls - 2) * (ls - 3), 0))
     sq5 = jnp.sqrt(ls * (ls + 1))
 
-    fast = not pr.accurate_lensing
+    fast = not accurate
 
     def pass2_body(carry, l_int):
         ds, ksi, ksiX, ksip, ksim = carry
@@ -246,7 +265,6 @@ def compute_lensing(sp: SpectraResult, pr: PrecisionParams, l_lensed_max: int) -
         cls_lensed = cls_delta
 
     # assemble full ct table: lensed tt/ee/te/bb, unlensed pp/tp/ep
-    ell_out = jnp.asarray(out_ls)
     n = len(out_ls)
     out = jnp.zeros((n, len(CT_TYPES)))
     out = out.at[:, ct["tt"]].set(cls_lensed[:, 0])
@@ -257,4 +275,4 @@ def compute_lensing(sp: SpectraResult, pr: PrecisionParams, l_lensed_max: int) -
     out = out.at[:, ct["tp"]].set(cl_of_l[2: l_lensed_max + 1, ct["tp"]])
     out = out.at[:, ct["ep"]].set(cl_of_l[2: l_lensed_max + 1, ct["ep"]])
 
-    return LensedResult(ell=ell_out, cl=out)
+    return out

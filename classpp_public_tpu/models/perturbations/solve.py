@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import lru_cache
+
 from ...config.params import CosmoParams
 from ...config.precision import PrecisionParams
 from ...ops.ode import rkck_integrate
@@ -29,6 +31,18 @@ from ..thermodynamics import ThermoResult
 from . import equations as eq
 from .grids import KSchedule, get_k_list, get_k_schedule, get_tau_sampling
 from .indices import PtIdx, SrcIdx
+
+
+@lru_cache(maxsize=8)
+def get_batch_solver(bidx_key, idx, rtol):
+    """jitted vmapped per-k solver, cached on the static configuration so
+    repeated cosmologies with matching table shapes never retrace."""
+    from ..background import BgIdx
+
+    bidx = BgIdx(*bidx_key)
+    return jax.jit(jax.vmap(
+        partial(solve_one_k, bidx=bidx, idx=idx, rtol=rtol),
+        in_axes=(0, 0, 0, 0, 0, None, None, None)))
 
 
 class PerturbResult(NamedTuple):
@@ -40,18 +54,15 @@ class PerturbResult(NamedTuple):
     stats_steps: jnp.ndarray  # (nk,) accepted RKCK steps per mode
 
 
-def _make_ctx(k, tca, rsa, ufa, bg, bidx, th, idx):
-    return eq.PertCtx(k=k, tca_on=tca, rsa_on=rsa, ufa_on=ufa,
-                      bg_spline=bg.lntau_spline, th_spline=th.lntau_spline,
-                      bidx=bidx, idx=idx)
-
-
-def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, taus, bg, bidx, th, idx, rtol):
+def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, taus, bg_spline, th_spline, bidx, idx, rtol):
     """Integrate one k-mode over all sampling intervals, emitting sources.
-    Designed to be vmapped over k (all arguments except taus/bg/th/idx map)."""
+    Designed to be vmapped over k; bg_spline/th_spline are the runtime
+    uniform-ln(tau) tables (traced pytrees, so one jit covers every cosmology
+    with matching shapes — essential for MCMC-style reuse)."""
 
     def ctx_at(t):
-        return _make_ctx(k, t < t_tca, t >= t_rsa, t >= t_ufa, bg, bidx, th, idx)
+        return eq.PertCtx(k=k, tca_on=t < t_tca, rsa_on=t >= t_rsa, ufa_on=t >= t_ufa,
+                          bg_spline=bg_spline, th_spline=th_spline, bidx=bidx, idx=idx)
 
     def integrate_segment(y, h, t_a, t_b, t_mid):
         c = ctx_at(t_mid)
@@ -60,7 +71,7 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, taus, bg, bidx, th, idx, rtol):
         # the pure-relative control wastes steps resolving hierarchy moments
         # that start at exactly zero.
         y, h, stats = rkck_integrate(eq.rhs, y, t_a, t_b, c, rtol=rtol, atol=1e-11,
-                                     h0=h, max_steps=20000)
+                                     h0=h, max_steps=100000)
         return y, h, stats.steps
 
     def interval_with_switches(y, h, t_a, t_b):
@@ -127,12 +138,11 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
     idx = PtIdx(l_max_g=pr.l_max_g, l_max_pol_g=pr.l_max_pol_g, l_max_ur=pr.l_max_ur)
     taus_j = jnp.asarray(taus)
 
-    solve = jax.jit(jax.vmap(
-        partial(solve_one_k, taus=taus_j, bg=bg, bidx=bidx, th=th, idx=idx,
-                rtol=pr.tol_perturb_integration)))
+    solve = get_batch_solver(bidx.key, idx, pr.tol_perturb_integration)
     sources, nsteps = solve(jnp.asarray(sched.k), jnp.asarray(sched.tau_ini),
                             jnp.asarray(sched.tau_tca_off), jnp.asarray(sched.tau_ufa_on),
-                            jnp.asarray(sched.tau_rsa_on))
+                            jnp.asarray(sched.tau_rsa_on),
+                            taus_j, bg.lntau_spline, th.lntau_spline)
 
     return PerturbResult(k=jnp.asarray(ks), tau=taus_j, sources=sources,
                          tau0=bg.tau0, k_size_cmb=k_size_cmb, stats_steps=nsteps)

@@ -114,6 +114,21 @@ def _weighted_sources(pert, th, pr, q: np.ndarray):
     return W, Sq, taus
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _transfer_core(lmax_scan: int, n_l: int, n_tt: int, nq: int, ntau: int,
+                   l_switch_limber: float):
+    """jitted LOS core, cached on static shapes (reused across cosmologies)."""
+
+    def core(W, Sq, taus, tau0, qj, l_emit, emit_idx):
+        return _transfer_scan(W, Sq, taus, tau0, qj, l_emit, emit_idx,
+                              lmax_scan, n_l, n_tt, nq, l_switch_limber)
+
+    return jax.jit(core)
+
+
 def compute_transfer(pert, th, pr: PrecisionParams, l_max: int) -> TransferResult:
     """Delta_l^X(q) for X in TT_TYPES via the Bessel-recurrence scan."""
     tau0 = float(pert.tau0)
@@ -124,15 +139,23 @@ def compute_transfer(pert, th, pr: PrecisionParams, l_max: int) -> TransferResul
     W, Sq, taus = _weighted_sources(pert, th, pr, q)   # (ntt, nq, ntau)
     qj = jnp.asarray(q)
 
+    lmax_scan = int(ls[-1])
+    emit_idx_np = np.full(lmax_scan + 1, -1, dtype=np.int32)
+    for i, lv in enumerate(ls):
+        emit_idx_np[lv] = i
+    core = _transfer_core(lmax_scan, len(ls), len(TT_TYPES), len(q), W.shape[-1],
+                          pr.l_switch_limber)
+    acc = core(W, Sq, taus, pert.tau0, qj, jnp.asarray(ls), jnp.asarray(emit_idx_np))
+    return TransferResult(l=jnp.asarray(ls), q=qj, delta=acc, tau0=pert.tau0)
+
+
+def _transfer_scan(W, Sq, taus, tau0, qj, l_emit, emit_idx,
+                   lmax_scan, n_l, n_tt, nq, l_switch_limber):
+
     # x grid: (nq, ntau)
-    chi = pert.tau0 - taus                           # (ntau,)
+    chi = tau0 - taus                                # (ntau,)
     x = jnp.maximum(qj[:, None] * chi[None, :], 1e-12)
     inv_x = 1.0 / x
-
-    l_emit = jnp.asarray(ls)
-    n_l = len(ls)
-    n_tt = len(TT_TYPES)
-    nq = len(q)
 
     # seed values j_0, j_1 with series protection at small x
     small = x < 0.3
@@ -141,13 +164,6 @@ def compute_transfer(pert, th, pr: PrecisionParams, l_max: int) -> TransferResul
                    jnp.sin(x) * inv_x)
     j1 = jnp.where(small, x / 3.0 * (1.0 - x2 / 10.0 * (1.0 - x2 / 28.0)),
                    (jnp.sin(x) * inv_x - jnp.cos(x)) * inv_x)
-
-    # indices in l_emit for each scanned l (or -1)
-    lmax_scan = int(ls[-1])
-    emit_idx_np = np.full(lmax_scan + 1, -1, dtype=np.int32)
-    for i, lv in enumerate(ls):
-        emit_idx_np[lv] = i
-    emit_idx = jnp.asarray(emit_idx_np)
 
     e_fac = jnp.sqrt(3.0 / 8.0 * (l_emit + 2.0) * (l_emit + 1.0) * l_emit * (l_emit - 1.0))
 
@@ -207,8 +223,9 @@ def compute_transfer(pert, th, pr: PrecisionParams, l_max: int) -> TransferResul
     # reference never integrates lcmb against Bessels above l=10, and the
     # smooth lensing kernel makes Limber the accurate choice there.
     lf = l_emit.astype(jnp.float64)
+    pert_tau0 = tau0
     ipg = jnp.sqrt(math.pi / (2.0 * lf)) * (1.0 - 0.25 / lf + 1.0 / (32.0 * lf * lf))
-    tau_lim = pert.tau0 - (lf[:, None] + 0.5) / qj[None, :]        # (nl, nq)
+    tau_lim = pert_tau0 - (lf[:, None] + 0.5) / qj[None, :]        # (nl, nq)
     S_lcmb = Sq[4]                                                  # (nq, ntau)
     # linear interpolation in tau for each q row
     idx_t = jnp.clip(jnp.searchsorted(taus, tau_lim, side="right") - 1, 0, len(taus) - 2)
@@ -223,7 +240,7 @@ def compute_transfer(pert, th, pr: PrecisionParams, l_max: int) -> TransferResul
     S_at = (1.0 - wt) * S_lo + wt * S_hi
     inside = (tau_lim > taus[0]) & (tau_lim < taus[-1])
     d_limber = jnp.where(inside, ipg[:, None] * S_at / qj[None, :], 0.0)
-    use_limber = (lf > pr.l_switch_limber)[:, None]
+    use_limber = (lf > l_switch_limber)[:, None]
     acc = acc.at[:, 4, :].set(jnp.where(use_limber, d_limber, acc[:, 4, :]))
 
-    return TransferResult(l=l_emit, q=qj, delta=acc, tau0=pert.tau0)
+    return acc

@@ -125,7 +125,10 @@ def rkck_integrate(
             done_new,
         )
 
-    state0 = (t0, y0, h_init, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), span <= 0.0)
+    # derive the step counters from traced values so that under shard_map the
+    # while_loop carry has consistent varying-axis types (see shard_map vma docs)
+    n0 = (t0 * 0).astype(jnp.int32)
+    state0 = (t0, y0, h_init, n0, n0, span <= 0.0)
     t, y, h, n_acc, n_rej, _ = jax.lax.while_loop(cond, body, state0)
     return y, h, OdeStats(n_acc, n_rej)
 

@@ -1,0 +1,175 @@
+"""Pipeline orchestrator: the staged, lazily-cached computation DAG.
+
+Analog of the reference Cosmology class (source/cosmology.cpp:12-86): each
+stage is computed exactly once per parameter set and memoized; downstream
+stages pull upstream ones on demand. `compute(level)` semantics match
+classy.pyx:251-273.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config.params import CosmoParams
+from .config.precision import PrecisionParams
+
+_LEVELS = ["background", "thermodynamics", "perturbations", "primordial",
+           "nonlinear", "transfer", "spectra", "lensing"]
+
+
+@dataclass
+class OutputSelection:
+    """What to compute (reference 'output=' parsing, input_module.cpp)."""
+
+    tCl: bool = True
+    pCl: bool = True
+    lCl: bool = True
+    mPk: bool = True
+    dTk: bool = False
+    vTk: bool = False
+    lensing: bool = True
+    l_scalar_max: int = 2500
+    P_k_max: float = 10.0        # 1/Mpc
+    z_pk: tuple = (0.0,)
+    z_max_pk: float = 5.0
+    non_linear: str = ""        # "", "halofit"
+    modes: tuple = ("s",)
+
+    @property
+    def has_cls(self) -> bool:
+        return self.tCl or self.pCl or self.lCl
+
+    @property
+    def has_pk(self) -> bool:
+        return self.mPk or self.dTk or self.vTk
+
+
+class Cosmology:
+    """Lazy pipeline over (CosmoParams, PrecisionParams, OutputSelection)."""
+
+    def __init__(self, params: CosmoParams, precision: Optional[PrecisionParams] = None,
+                 output: Optional[OutputSelection] = None):
+        self.params = params
+        self.pr = precision or PrecisionParams()
+        self.out = output or OutputSelection()
+        self._cache = {}
+
+    # --- stages ------------------------------------------------------------
+
+    @staticmethod
+    def _host_device():
+        """Table-building stages run as many small eager ops; on accelerator
+        platforms each eager op is a dispatch round-trip, so pin these stages
+        to the local CPU backend. The jitted hot stages then pull the tables
+        onto the accelerator once."""
+        try:
+            return jax.local_devices(backend="cpu")[0]
+        except Exception:
+            return jax.devices()[0]
+
+    @property
+    def background(self):
+        if "bg" not in self._cache:
+            from .models.background import compute_background
+
+            with jax.default_device(self._host_device()):
+                self._cache["bg"] = compute_background(self.params, self.pr)
+        return self._cache["bg"]
+
+    @property
+    def thermodynamics(self):
+        if "th" not in self._cache:
+            from .models.thermodynamics import compute_thermodynamics
+
+            bg, bidx = self.background
+            with jax.default_device(self._host_device()):
+                self._cache["th"] = compute_thermodynamics(self.params, self.pr, bg, bidx)
+        return self._cache["th"]
+
+    @property
+    def l_max_internal(self) -> int:
+        # lensing needs unlensed spectra beyond the output l_max
+        # (reference: l_scalar_max += delta_l_max, input_module.cpp)
+        return self.out.l_scalar_max + (self.pr.delta_l_max if self.out.lensing else 0)
+
+    @property
+    def perturbations(self):
+        if "pt" not in self._cache:
+            from .models.perturbations import compute_perturbations
+
+            bg, bidx = self.background
+            self._cache["pt"] = compute_perturbations(
+                self.params, self.pr, bg, bidx, self.thermodynamics,
+                l_scalar_max=self.l_max_internal,
+                k_max_for_pk=self.out.P_k_max,
+                has_cls=self.out.has_cls, has_pk=self.out.has_pk,
+                z_max_pk=self.out.z_max_pk)
+        return self._cache["pt"]
+
+    @property
+    def primordial(self):
+        if "pm" not in self._cache:
+            from .models.primordial import compute_primordial
+
+            self._cache["pm"] = compute_primordial(self.params)
+        return self._cache["pm"]
+
+    @property
+    def nonlinear(self):
+        if "nl" not in self._cache:
+            from .models.nonlinear import compute_nonlinear
+
+            bg, bidx = self.background
+            self._cache["nl"] = compute_nonlinear(
+                self.perturbations, bg, bidx, self.primordial, self.pr,
+                self.params, z_pk=self.out.z_pk)
+        return self._cache["nl"]
+
+    @property
+    def transfer(self):
+        if "tr" not in self._cache:
+            from .models.transfer import compute_transfer
+
+            self._cache["tr"] = compute_transfer(
+                self.perturbations, self.thermodynamics, self.pr,
+                l_max=self.l_max_internal)
+        return self._cache["tr"]
+
+    @property
+    def spectra(self):
+        if "sp" not in self._cache:
+            from .models.spectra import compute_spectra
+
+            self._cache["sp"] = compute_spectra(self.transfer, self.primordial,
+                                                l_max=self.l_max_internal)
+        return self._cache["sp"]
+
+    @property
+    def lensing(self):
+        if "le" not in self._cache:
+            from .models.lensing import compute_lensing
+
+            self._cache["le"] = compute_lensing(self.spectra, self.pr,
+                                                l_lensed_max=self.out.l_scalar_max)
+        return self._cache["le"]
+
+    def compute(self, level: Sequence[str] = ("lensing",)):
+        """Pull all stages up to the requested level (classy.pyx compute())."""
+        want = max(_LEVELS.index(lv) for lv in level)
+        for lv in _LEVELS[: want + 1]:
+            if lv == "nonlinear" and not self.out.has_pk:
+                continue
+            if lv in ("transfer", "spectra") and not self.out.has_cls:
+                continue
+            if lv == "lensing" and not self.out.lensing:
+                continue
+            getattr(self, {"background": "background", "thermodynamics": "thermodynamics",
+                           "perturbations": "perturbations", "primordial": "primordial",
+                           "nonlinear": "nonlinear", "transfer": "transfer",
+                           "spectra": "spectra", "lensing": "lensing"}[lv])
+        return self
