@@ -126,7 +126,6 @@ class Class:
                 kw["T_ncdm"] = tuple(_parse_list(p.pop("T_ncdm")))
             if "deg_ncdm" in p:
                 kw["deg_ncdm"] = tuple(_parse_list(p.pop("deg_ncdm")))
-            raise CosmoSevereError("ncdm perturbations not yet implemented in this build")
         if "Omega_Lambda" in p and float(p["Omega_Lambda"]) == 0.0:
             p.pop("Omega_Lambda")
             kw["use_fld"] = True
@@ -154,8 +153,17 @@ class Class:
             out.z_max_pk = float(p.pop("z_max_pk"))
         out.non_linear = str(p.pop("non linear", p.pop("non_linear", ""))).strip().lower()
         modes = str(p.pop("modes", "s"))
-        if "t" in modes.replace("s", ""):
-            raise CosmoSevereError("tensor modes not yet implemented in this build")
+        out.modes = tuple(m.strip() for m in modes.replace(",", " ").split())
+        if "v" in out.modes:
+            raise CosmoSevereError("vector modes not implemented")
+        if "l_max_tensors" in p:
+            out.l_tensor_max = int(float(p.pop("l_max_tensors")))
+        if "t" in out.modes:
+            # tensor tilt: inflationary self-consistency unless given
+            # (input_module.cpp:3376: n_t = -r/8 (2 - r/8 - n_s))
+            if "n_t" not in kw:
+                r_val = kw.get("r", 0.0)
+                kw["n_t"] = -r_val / 8.0 * (2.0 - r_val / 8.0 - kw.get("n_s", 0.9660499))
         ic = str(p.pop("ic", "ad"))
         if ic.strip() != "ad":
             raise CosmoSevereError("only adiabatic initial conditions implemented so far")
@@ -181,8 +189,53 @@ class Class:
             # unused parameters: reference warns; we do too via attribute
             self.unused_params = dict(p)
 
+        # --- shooting for indirect parameters (reference input_module
+        # FixUnknownParameters :195 + Cosmology sigma8 loop, cosmology.cpp:39)
+        theta_target = None
+        if "100*theta_s" in p:
+            theta_target = float(p.pop("100*theta_s"))
+        sigma8_target = None
+        if "sigma8" in p:
+            sigma8_target = float(p.pop("sigma8"))
+            kw.setdefault("A_s", 2.1e-9)
+
         params = CosmoParams(**kw)
-        return Cosmology(params, pr, out)
+
+        if theta_target is not None:
+            params = self._shoot_theta_s(params, pr, theta_target)
+        cosmo = Cosmology(params, pr, out)
+        cosmo.sigma8_target = sigma8_target
+        return cosmo
+
+    @staticmethod
+    def _shoot_theta_s(params: CosmoParams, pr: PrecisionParams, target: float,
+                       rtol: float = 1.0e-7, max_iter: int = 12) -> CosmoParams:
+        """Solve 100*theta_s(h) = target by secant iteration over h
+        (reference: Ridder root-find on input_fzerofun_1d,
+        input_module.cpp:3517). theta_s(h) is smooth and monotone, so the
+        secant converges in ~4 evaluations."""
+
+        def theta_of_h(h):
+            pp = params.replace(h=h)
+            c = Cosmology(pp, pr, OutputSelection(tCl=False, pCl=False, lCl=False,
+                                                  mPk=False, lensing=False))
+            th = c.thermodynamics
+            bg, bidx = c.background
+            vals = bg.lntau_spline.eval(np.log(float(th.tau_rec)))
+            return 100.0 * float(th.rs_rec) / float(vals[bidx["conf_distance"]])
+
+        h0 = params.h
+        f0 = theta_of_h(h0) - target
+        h1 = h0 * (1.0 + 0.03 * np.sign(-f0))
+        f1 = theta_of_h(h1) - target
+        for _ in range(max_iter):
+            if abs(f1) < rtol * target:
+                break
+            h2 = h1 - f1 * (h1 - h0) / (f1 - f0)
+            h0, f0 = h1, f1
+            h1 = h2
+            f1 = theta_of_h(h1) - target
+        return params.replace(h=float(h1))
 
     # --- compute -------------------------------------------------------------
 

@@ -29,6 +29,23 @@ from ..thermodynamics import ThIdx
 from .indices import PtIdx, SrcIdx
 
 
+class NcdmCtx(NamedTuple):
+    """Static-shape ncdm phase-space data (shared momentum grid, per-species
+    mass factors). Replaces the reference's per-species adaptive q-grids
+    (tools/non_cold_dark_matter.cpp) with one fixed Gauss-Laguerre grid.
+
+    Conventions: eps(q, a) = sqrt(q^2 + (a m/T0)^2) with q in units of T_ncdm0;
+    rho_s = pref_s / a^4 * sum_q w_q q^2 eps; pref absorbs deg, T_ratio^4 and
+    the FD normalization so the massless limit reproduces (7/8)(T/Tg)^4 rho_g.
+    """
+
+    q: jnp.ndarray        # (nq,)
+    w: jnp.ndarray        # (nq,) quadrature weights including f0(q)
+    dlnf0: jnp.ndarray    # (nq,) dln f0 / dln q
+    x_fac: jnp.ndarray    # (ns,) m/T_ncdm0 (dimensionless)
+    pref: jnp.ndarray     # (ns,) normalization (class units Mpc^-2)
+
+
 class PertCtx(NamedTuple):
     """Everything the RHS needs besides (tau, y): wavenumber, approximation
     flags for the current segment, and the runtime interpolation tables."""
@@ -41,6 +58,8 @@ class PertCtx(NamedTuple):
     th_spline: object     # UniformSpline over ln(tau), thermo columns
     bidx: object          # BgIdx
     idx: PtIdx
+    ncdmfa_on: jnp.ndarray = jnp.asarray(False)  # ncdm fluid approximation
+    ncdm: object = None   # NcdmCtx when idx.n_ncdm > 0
 
 
 class Locals(NamedTuple):
@@ -117,6 +136,33 @@ def rhs_full(tau, y, ctx: PertCtx):
     F_ur = jax.lax.dynamic_slice(y, (idx.F_ur,), (idx.n_F_ur,))        # l=3..lmax_ur
     eta = y[idx.eta]
 
+    ncdmfa = ctx.ncdmfa_on
+    if idx.n_ncdm:
+        nc = ctx.ncdm
+        ns, nq, nl = idx.n_ncdm, idx.q_size_ncdm, idx.n_l_ncdm
+        Psi = jax.lax.dynamic_slice(y, (idx.ncdm,), (idx.n_ncdm_block,)).reshape(ns, nq, nl)
+        eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)   # (ns, nq)
+        fac = nc.pref / a2 / a2                                             # (ns,)
+        # exact momentum integrals (perturb_total_stress_energy :6347-6395)
+        qw = nc.w * nc.q**2
+        rho_delta_ex = fac * jnp.sum(qw[None, :] * eps * Psi[:, :, 0], axis=1)
+        rpt_ex = k * fac * jnp.sum(qw[None, :] * nc.q[None, :] * Psi[:, :, 1], axis=1)
+        rps_ex = 2.0 / 3.0 * fac * jnp.sum(qw[None, :] * nc.q[None, :] ** 2 / eps * Psi[:, :, 2], axis=1)
+        dp_ex = fac / 3.0 * jnp.sum(qw[None, :] * nc.q[None, :] ** 2 / eps * Psi[:, :, 0], axis=1)
+        # per-species background quantities
+        rho_nc = jnp.stack([bgv[bidx[f"rho_ncdm{i}"]] for i in range(ns)])
+        p_nc = jnp.stack([bgv[bidx[f"p_ncdm{i}"]] for i in range(ns)])
+        pp_nc = jnp.stack([bgv[bidx[f"pseudo_p_ncdm{i}"]] for i in range(ns)])
+        w_nc = p_nc / rho_nc
+        rho_plus_p_nc = rho_nc + p_nc
+        # fluid variables live in slots (s, 0, 0:3)
+        d_fl, t_fl, s_fl = Psi[:, 0, 0], Psi[:, 0, 1], Psi[:, 0, 2]
+        cg2_nc = w_nc * (1.0 - (3.0 * w_nc - 2.0 + pp_nc / p_nc) / (3.0 + 3.0 * w_nc))
+        rho_delta_nc = jnp.where(ncdmfa, rho_nc * d_fl, rho_delta_ex)
+        rpt_nc = jnp.where(ncdmfa, rho_plus_p_nc * t_fl, rpt_ex)
+        rps_nc = jnp.where(ncdmfa, rho_plus_p_nc * s_fl, rps_ex)
+        dp_nc = jnp.where(ncdmfa, cg2_nc * rho_nc * d_fl, dp_ex)
+
     # --- effective photon/ur variables entering the Einstein sums
     # (perturb_total_stress_energy :6107-6170): zero under RSA; under TCA the
     # state delta/theta are used and shear enters via its 1st-order value.
@@ -132,6 +178,11 @@ def rhs_full(tau, y, ctx: PertCtx):
     rho_plus_p_theta = 4.0 / 3.0 * rho_g * t_g + rho_b * theta_b + 4.0 / 3.0 * rho_ur * t_ur
     rho_plus_p_shear = 4.0 / 3.0 * rho_g * s_g + 4.0 / 3.0 * rho_ur * s_ur
     delta_p = 1.0 / 3.0 * rho_g * d_g + cb2 * rho_b * delta_b + 1.0 / 3.0 * rho_ur * d_ur
+    if idx.n_ncdm:
+        delta_rho = delta_rho + jnp.sum(rho_delta_nc)
+        rho_plus_p_theta = rho_plus_p_theta + jnp.sum(rpt_nc)
+        rho_plus_p_shear = rho_plus_p_shear + jnp.sum(rps_nc)
+        delta_p = delta_p + jnp.sum(dp_nc)
 
     # --- Einstein 00: h' (perturb_einstein :5911)
     h_prime = (k2 * eta + 1.5 * a2 * delta_rho) / (0.5 * aH)
@@ -273,18 +324,61 @@ def rhs_full(tau, y, ctx: PertCtx):
     dy = jax.lax.dynamic_update_slice(
         dy, jnp.where(ur_hier_on, dFu, jnp.zeros_like(dFu)), (idx.F_ur,))
 
+    # --- ncdm (perturb_derivs :8725-8894)
+    if idx.n_ncdm:
+        qk_eps = k * nc.q[None, :] / eps                      # (ns, nq)
+        dl0 = nc.dlnf0[None, :]
+        # exact Boltzmann hierarchy on the momentum grid
+        lsn = jnp.arange(0, nl, dtype=y.dtype)                # l values
+        Ps_m1 = jnp.concatenate([jnp.zeros((ns, nq, 1)), Psi[:, :, :-1]], axis=2)
+        Ps_p1 = jnp.concatenate([Psi[:, :, 1:], jnp.zeros((ns, nq, 1))], axis=2)
+        dPsi = qk_eps[:, :, None] / (2.0 * lsn + 1.0) * (
+            lsn * Ps_m1 - (lsn + 1.0) * Ps_p1)
+        dPsi = dPsi.at[:, :, 0].set(-qk_eps * Psi[:, :, 1]
+                                    + metric_continuity * dl0 / 3.0)
+        dPsi = dPsi.at[:, :, 1].set(qk_eps / 3.0 * (Psi[:, :, 0] - 2.0 * Psi[:, :, 2]))
+        dPsi = dPsi.at[:, :, 2].set(qk_eps / 5.0 * (2.0 * Psi[:, :, 1] - 3.0 * Psi[:, :, 3])
+                                    - metric_shear * 2.0 / 15.0 * dl0)
+        dPsi = dPsi.at[:, :, -1].set(qk_eps * Psi[:, :, -2]
+                                     - (1.0 + (nl - 1.0)) / tau * Psi[:, :, -1])
+        # fluid approximation (ncdmfa_CLASS, :8770-8790)
+        ca2 = w_nc / 3.0 / (1.0 + w_nc) * (5.0 - pp_nc / p_nc)
+        ceff2 = ca2
+        cvis2 = 3.0 * w_nc * ca2
+        d_dfl = (-(1.0 + w_nc) * (t_fl + metric_continuity)
+                 - 3.0 * aH * (ceff2 - w_nc) * d_fl)
+        d_tfl = (-aH * (1.0 - 3.0 * ca2) * t_fl
+                 + ceff2 / (1.0 + w_nc) * k2 * d_fl - k2 * s_fl)
+        d_sfl = (-3.0 * (aH * (2.0 / 3.0 - ca2 - pp_nc / p_nc / 3.0) + 1.0 / tau) * s_fl
+                 + 8.0 / 3.0 * cvis2 / (1.0 + w_nc) * (t_fl + metric_continuity))
+        dPsi_fl = jnp.zeros_like(dPsi)
+        dPsi_fl = dPsi_fl.at[:, 0, 0].set(d_dfl)
+        dPsi_fl = dPsi_fl.at[:, 0, 1].set(d_tfl)
+        dPsi_fl = dPsi_fl.at[:, 0, 2].set(d_sfl)
+        dPsi = jnp.where(ncdmfa, dPsi_fl, dPsi)
+        dy = jax.lax.dynamic_update_slice(dy, dPsi.reshape(-1), (idx.ncdm,))
+
     # metric
     dy = dy.at[idx.eta].set(eta_prime)
 
     # --- gauge-invariant matter variables (perturb_einstein :5986-6006).
     # Note the order: the 3aH*theta/k^2 shift uses the synchronous-gauge
     # theta_m; the alpha*k^2 shift applies to the theta_m source afterwards.
-    rho_m = rho_b + rho_cdm
-    theta_m_sync = (rho_b * theta_b) / rho_m
-    delta_m = (rho_b * delta_b + rho_cdm * delta_cdm) / rho_m + 3.0 * aH * theta_m_sync / k2
-    theta_m = theta_m_sync + k2 * alpha
-    delta_cb = delta_m
-    theta_cb = theta_m
+    rho_m_cb = rho_b + rho_cdm
+    theta_cb_sync = (rho_b * theta_b) / rho_m_cb
+    delta_cb = (rho_b * delta_b + rho_cdm * delta_cdm) / rho_m_cb + 3.0 * aH * theta_cb_sync / k2
+    theta_cb = theta_cb_sync + k2 * alpha
+    if idx.n_ncdm:
+        rho_m = rho_m_cb + jnp.sum(rho_nc)
+        rho_plus_p_m = rho_m_cb + jnp.sum(rho_plus_p_nc)
+        delta_rho_m = rho_b * delta_b + rho_cdm * delta_cdm + jnp.sum(rho_delta_nc)
+        rho_plus_p_theta_m = rho_b * theta_b + jnp.sum(rpt_nc)
+        theta_m_sync = rho_plus_p_theta_m / rho_plus_p_m
+        delta_m = delta_rho_m / rho_m + 3.0 * aH * theta_m_sync / k2
+        theta_m = theta_m_sync + k2 * alpha
+    else:
+        delta_m = delta_cb
+        theta_m = theta_cb
 
     # polarization source combo P (perturb_sources :6800-6809)
     P = jnp.where(rsa, zero,
@@ -357,6 +451,19 @@ def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
     y = y.at[idx.shear_ur].set(shear_ur)
     y = y.at[idx.F_ur].set(l3_ur)
     y = y.at[idx.eta].set(eta)
+    if idx.n_ncdm:
+        # relativistic ncdm ICs (perturb_initial_conditions :5249-5252):
+        # Psi_l = (ur multipole) * coefficient * dlnf0/dlnq
+        nc = ctx.ncdm
+        ns, nq, nl = idx.n_ncdm, idx.q_size_ncdm, idx.n_l_ncdm
+        eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)
+        dl0 = jnp.broadcast_to(nc.dlnf0[None, :], (ns, nq))
+        Psi = jnp.zeros((ns, nq, nl))
+        Psi = Psi.at[:, :, 0].set(-0.25 * delta_ur * dl0)
+        Psi = Psi.at[:, :, 1].set(-eps / (3.0 * nc.q[None, :] * k) * theta_ur * dl0)
+        Psi = Psi.at[:, :, 2].set(-0.5 * shear_ur * dl0)
+        Psi = Psi.at[:, :, 3].set(-0.25 * l3_ur * dl0)
+        y = jax.lax.dynamic_update_slice(y, Psi.reshape(-1), (idx.ncdm,))
     return y
 
 
@@ -387,6 +494,31 @@ def remap_ufa_on(y, ctx: PertCtx):
     idx = ctx.idx
     return jax.lax.dynamic_update_slice(
         y, jnp.zeros((idx.n_F_ur,), y.dtype), (idx.F_ur,))
+
+
+def remap_ncdmfa_on(y, tau, ctx: PertCtx):
+    """Collapse each ncdm phase-space block to its fluid moments when the
+    fluid approximation switches on (perturb_vector_init :4485-4517)."""
+    idx = ctx.idx
+    nc = ctx.ncdm
+    ns, nq, nl = idx.n_ncdm, idx.q_size_ncdm, idx.n_l_ncdm
+    bgv = ctx.bg_spline.eval(jnp.log(tau))
+    a = bgv[ctx.bidx["a"]]
+    Psi = jax.lax.dynamic_slice(y, (idx.ncdm,), (idx.n_ncdm_block,)).reshape(ns, nq, nl)
+    eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)
+    fac = nc.pref / a**4
+    qw = nc.w * nc.q**2
+    rho_nc = jnp.stack([bgv[ctx.bidx[f"rho_ncdm{i}"]] for i in range(ns)])
+    p_nc = jnp.stack([bgv[ctx.bidx[f"p_ncdm{i}"]] for i in range(ns)])
+    k = ctx.k
+    delta = fac * jnp.sum(qw[None, :] * eps * Psi[:, :, 0], axis=1) / rho_nc
+    theta = k * fac * jnp.sum(qw[None, :] * nc.q[None, :] * Psi[:, :, 1], axis=1) / (rho_nc + p_nc)
+    shear = 2.0 / 3.0 * fac * jnp.sum(qw[None, :] * nc.q[None, :] ** 2 / eps * Psi[:, :, 2], axis=1) / (rho_nc + p_nc)
+    Psi_new = jnp.zeros((ns, nq, nl))
+    Psi_new = Psi_new.at[:, 0, 0].set(delta)
+    Psi_new = Psi_new.at[:, 0, 1].set(theta)
+    Psi_new = Psi_new.at[:, 0, 2].set(shear)
+    return jax.lax.dynamic_update_slice(y, Psi_new.reshape(-1), (idx.ncdm,))
 
 
 def remap_rsa_on(y, ctx: PertCtx):

@@ -118,11 +118,13 @@ class KSchedule(NamedTuple):
     tau_tca_off: np.ndarray  # (nk,) tight coupling -> full hierarchy
     tau_ufa_on: np.ndarray   # (nk,) ur fluid approximation on
     tau_rsa_on: np.ndarray   # (nk,) radiation streaming on
+    tau_ncdmfa_on: np.ndarray = None  # (nk,) ncdm fluid approximation on
 
 
 def get_k_schedule(ks: np.ndarray, pr: PrecisionParams,
                    bg: BackgroundResult, bidx: BgIdx, th: ThermoResult,
-                   tau_first_sample: float) -> KSchedule:
+                   tau_first_sample: float, n_ncdm: int = 0,
+                   tol_ncdm_initial_w: float = 1.0e-3) -> KSchedule:
     """Vectorized computation of tau_ini (perturb_solve bisection, :2541) and
     approximation switch times (perturb_approximations triggers, :5443):
       TCA off  when tau_c/tau_h > trigger_h  OR  k*tau_c > trigger_k
@@ -181,8 +183,22 @@ def get_k_schedule(ks: np.ndarray, pr: PrecisionParams,
 
     tau_rsa_on = np.maximum(pr.radiation_streaming_trigger_tau_over_tau_k / ks, tau_fs)
     tau_ufa_on = pr.ur_fluid_trigger_tau_over_tau_k / ks
+    tau_ncdmfa_on = pr.ncdm_fluid_trigger_tau_over_tau_k / ks
+
+    # ncdm must still be ultra-relativistic at the start (reference
+    # perturb_solve :2568: |p/rho - 1/3| < tol_ncdm_initial_w)
+    if n_ncdm:
+        wdev = np.zeros_like(tau_grid)
+        for i in range(n_ncdm):
+            p_i = bgy[:, bidx[f"p_ncdm{i}"]]
+            r_i = bgy[:, bidx[f"rho_ncdm{i}"]]
+            wdev = np.maximum(wdev, np.abs(3.0 * p_i / r_i - 1.0))
+        j = np.searchsorted(wdev > 3.0 * tol_ncdm_initial_w, True)
+        tau_rel = tau_grid[max(j - 1, 1)]
+        tau_ini = np.minimum(tau_ini, tau_rel)
 
     return KSchedule(
         k=ks, tau_ini=tau_ini, tau_tca_off=tau_tca_off,
         tau_ufa_on=tau_ufa_on, tau_rsa_on=tau_rsa_on,
+        tau_ncdmfa_on=tau_ncdmfa_on,
     )

@@ -17,12 +17,16 @@ from dataclasses import dataclass
 @dataclass(frozen=True)
 class PtIdx:
     """Index layout, parametrized by hierarchy truncations (precision params
-    l_max_g, l_max_pol_g, l_max_ur; reference include/precisions.h:209-215)."""
+    l_max_g, l_max_pol_g, l_max_ur, l_max_ncdm; include/precisions.h:209-215)
+    and the ncdm phase-space discretization (species x momentum x multipole)."""
 
     l_max_g: int = 12
     l_max_pol_g: int = 10
     l_max_ur: int = 17
     has_ur: bool = True
+    n_ncdm: int = 0
+    q_size_ncdm: int = 16
+    l_max_ncdm: int = 17
 
     # --- photons
     @property
@@ -87,10 +91,24 @@ class PtIdx:
     def n_F_ur(self):
         return self.l_max_ur - 2
 
+    # --- ncdm: per species a (q_size x (l_max_ncdm+1)) block; under the fluid
+    # approximation only the first three slots (delta, theta, sigma) evolve
+    @property
+    def ncdm(self):
+        return self.F_ur + self.n_F_ur
+
+    @property
+    def n_l_ncdm(self):
+        return self.l_max_ncdm + 1
+
+    @property
+    def n_ncdm_block(self):
+        return self.n_ncdm * self.q_size_ncdm * self.n_l_ncdm
+
     # --- metric
     @property
     def eta(self):
-        return self.F_ur + self.n_F_ur
+        return self.ncdm + self.n_ncdm_block
 
     @property
     def size(self):

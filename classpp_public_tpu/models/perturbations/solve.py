@@ -33,6 +33,31 @@ from .grids import KSchedule, get_k_list, get_k_schedule, get_tau_sampling
 from .indices import PtIdx, SrcIdx
 
 
+def make_ncdm_ctx(params, bg, idx):
+    """Build the shared ncdm phase-space context (Gauss-Laguerre momentum grid
+    with Fermi-Dirac weights; reference tools/quadrature.c get_qsampling)."""
+    import math
+
+    from numpy.polynomial.laguerre import laggauss
+
+    from ... import constants as const
+
+    qn, wn = laggauss(idx.q_size_ncdm)
+    wf = wn / (1.0 + np.exp(-qn))          # GL weight * e^q * f0(q)
+    dlnf0 = -qn / (1.0 + np.exp(-qn))      # FD: dln f0/dln q = -q e^q f0
+    I0 = 7.0 * math.pi**4 / 120.0
+    rho_g0 = const.rho_gamma_class_units(params.T_cmb)
+    x_fac, pref = [], []
+    for i in range(idx.n_ncdm):
+        T_ratio = params.T_ncdm_of(i)
+        deg = params.deg_ncdm_of(i)
+        T0_eV = const.k_B * params.T_cmb * T_ratio / const.eV_SI
+        x_fac.append(params.m_ncdm[i] / T0_eV)
+        pref.append(deg * (7.0 / 8.0) * T_ratio**4 * rho_g0 / I0)
+    return eq.NcdmCtx(q=jnp.asarray(qn), w=jnp.asarray(wf), dlnf0=jnp.asarray(dlnf0),
+                      x_fac=jnp.asarray(x_fac), pref=jnp.asarray(pref))
+
+
 @lru_cache(maxsize=8)
 def get_batch_solver(bidx_key, idx, rtol):
     """jitted vmapped per-k solver, cached on the static configuration so
@@ -42,7 +67,7 @@ def get_batch_solver(bidx_key, idx, rtol):
     bidx = BgIdx(*bidx_key)
     return jax.jit(jax.vmap(
         partial(solve_one_k, bidx=bidx, idx=idx, rtol=rtol),
-        in_axes=(0, 0, 0, 0, 0, None, None, None)))
+        in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None)))
 
 
 class PerturbResult(NamedTuple):
@@ -54,7 +79,7 @@ class PerturbResult(NamedTuple):
     stats_steps: jnp.ndarray  # (nk,) accepted RKCK steps per mode
 
 
-def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, taus, bg_spline, th_spline, bidx, idx, rtol):
+def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline, ncdm, bidx, idx, rtol):
     """Integrate one k-mode over all sampling intervals, emitting sources.
     Designed to be vmapped over k; bg_spline/th_spline are the runtime
     uniform-ln(tau) tables (traced pytrees, so one jit covers every cosmology
@@ -62,7 +87,8 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, taus, bg_spline, th_spline, bid
 
     def ctx_at(t):
         return eq.PertCtx(k=k, tca_on=t < t_tca, rsa_on=t >= t_rsa, ufa_on=t >= t_ufa,
-                          bg_spline=bg_spline, th_spline=th_spline, bidx=bidx, idx=idx)
+                          bg_spline=bg_spline, th_spline=th_spline, bidx=bidx, idx=idx,
+                          ncdmfa_on=t >= t_ncfa, ncdm=ncdm)
 
     def integrate_segment(y, h, t_a, t_b, t_mid):
         c = ctx_at(t_mid)
@@ -74,10 +100,13 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, taus, bg_spline, th_spline, bid
                                      h0=h, max_steps=100000)
         return y, h, stats.steps
 
+    n_switch = 4 if idx.n_ncdm else 3
+
     def interval_with_switches(y, h, t_a, t_b):
         """Integrate [t_a, t_b]; split at any approximation switch inside and
         apply the corresponding state remap at the crossing."""
-        ts = jnp.sort(jnp.clip(jnp.stack([t_tca, t_ufa, t_rsa]), t_a, t_b))
+        switches = [t_tca, t_ufa, t_rsa] + ([t_ncfa] if idx.n_ncdm else [])
+        ts = jnp.sort(jnp.clip(jnp.stack(switches), t_a, t_b))
         bounds = jnp.concatenate([jnp.array([t_a]), ts, jnp.array([t_b])])
         nsteps = jnp.zeros((), jnp.int32)
 
@@ -90,13 +119,15 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, taus, bg_spline, th_spline, bid
             y = maybe(t_tca == bj, eq.remap_tca_off(y, bj, ctx_at(bj)), y)
             y = maybe(t_ufa == bj, eq.remap_ufa_on(y, ctx_at(bj)), y)
             y = maybe(t_rsa == bj, eq.remap_rsa_on(y, ctx_at(bj)), y)
+            if idx.n_ncdm:
+                y = maybe(t_ncfa == bj, eq.remap_ncdmfa_on(y, bj, ctx_at(bj)), y)
             return y
 
-        for j in range(4):
+        for j in range(n_switch + 1):
             t0s, t1s = bounds[j], bounds[j + 1]
             y, h, ns = integrate_segment(y, h, t0s, t1s, 0.5 * (t0s + t1s))
             nsteps = nsteps + ns
-            if j < 3:
+            if j < n_switch:
                 y = apply_remaps(y, t1s)
         return y, h, nsteps
 
@@ -129,20 +160,26 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
     ks = get_k_list(params, pr, bg, th, l_scalar_max=l_scalar_max,
                     k_max_for_pk=k_max_for_pk, has_cls=has_cls, has_pk=has_pk)
     taus = get_tau_sampling(params, pr, bg, bidx, th, has_cmb=has_cls, z_max_pk=z_max_pk)
-    sched = get_k_schedule(ks, pr, bg, bidx, th, tau_first_sample=float(taus[0]))
+    sched = get_k_schedule(ks, pr, bg, bidx, th, tau_first_sample=float(taus[0]),
+                           n_ncdm=params.N_ncdm)
+
+    n_ncdm = params.N_ncdm
 
     k_max_cmb = pr.k_max_tau0_over_l_max * l_scalar_max / float(bg.tau0)
     k_size_cmb = int(np.searchsorted(ks, k_max_cmb, side="right")) if has_cls else 0
     k_size_cmb = min(k_size_cmb + 1, len(ks))
 
-    idx = PtIdx(l_max_g=pr.l_max_g, l_max_pol_g=pr.l_max_pol_g, l_max_ur=pr.l_max_ur)
+    idx = PtIdx(l_max_g=pr.l_max_g, l_max_pol_g=pr.l_max_pol_g, l_max_ur=pr.l_max_ur,
+                n_ncdm=n_ncdm, l_max_ncdm=pr.l_max_ncdm)
     taus_j = jnp.asarray(taus)
+    ncdm_ctx = make_ncdm_ctx(params, bg, idx) if n_ncdm else None
 
     solve = get_batch_solver(bidx.key, idx, pr.tol_perturb_integration)
     sources, nsteps = solve(jnp.asarray(sched.k), jnp.asarray(sched.tau_ini),
                             jnp.asarray(sched.tau_tca_off), jnp.asarray(sched.tau_ufa_on),
                             jnp.asarray(sched.tau_rsa_on),
-                            taus_j, bg.lntau_spline, th.lntau_spline)
+                            jnp.asarray(sched.tau_ncdmfa_on),
+                            taus_j, bg.lntau_spline, th.lntau_spline, ncdm_ctx)
 
     return PerturbResult(k=jnp.asarray(ks), tau=taus_j, sources=sources,
                          tau0=bg.tau0, k_size_cmb=k_size_cmb, stats_steps=nsteps)

@@ -1,0 +1,283 @@
+"""Tensor-mode perturbations (gravitational waves).
+
+Reference physics: perturb_derivs tensor block (perturbations_module.cpp:
+9045-9228), Einstein equation gw'' = -2 aH gw' - k^2 gw + gw_source
+(perturb_einstein :6036), source assembly (perturb_total_stress_energy
+:6620-6650), tensor sources S_T2 = -gw' e^-kappa + g P and S_P = sqrt(6) g P
+(perturb_sources :7243-7273), adiabatic IC gw = 1/sqrt(6) (:5387), tensor
+TCA-off remap (:4657) and the tm_massless_approximation neutrino treatment
+(rho_ur + 3 p_ncdm driving an explicitly evolved massless hierarchy).
+
+Same lockstep design as the scalar solver: one static state, masked TCA/RSA,
+vmapped RKCK over the tensor k-grid.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import lru_cache, partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config.precision import PrecisionParams
+from ...ops.ode import rkck_integrate
+from ..thermodynamics import ThIdx
+
+_SQRT6 = math.sqrt(6.0)
+
+
+@dataclass(frozen=True)
+class TnIdx:
+    """Tensor state layout: gw, gw', photon temperature F~_l (l=0..l_max_g_ten),
+    photon polarization G~_l, ur hierarchy."""
+
+    l_max_g_ten: int = 5
+    l_max_pol_g_ten: int = 5
+    l_max_ur: int = 17
+    n_ncdm: int = 0
+
+    gw = 0
+    gwdot = 1
+
+    @property
+    def F(self):
+        return 2
+
+    @property
+    def n_F(self):
+        return self.l_max_g_ten + 1
+
+    @property
+    def G(self):
+        return self.F + self.n_F
+
+    @property
+    def n_G(self):
+        return self.l_max_pol_g_ten + 1
+
+    @property
+    def ur(self):
+        return self.G + self.n_G
+
+    @property
+    def n_ur(self):
+        return self.l_max_ur + 1
+
+    @property
+    def size(self):
+        return self.ur + self.n_ur
+
+
+class TensorCtx(NamedTuple):
+    k: jnp.ndarray
+    tca_on: jnp.ndarray
+    rsa_on: jnp.ndarray
+    bg_spline: object
+    th_spline: object
+    bidx: object
+    idx: TnIdx
+    rho_rel_extra: jnp.ndarray   # 3*sum_s p_ncdm columns? passed as 0 for now
+
+
+def _hier_deriv(Fv, k, tau, kap=None):
+    """Generic tensor hierarchy derivative for F_l, l=0..lmax, with the CLASS
+    variable convention (F0=delta, F1 s.t. theta=(3k/4)F1 handled by caller).
+    Used for the l>=3 tail; low moments are set explicitly by the caller."""
+    nl = Fv.shape[0]
+    ls = jnp.arange(0, nl, dtype=Fv.dtype)
+    Fm1 = jnp.concatenate([jnp.zeros((1,)), Fv[:-1]])
+    Fp1 = jnp.concatenate([Fv[1:], jnp.zeros((1,))])
+    d = k / (2.0 * ls + 1.0) * (ls * Fm1 - (ls + 1.0) * Fp1)
+    d = d.at[-1].set(k * Fv[-2] - (nl) / tau * Fv[-1])
+    if kap is not None:
+        d = d - kap * Fv
+    return d
+
+
+def rhs_full(tau, y, ctx: TensorCtx):
+    idx = ctx.idx
+    bidx = ctx.bidx
+    k = ctx.k
+    k2 = k * k
+    bgv = ctx.bg_spline.eval(jnp.log(tau))
+    thv = ctx.th_spline.eval(jnp.log(tau))
+    a = bgv[bidx["a"]]
+    aH = a * bgv[bidx["H"]]
+    a2 = a * a
+    rho_g = bgv[bidx["rho_g"]]
+    rho_ur = bgv[bidx["rho_ur"]]
+    kap = thv[ThIdx.ix["dkappa"]]
+    g = thv[ThIdx.ix["g"]]
+    emk = thv[ThIdx.ix["exp_m_kappa"]]
+
+    tca = ctx.tca_on
+    rsa = ctx.rsa_on
+    hier_on = (~tca) & (~rsa)
+
+    gw = y[idx.gw]
+    gwdot = y[idx.gwdot]
+    F = jax.lax.dynamic_slice(y, (idx.F,), (idx.n_F,))
+    G = jax.lax.dynamic_slice(y, (idx.G,), (idx.n_G,))
+    U = jax.lax.dynamic_slice(y, (idx.ur,), (idx.n_ur,))
+
+    delta_g, theta_g, shear_g = F[0], F[1], F[2]   # F[1] stores theta_g
+    delta_ur, theta_ur, shear_ur = U[0], U[1], U[2]
+
+    # gw source (perturb_total_stress_energy :6625-6650): in the default
+    # tm_massless_approximation, massive neutrinos contribute their
+    # relativistic part 3 p_ncdm to the driving density.
+    rho_rel = rho_ur
+    for i in range(idx.n_ncdm):
+        rho_rel = rho_rel + 3.0 * bgv[bidx[f"p_ncdm{i}"]]
+    gw_src_g = jnp.where(hier_on,
+                         -_SQRT6 * 4.0 * a2 * rho_g * (delta_g / 15.0 + 4.0 / 21.0 * shear_g + F[4] / 35.0),
+                         0.0)
+    gw_src_ur = -_SQRT6 * 4.0 * a2 * rho_rel * (delta_ur / 15.0 + 4.0 / 21.0 * shear_ur + U[4] / 35.0)
+    gw_pp = -2.0 * aH * gwdot - k2 * gw + gw_src_g + gw_src_ur
+
+    # tensor polarization combo P2 (perturb_derivs :9050-9062)
+    P2 = -(1.0 / _SQRT6) * (delta_g / 10.0 + 2.0 / 7.0 * shear_g + 3.0 / 70.0 * F[4]
+                            - 3.0 / 5.0 * G[0] + 6.0 / 7.0 * G[2] - 3.0 / 70.0 * G[4])
+
+    dy = jnp.zeros_like(y)
+    dy = dy.at[idx.gw].set(gwdot)
+    dy = dy.at[idx.gwdot].set(gw_pp)
+
+    # photon temperature hierarchy
+    dF = _hier_deriv(F, k, tau, kap)
+    dF = dF.at[0].set(-4.0 / 3.0 * theta_g - kap * (delta_g + _SQRT6 * P2) + _SQRT6 * gwdot)
+    dF = dF.at[1].set(k2 * (delta_g / 4.0 - shear_g) - kap * theta_g)
+    dF = dF.at[2].set(4.0 / 15.0 * theta_g - 3.0 / 10.0 * k * F[3] - kap * shear_g)
+    dF = dF.at[3].set(k / 7.0 * (6.0 * shear_g - 4.0 * F[4]) - kap * F[3])
+    dy = jax.lax.dynamic_update_slice(dy, jnp.where(hier_on, dF, jnp.zeros_like(dF)), (idx.F,))
+
+    # photon polarization
+    dG = _hier_deriv(G, k, tau, kap)
+    dG = dG.at[0].set(-k * G[1] - kap * (G[0] - _SQRT6 * P2))
+    dy = jax.lax.dynamic_update_slice(dy, jnp.where(hier_on, dG, jnp.zeros_like(dG)), (idx.G,))
+
+    # ur hierarchy (no scattering; evolved in both tensor methods)
+    dU = _hier_deriv(U, k, tau, None)
+    dU = dU.at[0].set(-4.0 / 3.0 * theta_ur + _SQRT6 * gwdot)
+    dU = dU.at[1].set(k2 * (delta_ur / 4.0 - shear_ur))
+    dU = dU.at[2].set(4.0 / 15.0 * theta_ur - 3.0 / 10.0 * k * U[3])
+    dU = dU.at[3].set(k / 7.0 * (6.0 * shear_ur - 4.0 * U[4]))
+    dy = jax.lax.dynamic_update_slice(dy, dU, (idx.ur,))
+
+    # sources (perturb_sources :7243-7273)
+    P_src = jnp.where(rsa, 0.0,
+                      jnp.where(tca, 2.0 / 5.0 * _SQRT6 * gwdot / kap, P2))
+    s_t2 = -gwdot * emk + g * P_src
+    s_p = _SQRT6 * g * P_src
+    return dy, (s_t2, s_p)
+
+
+def rhs(tau, y, ctx):
+    return rhs_full(tau, y, ctx)[0]
+
+
+def tensor_ic(idx: TnIdx, gw_ini: float = 1.0):
+    y = jnp.zeros((idx.size,))
+    return y.at[idx.gw].set(gw_ini / _SQRT6)
+
+
+def remap_tca_off(y, tau, ctx: TensorCtx):
+    """perturb_vector_init :4657: seed delta_g and G0 from gw'."""
+    idx = ctx.idx
+    thv = ctx.th_spline.eval(jnp.log(tau))
+    kap = thv[ThIdx.ix["dkappa"]]
+    gwdot = y[idx.gwdot]
+    y = y.at[idx.F + 0].set(-4.0 / 3.0 * gwdot / kap)
+    y = y.at[idx.G + 0].set(1.0 / 3.0 * gwdot / kap)
+    return y
+
+
+def remap_rsa_on(y, ctx: TensorCtx):
+    idx = ctx.idx
+    y = jax.lax.dynamic_update_slice(y, jnp.zeros((idx.n_F,)), (idx.F,))
+    y = jax.lax.dynamic_update_slice(y, jnp.zeros((idx.n_G,)), (idx.G,))
+    return y
+
+
+def solve_one_k(k, tau_ini, t_tca, t_ufa_unused, t_rsa, taus, bg_spline, th_spline,
+                bidx, idx, rtol):
+    """Integrate one tensor k-mode, emitting (S_T2, S_P) at every sample."""
+
+    def ctx_at(t):
+        return TensorCtx(k=k, tca_on=t < t_tca, rsa_on=t >= t_rsa,
+                         bg_spline=bg_spline, th_spline=th_spline, bidx=bidx,
+                         idx=idx, rho_rel_extra=jnp.asarray(0.0))
+
+    def segment(y, h, t_a, t_b):
+        c = ctx_at(0.5 * (t_a + t_b))
+        y, h, stats = rkck_integrate(rhs, y, t_a, t_b, c, rtol=rtol, atol=1e-11,
+                                     h0=h, max_steps=100000)
+        return y, h, stats.steps
+
+    def interval(y, h, t_a, t_b):
+        ts = jnp.sort(jnp.clip(jnp.stack([t_tca, t_rsa]), t_a, t_b))
+        bounds = jnp.concatenate([jnp.array([t_a]), ts, jnp.array([t_b])])
+        n = jnp.zeros((), jnp.int32)
+        for j in range(3):
+            y, h, nj = segment(y, h, bounds[j], bounds[j + 1])
+            n = n + nj
+            if j < 2:
+                bj = bounds[j + 1]
+                inside = (bj > t_a) & (bj < t_b)
+                y = jnp.where(inside & (t_tca == bj), remap_tca_off(y, bj, ctx_at(bj)), y)
+                y = jnp.where(inside & (t_rsa == bj), remap_rsa_on(y, ctx_at(bj)), y)
+        return y, h, n
+
+    y = tensor_ic(idx)
+    h = 0.1 * tau_ini
+    y, h, n0 = interval(y, h, tau_ini, taus[0])
+    _, s0 = rhs_full(taus[0], y, ctx_at(taus[0]))
+
+    def step(carry, tpair):
+        y, h, n = carry
+        t_a, t_b = tpair
+        y, h, nj = interval(y, h, t_a, t_b)
+        _, (s_t2, s_p) = rhs_full(t_b, y, ctx_at(t_b))
+        return (y, h, n + nj), jnp.stack([s_t2, s_p])
+
+    (_, _, ntot), srcs = jax.lax.scan(step, (y, h, n0), (taus[:-1], taus[1:]))
+    return jnp.concatenate([jnp.stack(s0)[None], srcs], axis=0), ntot
+
+
+@lru_cache(maxsize=4)
+def get_tensor_solver(bidx_key, idx, rtol):
+    from ..background import BgIdx
+
+    bidx = BgIdx(*bidx_key)
+    return jax.jit(jax.vmap(
+        partial(solve_one_k, bidx=bidx, idx=idx, rtol=rtol),
+        in_axes=(0, 0, 0, 0, 0, None, None, None)))
+
+
+class TensorResult(NamedTuple):
+    k: jnp.ndarray
+    tau: jnp.ndarray
+    sources: jnp.ndarray     # (nk, ntau, 2): S_T2, S_P
+    tau0: jnp.ndarray
+
+
+def compute_tensor_perturbations(params, pr: PrecisionParams, bg, bidx, th,
+                                 l_tensor_max: int = 500) -> TensorResult:
+    from .grids import get_k_list, get_k_schedule, get_tau_sampling
+
+    ks = get_k_list(params, pr, bg, th, l_scalar_max=l_tensor_max,
+                    k_max_for_pk=0.0, has_cls=True, has_pk=False)
+    taus = get_tau_sampling(params, pr, bg, bidx, th, has_cmb=True)
+    sched = get_k_schedule(ks, pr, bg, bidx, th, tau_first_sample=float(taus[0]))
+    idx = TnIdx(pr.l_max_g_ten, pr.l_max_pol_g_ten, pr.l_max_ur, params.N_ncdm)
+    solve = get_tensor_solver(bidx.key, idx, pr.tol_perturb_integration)
+    srcs, _ = solve(jnp.asarray(sched.k), jnp.asarray(sched.tau_ini),
+                    jnp.asarray(sched.tau_tca_off), jnp.asarray(sched.tau_ufa_on),
+                    jnp.asarray(sched.tau_rsa_on),
+                    jnp.asarray(taus), bg.lntau_spline, th.lntau_spline)
+    return TensorResult(k=jnp.asarray(ks), tau=jnp.asarray(taus), sources=srcs,
+                        tau0=bg.tau0)

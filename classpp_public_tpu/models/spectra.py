@@ -36,7 +36,8 @@ class SpectraResult(NamedTuple):
         return out
 
 
-def compute_spectra(tr: TransferResult, pm: PrimordialResult, l_max: int) -> SpectraResult:
+def compute_spectra(tr: TransferResult, pm: PrimordialResult, l_max: int,
+                    tr_tensor: TransferResult = None) -> SpectraResult:
     q = tr.q
     w = trapz_weights(q)
     pk = pm.scalar_pk(q)
@@ -66,5 +67,35 @@ def compute_spectra(tr: TransferResult, pm: PrimordialResult, l_max: int) -> Spe
     ells = jnp.arange(2, l_max + 1)
     d2 = spline_d2(l_f, cl_list)
     cl_all = spline_eval(l_f, cl_list, d2, ells.astype(jnp.float64))
+
+    if tr_tensor is not None:
+        # tensor contributions (spectra_compute_cl tensor branch: temperature
+        # uses Delta_t2 only; BB is purely tensor before lensing)
+        qt = tr_tensor.q
+        wt = trapz_weights(qt)
+        pk_h = pm.tensor_pk(qt)
+        meas_t = 4.0 * jnp.pi / qt * pk_h * wt
+        dt = tr_tensor.delta                  # (nl_t, 3, nq_t): t2, e, b
+        t2, e_t, b_t = dt[:, 0], dt[:, 1], dt[:, 2]
+
+        def quad_t(a, b):
+            return jnp.sum(meas_t[None, :] * a * b, axis=-1)
+
+        cl_t_list = jnp.stack([
+            quad_t(t2, t2),
+            quad_t(e_t, e_t),
+            quad_t(t2, e_t),
+            quad_t(b_t, b_t),
+            jnp.zeros((dt.shape[0],)),
+            jnp.zeros((dt.shape[0],)),
+            jnp.zeros((dt.shape[0],)),
+        ], axis=1)
+        lt_f = tr_tensor.l.astype(jnp.float64)
+        d2t = spline_d2(lt_f, cl_t_list)
+        l_t_max = tr_tensor.l[-1]
+        ells_f = ells.astype(jnp.float64)
+        cl_t_all = spline_eval(lt_f, cl_t_list, d2t, jnp.minimum(ells_f, lt_f[-1]))
+        cl_t_all = jnp.where((ells <= l_t_max)[:, None], cl_t_all, 0.0)
+        cl_all = cl_all + cl_t_all
 
     return SpectraResult(ell=ells, cl=cl_all, l_list=tr.l, cl_list=cl_list)

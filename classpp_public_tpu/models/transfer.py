@@ -244,3 +244,107 @@ def _transfer_scan(W, Sq, taus, tau0, qj, l_emit, emit_idx,
     acc = acc.at[:, 4, :].set(jnp.where(use_limber, d_limber, acc[:, 4, :]))
 
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Tensor transfer functions
+
+
+TT_TYPES_TENSOR = ["t2", "e", "b"]
+
+
+@lru_cache(maxsize=8)
+def _transfer_tensor_core(lmax_scan: int, n_l: int, nq: int, ntau: int):
+    def core(W, taus, tau0, qj, l_emit, emit_idx):
+        return _tensor_scan(W, taus, tau0, qj, l_emit, emit_idx, lmax_scan, n_l, nq)
+
+    return jax.jit(core)
+
+
+def compute_transfer_tensor(tpert, th, pr: PrecisionParams, l_max: int) -> TransferResult:
+    """Tensor Delta_l^{T2,E,B}(q): Bessel-recurrence scan with the tensor
+    radial functions (transfer_radial_function TENSOR_* cases,
+    transfer_module.cpp:3480-3540)."""
+    tau0 = float(tpert.tau0)
+    ls = get_l_list(pr, l_max)
+    k = np.asarray(tpert.k)
+    q = get_q_list(pr, float(k[0]), float(k[-1]), tau0, float(th.tau_rec))
+
+    taus = tpert.tau
+    S = tpert.sources                          # (nk, ntau, 2)
+    dt = jnp.diff(taus)
+    z = jnp.zeros((1,))
+    w_tau = jnp.concatenate([dt / 2, z]) + jnp.concatenate([z, dt / 2])
+
+    lnk = jnp.log(jnp.asarray(k))
+    y = S.reshape(S.shape[0], -1)
+    d2 = spline_d2(lnk, y)
+    yq = spline_eval(lnk, y, d2, jnp.log(jnp.asarray(q)))
+    Sq = yq.reshape(len(q), S.shape[1], 2).transpose(2, 0, 1)   # (2, nq, ntau)
+    W = Sq * w_tau[None, None, :]
+
+    lmax_scan = int(ls[-1])
+    emit_idx_np = np.full(lmax_scan + 1, -1, dtype=np.int32)
+    for i, lv in enumerate(ls):
+        emit_idx_np[lv] = i
+    core = _transfer_tensor_core(lmax_scan, len(ls), len(q), W.shape[-1])
+    acc = core(W, taus, tpert.tau0, jnp.asarray(q), jnp.asarray(ls),
+               jnp.asarray(emit_idx_np))
+    return TransferResult(l=jnp.asarray(ls), q=jnp.asarray(q), delta=acc, tau0=tpert.tau0)
+
+
+def _tensor_scan(W, taus, tau0, qj, l_emit, emit_idx, lmax_scan, n_l, nq):
+    chi = tau0 - taus
+    x = jnp.maximum(qj[:, None] * chi[None, :], 1e-12)
+    inv_x = 1.0 / x
+    small = x < 0.3
+    x2 = x * x
+    j0 = jnp.where(small, 1.0 - x2 / 6.0 * (1.0 - x2 / 20.0 * (1.0 - x2 / 42.0)),
+                   jnp.sin(x) * inv_x)
+    j1 = jnp.where(small, x / 3.0 * (1.0 - x2 / 10.0 * (1.0 - x2 / 28.0)),
+                   (jnp.sin(x) * inv_x - jnp.cos(x)) * inv_x)
+
+    t2_fac = jnp.sqrt(3.0 / 8.0 * (l_emit + 2.0) * (l_emit + 1.0) * l_emit * (l_emit - 1.0))
+
+    def body(carry, l_int):
+        jm1, jm2, acc = carry
+        l = l_int.astype(x.dtype)
+        jl = (2.0 * l - 1.0) * inv_x * jm1 - jm2
+        mask = l <= x + 6.0 * jnp.cbrt(x) + 2.0
+        jl = jnp.where(mask, jl, 0.0)
+        ei = emit_idx[l_int]
+
+        def do_emit(acc):
+            lnx = jnp.log(x)
+            ln2 = math.log(2.0)
+            lndf = gammaln(2.0 * l + 2.0) - l * ln2 - gammaln(l + 1.0)
+            lndf1 = gammaln(2.0 * l + 4.0) - (l + 1.0) * ln2 - gammaln(l + 2.0)
+            c1 = 2.0 * l + 3.0
+            corr = 1.0 - x2 / (2.0 * c1) * (1.0 - x2 / (4.0 * (c1 + 2.0))
+                                            * (1.0 - x2 / (6.0 * (c1 + 4.0))))
+            c1b = 2.0 * l + 5.0
+            corr1 = 1.0 - x2 / (2.0 * c1b) * (1.0 - x2 / (4.0 * (c1b + 2.0))
+                                              * (1.0 - x2 / (6.0 * (c1b + 4.0))))
+            js = jnp.exp(l * lnx - lndf) * corr
+            js1 = jnp.exp((l + 1.0) * lnx - lndf1) * corr1
+            use_series = x < 1.0
+            jl_e = jnp.where(use_series, js, jl)
+            jp_e = jnp.where(use_series, l * inv_x * js - js1, jm1 - (l + 1.0) * inv_x * jl)
+            jpp = -2.0 * inv_x * jp_e - (1.0 - l * (l + 1.0) * inv_x * inv_x) * jl_e
+            # tensor radial functions, flat K=0 (transfer_module.cpp:3480-3540)
+            rad_t2 = t2_fac[ei] * jl_e * inv_x * inv_x
+            rad_e = 0.25 * (jpp + 4.0 * inv_x * jp_e - (1.0 - 2.0 * inv_x * inv_x) * jl_e)
+            rad_b = 0.5 * (jp_e + 2.0 * inv_x * jl_e)
+            d_t2 = jnp.sum(W[0] * rad_t2, axis=-1)
+            d_e = jnp.sum(W[1] * rad_e, axis=-1)
+            d_b = jnp.sum(W[1] * rad_b, axis=-1)
+            row = jnp.stack([d_t2, d_e, d_b], axis=0)
+            z32 = jnp.zeros((), ei.dtype)
+            return jax.lax.dynamic_update_slice(acc, row[None], (ei, z32, z32))
+
+        acc = jax.lax.cond(ei >= 0, do_emit, lambda a: a, acc)
+        return (jl, jm1, acc), None
+
+    acc0 = jnp.zeros((n_l, 3, nq))
+    (_, _, acc), _ = jax.lax.scan(body, (j1, j0, acc0), jnp.arange(2, lmax_scan + 1))
+    return acc

@@ -21,16 +21,18 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-# Cash-Karp tableau
+# Cash-Karp tableau (A as a dense lower-triangular matrix so the six stages
+# run as ONE lax.scan — the RHS then appears exactly once in the compiled
+# graph instead of six times, which matters a lot for XLA compile time)
 _CK_C = jnp.array([0.0, 1 / 5, 3 / 10, 3 / 5, 1.0, 7 / 8])
-_CK_A = [
-    [],
-    [1 / 5],
-    [3 / 40, 9 / 40],
-    [3 / 10, -9 / 10, 6 / 5],
-    [-11 / 54, 5 / 2, -70 / 27, 35 / 27],
-    [1631 / 55296, 175 / 512, 575 / 13824, 44275 / 110592, 253 / 4096],
-]
+_CK_A_MAT = jnp.array([
+    [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    [1 / 5, 0.0, 0.0, 0.0, 0.0, 0.0],
+    [3 / 40, 9 / 40, 0.0, 0.0, 0.0, 0.0],
+    [3 / 10, -9 / 10, 6 / 5, 0.0, 0.0, 0.0],
+    [-11 / 54, 5 / 2, -70 / 27, 35 / 27, 0.0, 0.0],
+    [1631 / 55296, 175 / 512, 575 / 13824, 44275 / 110592, 253 / 4096, 0.0],
+])
 _CK_B5 = jnp.array([37 / 378, 0.0, 250 / 621, 125 / 594, 0.0, 512 / 1771])
 _CK_B4 = jnp.array([2825 / 27648, 0.0, 18575 / 48384, 13525 / 55296, 277 / 14336, 1 / 4])
 
@@ -40,21 +42,19 @@ _MAX_SCALE = 5.0
 
 
 def rkck_step(rhs: Callable, t, y, h, args):
-    """One Cash-Karp embedded step. Returns (y5, err_ratio) where err_ratio is
-    max |err| / tol scale left to the caller."""
-    k1 = rhs(t, y, args)
-    k2 = rhs(t + _CK_C[1] * h, y + h * (_CK_A[1][0] * k1), args)
-    k3 = rhs(t + _CK_C[2] * h, y + h * (_CK_A[2][0] * k1 + _CK_A[2][1] * k2), args)
-    k4 = rhs(t + _CK_C[3] * h, y + h * (_CK_A[3][0] * k1 + _CK_A[3][1] * k2 + _CK_A[3][2] * k3), args)
-    k5 = rhs(t + _CK_C[4] * h, y + h * (_CK_A[4][0] * k1 + _CK_A[4][1] * k2 + _CK_A[4][2] * k3 + _CK_A[4][3] * k4), args)
-    k6 = rhs(
-        t + _CK_C[5] * h,
-        y + h * (_CK_A[5][0] * k1 + _CK_A[5][1] * k2 + _CK_A[5][2] * k3 + _CK_A[5][3] * k4 + _CK_A[5][4] * k5),
-        args,
-    )
-    y5 = y + h * (_CK_B5[0] * k1 + _CK_B5[2] * k3 + _CK_B5[3] * k4 + _CK_B5[5] * k6)
-    y4 = y + h * (_CK_B4[0] * k1 + _CK_B4[2] * k3 + _CK_B4[3] * k4 + _CK_B4[4] * k5 + _CK_B4[5] * k6)
-    return y5, y5 - y4, k1
+    """One Cash-Karp embedded step as a scan over the six stages.
+    Returns (y5, err, k1)."""
+
+    def stage(K, i):
+        y_i = y + h * jnp.tensordot(_CK_A_MAT[i], K, axes=1)
+        k_i = rhs(t + _CK_C[i] * h, y_i, args)
+        return K.at[i].set(k_i), None
+
+    K0 = jnp.zeros((6,) + y.shape, y.dtype)
+    K, _ = jax.lax.scan(stage, K0, jnp.arange(6))
+    y5 = y + h * jnp.tensordot(_CK_B5, K, axes=1)
+    y4 = y + h * jnp.tensordot(_CK_B4, K, axes=1)
+    return y5, y5 - y4, K[0]
 
 
 class OdeStats(NamedTuple):

@@ -40,7 +40,7 @@ def pad_to_multiple(arr: np.ndarray, m: int, axis: int = 0, pad_value=None):
     return out, n
 
 
-def sharded_solve(mesh: Mesh, solve_one_k, k, tau_ini, t_tca, t_ufa, t_rsa):
+def sharded_solve(mesh: Mesh, solve_one_k, k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa):
     """Run the vmapped per-k solve with the k axis sharded over the mesh.
 
     solve_one_k: the closure from models/perturbations/solve.py with
@@ -49,18 +49,18 @@ def sharded_solve(mesh: Mesh, solve_one_k, k, tau_ini, t_tca, t_ufa, t_rsa):
     result unsharded) before the transfer stage.
     """
     nd = mesh.devices.size
-    arrs = [np.asarray(a) for a in (k, tau_ini, t_tca, t_ufa, t_rsa)]
+    arrs = [np.asarray(a) for a in (k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa)]
     padded = [pad_to_multiple(a, nd)[0] for a in arrs]
     n_orig = len(arrs[0])
 
     vsolve = jax.vmap(solve_one_k)
 
-    def local(k_, ti_, tc_, tu_, tr_):
-        return vsolve(k_, ti_, tc_, tu_, tr_)
+    def local(k_, ti_, tc_, tu_, tr_, tn_):
+        return vsolve(k_, ti_, tc_, tu_, tr_, tn_)
 
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("k"), P("k"), P("k"), P("k"), P("k")),
+        in_specs=(P("k"), P("k"), P("k"), P("k"), P("k"), P("k")),
         out_specs=(P("k"), P("k")),
     ))
     srcs, steps = fn(*[jnp.asarray(a) for a in padded])

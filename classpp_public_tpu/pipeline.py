@@ -39,6 +39,7 @@ class OutputSelection:
     z_max_pk: float = 5.0
     non_linear: str = ""        # "", "halofit"
     modes: tuple = ("s",)
+    l_tensor_max: int = 500
 
     @property
     def has_cls(self) -> bool:
@@ -57,6 +58,7 @@ class Cosmology:
         self.params = params
         self.pr = precision or PrecisionParams()
         self.out = output or OutputSelection()
+        self.sigma8_target = None
         self._cache = {}
 
     # --- stages ------------------------------------------------------------
@@ -116,7 +118,20 @@ class Cosmology:
         if "pm" not in self._cache:
             from .models.primordial import compute_primordial
 
-            self._cache["pm"] = compute_primordial(self.params)
+            pm = compute_primordial(self.params)
+            if self.sigma8_target is not None:
+                # sigma8 -> A_s rescaling (reference Cosmology::GetPrimordialModule,
+                # cosmology.cpp:39-54). The source functions are A_s-independent
+                # (normalized to curvature_ini), so this costs one sigma integral.
+                from .models.nonlinear import pk_linear_at_z, sigma_R
+
+                bg, _ = self.background
+                pert = self.perturbations
+                pk0 = pk_linear_at_z(pert, bg, pm, 0.0)
+                s8 = float(sigma_R(pert.k, pk0, 8.0 / self.params.h)[0])
+                new_As = float(pm.A_s) * (self.sigma8_target / s8) ** 2
+                pm = compute_primordial(self.params.replace(A_s=new_As))
+            self._cache["pm"] = pm
         return self._cache["pm"]
 
     @property
@@ -129,6 +144,27 @@ class Cosmology:
                 self.perturbations, bg, bidx, self.primordial, self.pr,
                 self.params, z_pk=self.out.z_pk)
         return self._cache["nl"]
+
+    @property
+    def tensor_perturbations(self):
+        if "tpt" not in self._cache:
+            from .models.perturbations.tensors import compute_tensor_perturbations
+
+            bg, bidx = self.background
+            self._cache["tpt"] = compute_tensor_perturbations(
+                self.params, self.pr, bg, bidx, self.thermodynamics,
+                l_tensor_max=self.out.l_tensor_max)
+        return self._cache["tpt"]
+
+    @property
+    def tensor_transfer(self):
+        if "ttr" not in self._cache:
+            from .models.transfer import compute_transfer_tensor
+
+            self._cache["ttr"] = compute_transfer_tensor(
+                self.tensor_perturbations, self.thermodynamics, self.pr,
+                l_max=self.out.l_tensor_max)
+        return self._cache["ttr"]
 
     @property
     def transfer(self):
@@ -145,8 +181,10 @@ class Cosmology:
         if "sp" not in self._cache:
             from .models.spectra import compute_spectra
 
+            tr_tensor = self.tensor_transfer if "t" in self.out.modes else None
             self._cache["sp"] = compute_spectra(self.transfer, self.primordial,
-                                                l_max=self.l_max_internal)
+                                                l_max=self.l_max_internal,
+                                                tr_tensor=tr_tensor)
         return self._cache["sp"]
 
     @property

@@ -40,8 +40,8 @@ def sources_at_koutput(pipeline):
     solve = ps.get_batch_solver(bidx.key, idx, pr.tol_perturb_integration)
     srcs, nsteps = solve(jnp.asarray(sched.k), jnp.asarray(sched.tau_ini),
                          jnp.asarray(sched.tau_tca_off), jnp.asarray(sched.tau_ufa_on),
-                         jnp.asarray(sched.tau_rsa_on),
-                         jnp.asarray(taus), bg.lntau_spline, th.lntau_spline)
+                         jnp.asarray(sched.tau_rsa_on), jnp.asarray(sched.tau_ncdmfa_on),
+                         jnp.asarray(taus), bg.lntau_spline, th.lntau_spline, None)
     return taus, np.asarray(srcs), np.asarray(nsteps)
 
 
