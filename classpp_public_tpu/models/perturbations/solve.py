@@ -81,69 +81,72 @@ class PerturbResult(NamedTuple):
 
 def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline, ncdm, bidx, idx, rtol):
     """Integrate one k-mode over all sampling intervals, emitting sources.
-    Designed to be vmapped over k; bg_spline/th_spline are the runtime
-    uniform-ln(tau) tables (traced pytrees, so one jit covers every cosmology
-    with matching shapes — essential for MCMC-style reuse)."""
+
+    ONE lax.while_loop per interval: approximation flags are evaluated per
+    step from the current time, steps are clipped so they never straddle a
+    switch time, and the state remaps fire inside the loop when a step lands
+    on a switch boundary. (A single loop keeps the compiled graph small: the
+    RHS appears once per interval instead of once per sub-segment.)
+    """
+    from ...ops.ode import rkck_step
+
+    switch_list = [t_tca, t_ufa, t_rsa] + ([t_ncfa] if idx.n_ncdm else [])
+    switches = jnp.stack(switch_list)
 
     def ctx_at(t):
         return eq.PertCtx(k=k, tca_on=t < t_tca, rsa_on=t >= t_rsa, ufa_on=t >= t_ufa,
                           bg_spline=bg_spline, th_spline=th_spline, bidx=bidx, idx=idx,
                           ncdmfa_on=t >= t_ncfa, ncdm=ncdm)
 
-    def integrate_segment(y, h, t_a, t_b, t_mid):
-        c = ctx_at(t_mid)
-        # absolute floor: the state is normalized to curvature_ini ~ O(1),
-        # so errors below ~1e-11 are physically irrelevant; without the floor
-        # the pure-relative control wastes steps resolving hierarchy moments
-        # that start at exactly zero.
-        y, h, stats = rkck_integrate(eq.rhs, y, t_a, t_b, c, rtol=rtol, atol=1e-11,
-                                     h0=h, max_steps=100000)
-        return y, h, stats.steps
+    def integrate_interval(y, h, t_a, t_b):
+        def cond(st):
+            t, y, h, n, done = st
+            return jnp.logical_and(~done, n < 100000)
 
-    n_switch = 4 if idx.n_ncdm else 3
-
-    def interval_with_switches(y, h, t_a, t_b):
-        """Integrate [t_a, t_b]; split at any approximation switch inside and
-        apply the corresponding state remap at the crossing."""
-        switches = [t_tca, t_ufa, t_rsa] + ([t_ncfa] if idx.n_ncdm else [])
-        ts = jnp.sort(jnp.clip(jnp.stack(switches), t_a, t_b))
-        bounds = jnp.concatenate([jnp.array([t_a]), ts, jnp.array([t_b])])
-        nsteps = jnp.zeros((), jnp.int32)
-
-        def apply_remaps(y, bj):
-            inside = jnp.logical_and(bj > t_a, bj < t_b)
-
-            def maybe(cond, new, old):
-                return jnp.where(jnp.logical_and(inside, cond), new, old)
-
-            y = maybe(t_tca == bj, eq.remap_tca_off(y, bj, ctx_at(bj)), y)
-            y = maybe(t_ufa == bj, eq.remap_ufa_on(y, ctx_at(bj)), y)
-            y = maybe(t_rsa == bj, eq.remap_rsa_on(y, ctx_at(bj)), y)
+        def body(st):
+            t, y, h, n, done = st
+            # never step across a switch boundary
+            cand = jnp.where(switches > t * (1.0 + 1e-14), switches, jnp.inf)
+            t_stop = jnp.minimum(jnp.min(cand), t_b)
+            h_eff = jnp.minimum(h, t_stop - t)
+            c = ctx_at(t)
+            y_new, err, k1 = rkck_step(eq.rhs, t, y, h_eff, c)
+            scale = rtol * (jnp.abs(y) + jnp.abs(h_eff * k1) + 1e-30) + 1e-11
+            ratio = jnp.max(jnp.abs(err) / scale)
+            ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.inf)
+            accept = ratio <= 1.0
+            fac = jnp.clip(0.9 * jnp.where(ratio > 0, ratio ** -0.2, 5.0), 0.2, 5.0)
+            clipped = h_eff < h
+            h_next = jnp.where(accept & clipped, jnp.maximum(h, h_eff * fac), h_eff * fac)
+            t_new = jnp.where(accept, t + h_eff, t)
+            y_out = jnp.where(accept, y_new, y)
+            # state remaps when landing on a switch boundary
+            crossed = accept & (t_new >= switches) & (t < switches)
+            y_out = jnp.where(crossed[0], eq.remap_tca_off(y_out, t_new, ctx_at(t_new)), y_out)
+            y_out = jnp.where(crossed[1], eq.remap_ufa_on(y_out, ctx_at(t_new)), y_out)
+            y_out = jnp.where(crossed[2], eq.remap_rsa_on(y_out, ctx_at(t_new)), y_out)
             if idx.n_ncdm:
-                y = maybe(t_ncfa == bj, eq.remap_ncdmfa_on(y, bj, ctx_at(bj)), y)
-            return y
+                y_out = jnp.where(crossed[3], eq.remap_ncdmfa_on(y_out, t_new, ctx_at(t_new)), y_out)
+            done_new = t_new >= t_b * (1.0 - 1e-15)
+            return (t_new, y_out, jnp.maximum(h_next, 1e-300), n + 1, done_new)
 
-        for j in range(n_switch + 1):
-            t0s, t1s = bounds[j], bounds[j + 1]
-            y, h, ns = integrate_segment(y, h, t0s, t1s, 0.5 * (t0s + t1s))
-            nsteps = nsteps + ns
-            if j < n_switch:
-                y = apply_remaps(y, t1s)
-        return y, h, nsteps
+        n0 = (t_a * 0).astype(jnp.int32)
+        st = (t_a, y, h, n0, t_b <= t_a)
+        t, y, h, n, _ = jax.lax.while_loop(cond, body, st)
+        return y, h, n
 
     # initial conditions at tau_ini (always deep in tight coupling)
-    ctx0 = ctx_at(tau_ini)
-    y0 = eq.adiabatic_ic(k, tau_ini, ctx0)
+    y0 = eq.adiabatic_ic(k, tau_ini, ctx_at(tau_ini))
     h0 = 0.1 * tau_ini
 
     # pre-phase up to the first sampling point
-    y, h, n0 = interval_with_switches(y0, h0, tau_ini, taus[0])
+    y, h, n0 = integrate_interval(y0, h0, tau_ini, taus[0])
     src0 = eq.compute_sources(taus[0], y, ctx_at(taus[0]))
 
     def step(carry, tpair):
         y, h, ns = carry
         t_a, t_b = tpair
-        y, h, n = interval_with_switches(y, h, t_a, t_b)
+        y, h, n = integrate_interval(y, h, t_a, t_b)
         src = eq.compute_sources(t_b, y, ctx_at(t_b))
         return (y, h, ns + n), src
 

@@ -205,42 +205,56 @@ def remap_rsa_on(y, ctx: TensorCtx):
 
 def solve_one_k(k, tau_ini, t_tca, t_ufa_unused, t_rsa, taus, bg_spline, th_spline,
                 bidx, idx, rtol):
-    """Integrate one tensor k-mode, emitting (S_T2, S_P) at every sample."""
+    """Integrate one tensor k-mode, emitting (S_T2, S_P) at every sample.
+    Single while_loop per interval with per-step flags (see scalar solver)."""
+    from ...ops.ode import rkck_step
+
+    switches = jnp.stack([t_tca, t_rsa])
 
     def ctx_at(t):
         return TensorCtx(k=k, tca_on=t < t_tca, rsa_on=t >= t_rsa,
                          bg_spline=bg_spline, th_spline=th_spline, bidx=bidx,
                          idx=idx, rho_rel_extra=jnp.asarray(0.0))
 
-    def segment(y, h, t_a, t_b):
-        c = ctx_at(0.5 * (t_a + t_b))
-        y, h, stats = rkck_integrate(rhs, y, t_a, t_b, c, rtol=rtol, atol=1e-11,
-                                     h0=h, max_steps=100000)
-        return y, h, stats.steps
+    def integrate_interval(y, h, t_a, t_b):
+        def cond(st):
+            t, y, h, n, done = st
+            return jnp.logical_and(~done, n < 100000)
 
-    def interval(y, h, t_a, t_b):
-        ts = jnp.sort(jnp.clip(jnp.stack([t_tca, t_rsa]), t_a, t_b))
-        bounds = jnp.concatenate([jnp.array([t_a]), ts, jnp.array([t_b])])
-        n = jnp.zeros((), jnp.int32)
-        for j in range(3):
-            y, h, nj = segment(y, h, bounds[j], bounds[j + 1])
-            n = n + nj
-            if j < 2:
-                bj = bounds[j + 1]
-                inside = (bj > t_a) & (bj < t_b)
-                y = jnp.where(inside & (t_tca == bj), remap_tca_off(y, bj, ctx_at(bj)), y)
-                y = jnp.where(inside & (t_rsa == bj), remap_rsa_on(y, ctx_at(bj)), y)
+        def body(st):
+            t, y, h, n, done = st
+            cand = jnp.where(switches > t * (1.0 + 1e-14), switches, jnp.inf)
+            t_stop = jnp.minimum(jnp.min(cand), t_b)
+            h_eff = jnp.minimum(h, t_stop - t)
+            y_new, err, k1 = rkck_step(rhs, t, y, h_eff, ctx_at(t))
+            scale = rtol * (jnp.abs(y) + jnp.abs(h_eff * k1) + 1e-30) + 1e-11
+            ratio = jnp.max(jnp.abs(err) / scale)
+            ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.inf)
+            accept = ratio <= 1.0
+            fac = jnp.clip(0.9 * jnp.where(ratio > 0, ratio ** -0.2, 5.0), 0.2, 5.0)
+            clipped = h_eff < h
+            h_next = jnp.where(accept & clipped, jnp.maximum(h, h_eff * fac), h_eff * fac)
+            t_new = jnp.where(accept, t + h_eff, t)
+            y_out = jnp.where(accept, y_new, y)
+            crossed = accept & (t_new >= switches) & (t < switches)
+            y_out = jnp.where(crossed[0], remap_tca_off(y_out, t_new, ctx_at(t_new)), y_out)
+            y_out = jnp.where(crossed[1], remap_rsa_on(y_out, ctx_at(t_new)), y_out)
+            done_new = t_new >= t_b * (1.0 - 1e-15)
+            return (t_new, y_out, jnp.maximum(h_next, 1e-300), n + 1, done_new)
+
+        n0 = (t_a * 0).astype(jnp.int32)
+        t, y, h, n, _ = jax.lax.while_loop(cond, body, (t_a, y, h, n0, t_b <= t_a))
         return y, h, n
 
     y = tensor_ic(idx)
     h = 0.1 * tau_ini
-    y, h, n0 = interval(y, h, tau_ini, taus[0])
+    y, h, n0 = integrate_interval(y, h, tau_ini, taus[0])
     _, s0 = rhs_full(taus[0], y, ctx_at(taus[0]))
 
     def step(carry, tpair):
         y, h, n = carry
         t_a, t_b = tpair
-        y, h, nj = interval(y, h, t_a, t_b)
+        y, h, nj = integrate_interval(y, h, t_a, t_b)
         _, (s_t2, s_p) = rhs_full(t_b, y, ctx_at(t_b))
         return (y, h, n + nj), jnp.stack([s_t2, s_p])
 
