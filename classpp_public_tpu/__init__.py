@@ -10,9 +10,22 @@ fused contractions.
 Double precision is required for sub-permille C_ell accuracy.
 """
 
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the Boltzmann solver graph is large and its
+# compile is the dominant one-time cost on TPU; cache it across processes.
+_cache_dir = _os.environ.get("CLASSPP_TPU_CACHE",
+                             _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 
 from .config.params import CosmoParams  # noqa: E402
 from .config.precision import PrecisionParams  # noqa: E402

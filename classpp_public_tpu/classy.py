@@ -164,9 +164,22 @@ class Class:
             if "n_t" not in kw:
                 r_val = kw.get("r", 0.0)
                 kw["n_t"] = -r_val / 8.0 * (2.0 - r_val / 8.0 - kw.get("n_s", 0.9660499))
-        ic = str(p.pop("ic", "ad"))
-        if ic.strip() != "ad":
-            raise CosmoSevereError("only adiabatic initial conditions implemented so far")
+        ics = tuple(x.strip() for x in str(p.pop("ic", "ad")).replace(",", " ").split())
+        for icn in ics:
+            if icn not in ("ad", "cdi", "bi", "nid", "niv"):
+                raise CosmoSevereError(f"unknown initial condition {icn!r}")
+        out.ics = ics
+        self._iso_primordial = {}
+        for icn in ("cdi", "bi", "nid", "niv"):
+            if icn in ics:
+                f = float(p.pop(f"f_{icn}", 1.0))
+                n = float(p.pop(f"n_{icn}", 1.0))
+                self._iso_primordial[icn] = (f, n)
+        for key in list(p.keys()):
+            if key.startswith("c_ad_") or key.startswith("n_ad_"):
+                if float(p[key]) != 0.0:
+                    raise CosmoSevereError("correlated isocurvature not yet implemented")
+                p.pop(key)
 
         # precision overrides
         pr = PrecisionParams()
@@ -205,6 +218,7 @@ class Class:
             params = self._shoot_theta_s(params, pr, theta_target)
         cosmo = Cosmology(params, pr, out)
         cosmo.sigma8_target = sigma8_target
+        cosmo.iso_primordial = getattr(self, "_iso_primordial", {}) or None
         return cosmo
 
     @staticmethod

@@ -60,6 +60,8 @@ class PertCtx(NamedTuple):
     idx: PtIdx
     ncdmfa_on: jnp.ndarray = jnp.asarray(False)  # ncdm fluid approximation
     ncdm: object = None   # NcdmCtx when idx.n_ncdm > 0
+    wa_fld: float = 0.0
+    cs2_fld: float = 1.0
 
 
 class Locals(NamedTuple):
@@ -183,6 +185,19 @@ def rhs_full(tau, y, ctx: PertCtx):
         rho_plus_p_theta = rho_plus_p_theta + jnp.sum(rpt_nc)
         rho_plus_p_shear = rho_plus_p_shear + jnp.sum(rps_nc)
         delta_p = delta_p + jnp.sum(dp_nc)
+    if idx.has_fld:
+        rho_fld = bgv[bidx["rho_fld"]]
+        w_fld = bgv[bidx["w_fld"]]
+        d_fld = y[idx.delta_fld]
+        t_fld = y[idx.theta_fld]
+        # CLP: dw/da = -wa  =>  w' = -wa a' = -wa a^2 H
+        w_prime_fld = -ctx.wa_fld * aH * a
+        ca2_fld = w_fld - w_prime_fld / (3.0 * (1.0 + w_fld) * aH)
+        cs2_fld = ctx.cs2_fld
+        delta_rho = delta_rho + rho_fld * d_fld
+        rho_plus_p_theta = rho_plus_p_theta + (1.0 + w_fld) * rho_fld * t_fld
+        delta_p = delta_p + cs2_fld * rho_fld * d_fld \
+            + 3.0 * aH * (cs2_fld - ca2_fld) * (1.0 + w_fld) * rho_fld * t_fld / k2
 
     # --- Einstein 00: h' (perturb_einstein :5911)
     h_prime = (k2 * eta + 1.5 * a2 * delta_rho) / (0.5 * aH)
@@ -358,6 +373,16 @@ def rhs_full(tau, y, ctx: PertCtx):
         dPsi = jnp.where(ncdmfa, dPsi_fl, dPsi)
         dy = jax.lax.dynamic_update_slice(dy, dPsi.reshape(-1), (idx.ncdm,))
 
+    # dark-energy fluid (perturb_derivs fld block, non-PPF)
+    if idx.has_fld:
+        dy = dy.at[idx.delta_fld].set(
+            -(1.0 + w_fld) * (t_fld + metric_continuity)
+            - 3.0 * (cs2_fld - w_fld) * aH * d_fld
+            - 9.0 * (1.0 + w_fld) * (cs2_fld - ca2_fld) * aH * aH * t_fld / k2)
+        dy = dy.at[idx.theta_fld].set(
+            -(1.0 - 3.0 * cs2_fld) * aH * t_fld
+            + cs2_fld * k2 / (1.0 + w_fld) * d_fld)
+
     # metric
     dy = dy.at[idx.eta].set(eta_prime)
 
@@ -451,6 +476,14 @@ def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
     y = y.at[idx.shear_ur].set(shear_ur)
     y = y.at[idx.F_ur].set(l3_ur)
     y = y.at[idx.eta].set(eta)
+    if idx.has_fld:
+        # from 1004.5509 (perturb_initial_conditions :4895-4900)
+        w0 = ctx.bg_spline.eval(jnp.log(tau))[ctx.bidx["w_fld"]]
+        cs2 = ctx.cs2_fld
+        y = y.at[idx.delta_fld].set(-ktau2 / 4.0 * (1.0 + w0) * (4.0 - 3.0 * cs2)
+                                    / (4.0 - 6.0 * w0 + 3.0 * cs2) * curvature_ini)
+        y = y.at[idx.theta_fld].set(-k * ktau3 / 4.0 * cs2
+                                    / (4.0 - 6.0 * w0 + 3.0 * cs2) * curvature_ini)
     if idx.n_ncdm:
         # relativistic ncdm ICs (perturb_initial_conditions :5249-5252):
         # Psi_l = (ur multipole) * coefficient * dlnf0/dlnq
@@ -465,6 +498,113 @@ def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
         Psi = Psi.at[:, :, 3].set(-0.25 * l3_ur * dl0)
         y = jax.lax.dynamic_update_slice(y, Psi.reshape(-1), (idx.ncdm,))
     return y
+
+
+def isocurvature_ic(kind, k, tau, ctx: PertCtx, entropy_ini=1.0):
+    """Isocurvature initial conditions (Bucher-Moodley-Turok 99 conventions;
+    reference perturb_initial_conditions :4946-5085): kind in
+    {"cdi", "bi", "nid", "niv"}. Flat case."""
+    idx = ctx.idx
+    bidx = ctx.bidx
+    bgv = ctx.bg_spline.eval(jnp.log(tau))
+    a = bgv[bidx["a"]]
+    rho_g = bgv[bidx["rho_g"]]
+    rho_b = bgv[bidx["rho_b"]]
+    rho_cdm = bgv[bidx["rho_cdm"]]
+    rho_ur = bgv[bidx["rho_ur"]]
+    if idx.n_ncdm:
+        for i in range(idx.n_ncdm):
+            rho_ur = rho_ur + bgv[bidx[f"rho_ncdm{i}"]]
+    rho_r = rho_g + rho_ur
+    rho_m = rho_b + rho_cdm
+    fracnu = rho_ur / rho_r
+    fracg = rho_g / rho_r
+    fracb = rho_b / rho_m
+    fraccdm = 1.0 - fracb
+    om = a * rho_m / jnp.sqrt(rho_r)
+    kt = k * tau
+    kt2 = kt * kt
+    e = entropy_ini
+
+    zero = jnp.zeros(())
+    dg = tg = db = tb = dc = dur = tur = sur = eta = zero
+
+    if kind == "cdi":
+        dg = e * fraccdm * om * tau * (-2.0 / 3.0 + om * tau / 4.0)
+        tg = -e * fraccdm * om * kt2 / 12.0
+        db = 0.75 * dg
+        tb = tg
+        dc = e + 0.75 * dg
+        dur = dg
+        tur = tg
+        sur = -e * fraccdm * kt2 * tau * om / 6.0 / (2.0 * fracnu + 15.0)
+        eta = -e * fraccdm * om * tau * (1.0 / 6.0 - om * tau / 16.0)
+    elif kind == "bi":
+        dg = e * fracb * om * tau * (-2.0 / 3.0 + om * tau / 4.0)
+        tg = -e * fracb * om * kt2 / 12.0
+        db = e + 0.75 * dg
+        tb = tg
+        dc = 0.75 * dg
+        dur = dg
+        tur = tg
+        sur = -e * fracb * kt2 * tau * om / 6.0 / (2.0 * fracnu + 15.0)
+        eta = -e * fracb * om * tau * (1.0 / 6.0 - om * tau / 16.0)
+    elif kind == "nid":
+        dg = e * fracnu / fracg * (-1.0 + kt2 / 6.0)
+        tg = -e * fracnu / fracg * k * k * tau * (0.25 - fracb / fracg * 3.0 / 16.0 * om * tau)
+        db = e * fracnu / fracg / 8.0 * kt2
+        tb = tg
+        dc = -e * fracnu * fracb / fracg / 80.0 * kt2 * om * tau
+        dur = e * (1.0 - kt2 / 6.0)
+        tur = e * k * k * tau / 4.0
+        sur = e * kt2 / (4.0 * fracnu + 15.0) / 2.0
+        eta = -e * fracnu / (4.0 * fracnu + 15.0) / 6.0 * kt2
+    elif kind == "niv":
+        dg = e * kt * fracnu / fracg * (1.0 - 3.0 / 16.0 * fracb * (2.0 + fracg) / fracg * om * tau)
+        tg = e * fracnu / fracg * 0.75 * k * (
+            -1.0 + 0.75 * fracb / fracg * om * tau
+            + 3.0 / 16.0 * om * om * tau * tau * fracb / fracg / fracg * (fracg - 3.0 * fracb)
+            + kt2 / 6.0)
+        db = 0.75 * dg
+        tb = tg
+        dc = -e * 9.0 / 64.0 * fracnu * fracb / fracg * kt * om * tau
+        dur = -e * kt * (1.0 + 3.0 / 16.0 * fracb * fracnu / fracg * om * tau)
+        tur = e * 0.75 * k * (1.0 - kt2 / 6.0 * (4.0 * fracnu + 9.0) / (4.0 * fracnu + 5.0))
+        sur = e / (4.0 * fracnu + 15.0) * kt * (1.0 + 3.0 * om * tau * fracnu / (4.0 * fracnu + 15.0))
+        eta = e * fracnu * kt * (-1.0 / (4.0 * fracnu + 5.0)
+                                 + (-3.0 / 64.0 * fracb / fracg
+                                    + 15.0 / 4.0 / (4.0 * fracnu + 15.0) / (4.0 * fracnu + 5.0) * om * tau))
+    else:
+        raise ValueError(f"unknown isocurvature kind {kind!r}")
+
+    y = jnp.zeros((idx.size,))
+    y = y.at[idx.delta_g].set(dg)
+    y = y.at[idx.theta_g].set(tg)
+    y = y.at[idx.delta_b].set(db)
+    y = y.at[idx.theta_b].set(tb)
+    y = y.at[idx.delta_cdm].set(dc)
+    y = y.at[idx.delta_ur].set(dur)
+    y = y.at[idx.theta_ur].set(tur)
+    y = y.at[idx.shear_ur].set(sur)
+    y = y.at[idx.eta].set(eta)
+    if idx.n_ncdm:
+        nc = ctx.ncdm
+        ns, nq, nl = idx.n_ncdm, idx.q_size_ncdm, idx.n_l_ncdm
+        eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)
+        dl0 = jnp.broadcast_to(nc.dlnf0[None, :], (ns, nq))
+        Psi = jnp.zeros((ns, nq, nl))
+        Psi = Psi.at[:, :, 0].set(-0.25 * dur * dl0)
+        Psi = Psi.at[:, :, 1].set(-eps / (3.0 * nc.q[None, :] * k) * tur * dl0)
+        Psi = Psi.at[:, :, 2].set(-0.5 * sur * dl0)
+        y = jax.lax.dynamic_update_slice(y, Psi.reshape(-1), (idx.ncdm,))
+    return y
+
+
+def initial_conditions(kind, k, tau, ctx: PertCtx):
+    """Dispatch over the five supported initial-condition types."""
+    if kind == "ad":
+        return adiabatic_ic(k, tau, ctx)
+    return isocurvature_ic(kind, k, tau, ctx)
 
 
 def remap_tca_off(y, tau, ctx: PertCtx):

@@ -27,6 +27,7 @@ class PtIdx:
     n_ncdm: int = 0
     q_size_ncdm: int = 16
     l_max_ncdm: int = 17
+    has_fld: bool = False
 
     # --- photons
     @property
@@ -105,10 +106,23 @@ class PtIdx:
     def n_ncdm_block(self):
         return self.n_ncdm * self.q_size_ncdm * self.n_l_ncdm
 
+    # --- dark-energy fluid (w0-wa CLP, reference perturb_derivs fld block)
+    @property
+    def delta_fld(self):
+        return self.ncdm + self.n_ncdm_block
+
+    @property
+    def theta_fld(self):
+        return self.delta_fld + 1
+
+    @property
+    def n_fld(self):
+        return 2 if self.has_fld else 0
+
     # --- metric
     @property
     def eta(self):
-        return self.ncdm + self.n_ncdm_block
+        return self.ncdm + self.n_ncdm_block + self.n_fld
 
     @property
     def size(self):

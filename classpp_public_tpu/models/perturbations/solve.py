@@ -58,28 +58,31 @@ def make_ncdm_ctx(params, bg, idx):
                       x_fac=jnp.asarray(x_fac), pref=jnp.asarray(pref))
 
 
-@lru_cache(maxsize=8)
-def get_batch_solver(bidx_key, idx, rtol):
+@lru_cache(maxsize=16)
+def get_batch_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad"):
     """jitted vmapped per-k solver, cached on the static configuration so
     repeated cosmologies with matching table shapes never retrace."""
     from ..background import BgIdx
 
     bidx = BgIdx(*bidx_key)
     return jax.jit(jax.vmap(
-        partial(solve_one_k, bidx=bidx, idx=idx, rtol=rtol),
+        partial(solve_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
+                cs2_fld=cs2_fld, ic=ic),
         in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None)))
 
 
 class PerturbResult(NamedTuple):
     k: jnp.ndarray            # (nk,)
     tau: jnp.ndarray          # (ntau,)
-    sources: jnp.ndarray      # (nk, ntau, SrcIdx.n)
+    sources: jnp.ndarray      # (nk, ntau, SrcIdx.n) - adiabatic mode
     tau0: jnp.ndarray
     k_size_cmb: int           # number of k used for CMB transfer
     stats_steps: jnp.ndarray  # (nk,) accepted RKCK steps per mode
+    sources_iso: dict = None  # {ic_name: (nk, ntau, nsrc)} isocurvature modes
 
 
-def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline, ncdm, bidx, idx, rtol):
+def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline, ncdm, bidx, idx, rtol,
+                wa_fld=0.0, cs2_fld=1.0, ic="ad"):
     """Integrate one k-mode over all sampling intervals, emitting sources.
 
     ONE lax.while_loop per interval: approximation flags are evaluated per
@@ -96,7 +99,8 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
     def ctx_at(t):
         return eq.PertCtx(k=k, tca_on=t < t_tca, rsa_on=t >= t_rsa, ufa_on=t >= t_ufa,
                           bg_spline=bg_spline, th_spline=th_spline, bidx=bidx, idx=idx,
-                          ncdmfa_on=t >= t_ncfa, ncdm=ncdm)
+                          ncdmfa_on=t >= t_ncfa, ncdm=ncdm,
+                          wa_fld=wa_fld, cs2_fld=cs2_fld)
 
     def integrate_interval(y, h, t_a, t_b):
         def cond(st):
@@ -136,7 +140,7 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
         return y, h, n
 
     # initial conditions at tau_ini (always deep in tight coupling)
-    y0 = eq.adiabatic_ic(k, tau_ini, ctx_at(tau_ini))
+    y0 = eq.initial_conditions(ic, k, tau_ini, ctx_at(tau_ini))
     h0 = 0.1 * tau_ini
 
     # pre-phase up to the first sampling point
@@ -158,7 +162,7 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                           bg: BackgroundResult, bidx: BgIdx, th: ThermoResult,
                           l_scalar_max: int = 2500, k_max_for_pk: float = 10.0,
                           has_cls: bool = True, has_pk: bool = True,
-                          z_max_pk: float = 5.0) -> PerturbResult:
+                          z_max_pk: float = 5.0, ics=("ad",)) -> PerturbResult:
     """Full scalar perturbation stage: grids + schedule + batched solve."""
     ks = get_k_list(params, pr, bg, th, l_scalar_max=l_scalar_max,
                     k_max_for_pk=k_max_for_pk, has_cls=has_cls, has_pk=has_pk)
@@ -173,16 +177,26 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
     k_size_cmb = min(k_size_cmb + 1, len(ks))
 
     idx = PtIdx(l_max_g=pr.l_max_g, l_max_pol_g=pr.l_max_pol_g, l_max_ur=pr.l_max_ur,
-                n_ncdm=n_ncdm, l_max_ncdm=pr.l_max_ncdm)
+                n_ncdm=n_ncdm, l_max_ncdm=pr.l_max_ncdm, has_fld=params.use_fld)
     taus_j = jnp.asarray(taus)
     ncdm_ctx = make_ncdm_ctx(params, bg, idx) if n_ncdm else None
 
-    solve = get_batch_solver(bidx.key, idx, pr.tol_perturb_integration)
-    sources, nsteps = solve(jnp.asarray(sched.k), jnp.asarray(sched.tau_ini),
-                            jnp.asarray(sched.tau_tca_off), jnp.asarray(sched.tau_ufa_on),
-                            jnp.asarray(sched.tau_rsa_on),
-                            jnp.asarray(sched.tau_ncdmfa_on),
-                            taus_j, bg.lntau_spline, th.lntau_spline, ncdm_ctx)
+    args = (jnp.asarray(sched.k), jnp.asarray(sched.tau_ini),
+            jnp.asarray(sched.tau_tca_off), jnp.asarray(sched.tau_ufa_on),
+            jnp.asarray(sched.tau_rsa_on), jnp.asarray(sched.tau_ncdmfa_on),
+            taus_j, bg.lntau_spline, th.lntau_spline, ncdm_ctx)
+    solve = get_batch_solver(bidx.key, idx, pr.tol_perturb_integration,
+                             wa_fld=params.wa_fld, cs2_fld=params.cs2_fld, ic="ad")
+    sources, nsteps = solve(*args)
+    sources_iso = None
+    iso = [ic for ic in ics if ic != "ad"]
+    if iso:
+        sources_iso = {}
+        for ic in iso:
+            s_ic = get_batch_solver(bidx.key, idx, pr.tol_perturb_integration,
+                                    wa_fld=params.wa_fld, cs2_fld=params.cs2_fld, ic=ic)
+            sources_iso[ic], _ = s_ic(*args)
 
     return PerturbResult(k=jnp.asarray(ks), tau=taus_j, sources=sources,
-                         tau0=bg.tau0, k_size_cmb=k_size_cmb, stats_steps=nsteps)
+                         tau0=bg.tau0, k_size_cmb=k_size_cmb, stats_steps=nsteps,
+                         sources_iso=sources_iso)

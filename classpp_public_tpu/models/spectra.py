@@ -37,7 +37,7 @@ class SpectraResult(NamedTuple):
 
 
 def compute_spectra(tr: TransferResult, pm: PrimordialResult, l_max: int,
-                    tr_tensor: TransferResult = None) -> SpectraResult:
+                    tr_tensor: TransferResult = None, tr_iso: dict = None) -> SpectraResult:
     q = tr.q
     w = trapz_weights(q)
     pk = pm.scalar_pk(q)
@@ -61,6 +61,26 @@ def compute_spectra(tr: TransferResult, pm: PrimordialResult, l_max: int,
         quad(t_total, p),
         quad(e, p),
     ], axis=1)                               # (nl, nct)
+
+    if tr_iso:
+        # uncorrelated isocurvature modes: add each auto-spectrum with its
+        # primordial amplitude (spectra_cls ic-pair loop, spectra_module.cpp:856)
+        for ic, tri in tr_iso.items():
+            pki = pm.iso_pk(ic, q)
+            meas_i = 4.0 * jnp.pi / q * pki * w
+            di = tri.delta
+            t_i = di[:, ix["t0"]] + di[:, ix["t1"]] + di[:, ix["t2"]]
+            e_i = di[:, ix["e"]]
+            p_i = di[:, ix["lcmb"]]
+
+            def quad_i(a, b):
+                return jnp.sum(meas_i[None, :] * a * b, axis=-1)
+
+            cl_list = cl_list + jnp.stack([
+                quad_i(t_i, t_i), quad_i(e_i, e_i), quad_i(t_i, e_i),
+                jnp.zeros((di.shape[0],)),
+                quad_i(p_i, p_i), quad_i(t_i, p_i), quad_i(e_i, p_i),
+            ], axis=1)
 
     # spline over l to all integer multipoles
     l_f = tr.l.astype(jnp.float64)

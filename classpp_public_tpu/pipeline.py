@@ -40,6 +40,7 @@ class OutputSelection:
     non_linear: str = ""        # "", "halofit"
     modes: tuple = ("s",)
     l_tensor_max: int = 500
+    ics: tuple = ("ad",)
 
     @property
     def has_cls(self) -> bool:
@@ -110,7 +111,7 @@ class Cosmology:
                 l_scalar_max=self.l_max_internal,
                 k_max_for_pk=self.out.P_k_max,
                 has_cls=self.out.has_cls, has_pk=self.out.has_pk,
-                z_max_pk=self.out.z_max_pk)
+                z_max_pk=self.out.z_max_pk, ics=self.out.ics)
         return self._cache["pt"]
 
     @property
@@ -118,7 +119,7 @@ class Cosmology:
         if "pm" not in self._cache:
             from .models.primordial import compute_primordial
 
-            pm = compute_primordial(self.params)
+            pm = compute_primordial(self.params, iso=getattr(self, "iso_primordial", None))
             if self.sigma8_target is not None:
                 # sigma8 -> A_s rescaling (reference Cosmology::GetPrimordialModule,
                 # cosmology.cpp:39-54). The source functions are A_s-independent
@@ -130,7 +131,8 @@ class Cosmology:
                 pk0 = pk_linear_at_z(pert, bg, pm, 0.0)
                 s8 = float(sigma_R(pert.k, pk0, 8.0 / self.params.h)[0])
                 new_As = float(pm.A_s) * (self.sigma8_target / s8) ** 2
-                pm = compute_primordial(self.params.replace(A_s=new_As))
+                pm = compute_primordial(self.params.replace(A_s=new_As),
+                                        iso=getattr(self, "iso_primordial", None))
             self._cache["pm"] = pm
         return self._cache["pm"]
 
@@ -177,14 +179,30 @@ class Cosmology:
         return self._cache["tr"]
 
     @property
+    def transfer_iso(self):
+        if "tr_iso" not in self._cache:
+            from .models.transfer import compute_transfer
+
+            pert = self.perturbations
+            out = {}
+            if pert.sources_iso:
+                for ic, src in pert.sources_iso.items():
+                    pert_ic = pert._replace(sources=src)
+                    out[ic] = compute_transfer(pert_ic, self.thermodynamics,
+                                               self.pr, l_max=self.l_max_internal)
+            self._cache["tr_iso"] = out
+        return self._cache["tr_iso"]
+
+    @property
     def spectra(self):
         if "sp" not in self._cache:
             from .models.spectra import compute_spectra
 
             tr_tensor = self.tensor_transfer if "t" in self.out.modes else None
+            tr_iso = self.transfer_iso if len(self.out.ics) > 1 else None
             self._cache["sp"] = compute_spectra(self.transfer, self.primordial,
                                                 l_max=self.l_max_internal,
-                                                tr_tensor=tr_tensor)
+                                                tr_tensor=tr_tensor, tr_iso=tr_iso)
         return self._cache["sp"]
 
     @property
