@@ -16,16 +16,16 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
-# persistent compilation cache: the Boltzmann solver graph is large and its
-# compile is the dominant one-time cost on TPU; cache it across processes.
-_cache_dir = _os.environ.get("CLASSPP_TPU_CACHE",
-                             _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:
-    pass
+# optional persistent compilation cache (opt-in: cross-machine AOT artifacts
+# from remote-compile services can be incompatible with the local host).
+_cache_dir = _os.environ.get("CLASSPP_TPU_CACHE")
+if _cache_dir:
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
 from .config.params import CosmoParams  # noqa: E402
 from .config.precision import PrecisionParams  # noqa: E402

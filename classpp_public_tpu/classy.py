@@ -181,6 +181,13 @@ class Class:
                     raise CosmoSevereError("correlated isocurvature not yet implemented")
                 p.pop(key)
 
+        pk_ini_type = str(p.pop("P_k_ini type", p.pop("Pk_ini_type", "analytic_Pk"))).strip()
+        self._external_pk_command = None
+        if pk_ini_type == "external_Pk":
+            self._external_pk_command = str(p.pop("command"))
+        elif pk_ini_type not in ("analytic_Pk",):
+            raise CosmoSevereError(f"P_k_ini type {pk_ini_type!r} not implemented (analytic_Pk, external_Pk)")
+
         # precision overrides
         pr = PrecisionParams()
         pr_fields = {f.name for f in dataclasses.fields(PrecisionParams)}
@@ -219,6 +226,7 @@ class Class:
         cosmo = Cosmology(params, pr, out)
         cosmo.sigma8_target = sigma8_target
         cosmo.iso_primordial = getattr(self, "_iso_primordial", {}) or None
+        cosmo.external_pk_command = self._external_pk_command
         return cosmo
 
     @staticmethod

@@ -104,6 +104,8 @@ class PrecisionParams:
     ncdm_fluid_trigger_tau_over_tau_k: float = 31.0
     neglect_CMB_sources_below_visibility: float = 1.0e-3
     evolver: str = "rkck"  # TPU-native default: batched adaptive RKCK45
+    k_chunk_size: int = 128  # modes per device launch (watchdog + lockstep grouping)
+    tau_windows: int = 4     # tau-range splits per launch (bounds execution time)
 
     # --- primordial (precisions.h:311)
     k_per_decade_primordial: float = 10.0

@@ -60,8 +60,7 @@ def make_ncdm_ctx(params, bg, idx):
 
 @lru_cache(maxsize=16)
 def get_batch_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad"):
-    """jitted vmapped per-k solver, cached on the static configuration so
-    repeated cosmologies with matching table shapes never retrace."""
+    """jitted vmapped per-k solver head (ICs + pre-phase + first window)."""
     from ..background import BgIdx
 
     bidx = BgIdx(*bidx_key)
@@ -69,6 +68,22 @@ def get_batch_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad"):
         partial(solve_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
                 cs2_fld=cs2_fld, ic=ic),
         in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None)))
+
+
+@lru_cache(maxsize=16)
+def get_window_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad"):
+    """jitted vmapped continuation solver: resumes from a carried (y, h)."""
+    from ..background import BgIdx
+
+    bidx = BgIdx(*bidx_key)
+
+    def fn(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline,
+           ncdm, y, h):
+        return solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus,
+                           bg_spline, th_spline, ncdm, bidx, idx, rtol,
+                           wa_fld=wa_fld, cs2_fld=cs2_fld, ic=ic, y_carry=(y, h))
+
+    return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None, 0, 0)))
 
 
 class PerturbResult(NamedTuple):
@@ -82,7 +97,7 @@ class PerturbResult(NamedTuple):
 
 
 def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline, ncdm, bidx, idx, rtol,
-                wa_fld=0.0, cs2_fld=1.0, ic="ad"):
+                wa_fld=0.0, cs2_fld=1.0, ic="ad", y_carry=None):
     """Integrate one k-mode over all sampling intervals, emitting sources.
 
     ONE lax.while_loop per interval: approximation flags are evaluated per
@@ -139,13 +154,17 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
         t, y, h, n, _ = jax.lax.while_loop(cond, body, st)
         return y, h, n
 
-    # initial conditions at tau_ini (always deep in tight coupling)
-    y0 = eq.initial_conditions(ic, k, tau_ini, ctx_at(tau_ini))
-    h0 = 0.1 * tau_ini
-
-    # pre-phase up to the first sampling point
-    y, h, n0 = integrate_interval(y0, h0, tau_ini, taus[0])
-    src0 = eq.compute_sources(taus[0], y, ctx_at(taus[0]))
+    if y_carry is None:
+        # initial conditions at tau_ini (always deep in tight coupling),
+        # then pre-phase up to the first sampling point
+        y0 = eq.initial_conditions(ic, k, tau_ini, ctx_at(tau_ini))
+        h0 = 0.1 * tau_ini
+        y, h, n0 = integrate_interval(y0, h0, tau_ini, taus[0])
+        srcs0 = [eq.compute_sources(taus[0], y, ctx_at(taus[0]))[None]]
+    else:
+        y, h = y_carry
+        n0 = (tau_ini * 0).astype(jnp.int32)
+        srcs0 = []
 
     def step(carry, tpair):
         y, h, ns = carry
@@ -154,8 +173,8 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
         src = eq.compute_sources(t_b, y, ctx_at(t_b))
         return (y, h, ns + n), src
 
-    (_, _, ntot), srcs = jax.lax.scan(step, (y, h, n0), (taus[:-1], taus[1:]))
-    return jnp.concatenate([src0[None], srcs], axis=0), ntot
+    (y, h, ntot), srcs = jax.lax.scan(step, (y, h, n0), (taus[:-1], taus[1:]))
+    return jnp.concatenate(srcs0 + [srcs], axis=0), ntot, (y, h)
 
 
 def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
@@ -181,21 +200,51 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
     taus_j = jnp.asarray(taus)
     ncdm_ctx = make_ncdm_ctx(params, bg, idx) if n_ncdm else None
 
-    args = (jnp.asarray(sched.k), jnp.asarray(sched.tau_ini),
-            jnp.asarray(sched.tau_tca_off), jnp.asarray(sched.tau_ufa_on),
-            jnp.asarray(sched.tau_rsa_on), jnp.asarray(sched.tau_ncdmfa_on),
-            taus_j, bg.lntau_spline, th.lntau_spline, ncdm_ctx)
-    solve = get_batch_solver(bidx.key, idx, pr.tol_perturb_integration,
-                             wa_fld=params.wa_fld, cs2_fld=params.cs2_fld, ic="ad")
-    sources, nsteps = solve(*args)
+    def run_ic(ic_name):
+        """Chunked + windowed batched solve: the k-grid is processed in
+        fixed-size chunks (sorted k => similar step counts per chunk, minimal
+        lockstep waste) and the tau range in windows (bounded per-launch
+        execution for device watchdogs); (y, h) carries across windows."""
+        head = get_batch_solver(bidx.key, idx, pr.tol_perturb_integration,
+                                wa_fld=params.wa_fld, cs2_fld=params.cs2_fld, ic=ic_name)
+        cont = get_window_solver(bidx.key, idx, pr.tol_perturb_integration,
+                                 wa_fld=params.wa_fld, cs2_fld=params.cs2_fld, ic=ic_name)
+        nk = len(sched.k)
+        cs = min(pr.k_chunk_size, nk)
+        ntau = len(taus)
+        nwin = max(1, pr.tau_windows)
+        # window boundaries over the tau sampling grid (equal interval counts)
+        bounds = np.linspace(0, ntau - 1, nwin + 1).astype(int)
+        out_src = []
+        out_steps = []
+        per_k = [np.asarray(sched.k), np.asarray(sched.tau_ini),
+                 np.asarray(sched.tau_tca_off), np.asarray(sched.tau_ufa_on),
+                 np.asarray(sched.tau_rsa_on), np.asarray(sched.tau_ncdmfa_on)]
+        for i0 in range(0, nk, cs):
+            sl = [a[i0:i0 + cs] for a in per_k]
+            pad = cs - len(sl[0])
+            if pad:
+                sl = [np.pad(a, (0, pad), mode="edge") for a in sl]
+            args = [jnp.asarray(a) for a in sl]
+            pieces = []
+            src, st, (y, h) = head(*args, taus_j[: bounds[1] + 1],
+                                   bg.lntau_spline, th.lntau_spline, ncdm_ctx)
+            pieces.append(src)
+            for w in range(1, nwin):
+                src, stw, (y, h) = cont(*args, taus_j[bounds[w]: bounds[w + 1] + 1],
+                                        bg.lntau_spline, th.lntau_spline, ncdm_ctx, y, h)
+                st = st + stw
+                pieces.append(src)
+            n_keep = min(cs, nk - i0)
+            out_src.append(jnp.concatenate(pieces, axis=1)[:n_keep])
+            out_steps.append(st[:n_keep])
+        return jnp.concatenate(out_src, axis=0), jnp.concatenate(out_steps, axis=0)
+
+    sources, nsteps = run_ic("ad")
     sources_iso = None
     iso = [ic for ic in ics if ic != "ad"]
     if iso:
-        sources_iso = {}
-        for ic in iso:
-            s_ic = get_batch_solver(bidx.key, idx, pr.tol_perturb_integration,
-                                    wa_fld=params.wa_fld, cs2_fld=params.cs2_fld, ic=ic)
-            sources_iso[ic], _ = s_ic(*args)
+        sources_iso = {ic: run_ic(ic)[0] for ic in iso}
 
     return PerturbResult(k=jnp.asarray(ks), tau=taus_j, sources=sources,
                          tau0=bg.tau0, k_size_cmb=k_size_cmb, stats_steps=nsteps,

@@ -25,6 +25,7 @@ class PrimordialResult(NamedTuple):
     n_t: jnp.ndarray
     alpha_t: jnp.ndarray
     iso: dict = None          # {ic: (f_amp, n_index)} uncorrelated isocurvature
+    external: tuple = None    # (lnk, lnP_s, lnP_t) tabulated external spectrum
 
     def iso_pk(self, ic, k):
         """P_iso(k) = A_s f_i^2 (k/k*)^{n_i - 1} (reference
@@ -34,20 +35,42 @@ class PrimordialResult(NamedTuple):
 
     def scalar_pk(self, k):
         """Dimensionless curvature spectrum P_R(k) (primordial_module.cpp:69)."""
+        if self.external is not None:
+            lnk_t, lnp_s, _ = self.external
+            return jnp.exp(jnp.interp(jnp.log(k), lnk_t, lnp_s))
         lnk = jnp.log(k / self.k_pivot)
         return self.A_s * jnp.exp((self.n_s - 1.0) * lnk + 0.5 * self.alpha_s * lnk**2)
 
     def tensor_pk(self, k):
+        if self.external is not None and self.external[2] is not None:
+            lnk_t, _, lnp_t = self.external
+            return jnp.exp(jnp.interp(jnp.log(k), lnk_t, lnp_t))
         lnk = jnp.log(k / self.k_pivot)
         return self.r * self.A_s * jnp.exp(self.n_t * lnk + 0.5 * self.alpha_t * lnk**2)
 
 
-def compute_primordial(params: CosmoParams, iso: dict = None) -> PrimordialResult:
+def external_spectrum(command: str):
+    """Run an external P(k) generator command and tabulate its output
+    (reference primordial_external_spectrum_init, primordial_module.cpp:3022:
+    command prints lines "k P_s(k) [P_t(k)]")."""
+    import subprocess
+
+    out = subprocess.run(command, shell=True, capture_output=True, text=True, check=True)
+    rows = [[float(v) for v in line.split()] for line in out.stdout.splitlines() if line.strip()]
+    arr = jnp.asarray(rows)
+    lnk = jnp.log(arr[:, 0])
+    lnp_s = jnp.log(arr[:, 1])
+    lnp_t = jnp.log(arr[:, 2]) if arr.shape[1] > 2 else None
+    return (lnk, lnp_s, lnp_t)
+
+
+def compute_primordial(params: CosmoParams, iso: dict = None,
+                       external: tuple = None) -> PrimordialResult:
     # tensor tilt: inflationary consistency n_t = -r/8 (1 - n_s/... ) is the
     # 'scc' option; round-1 uses the user-provided n_t (default 0 when r=0).
     return PrimordialResult(
         A_s=jnp.asarray(params.A_s), n_s=jnp.asarray(params.n_s),
         alpha_s=jnp.asarray(params.alpha_s), k_pivot=jnp.asarray(params.k_pivot),
         r=jnp.asarray(params.r), n_t=jnp.asarray(params.n_t),
-        alpha_t=jnp.asarray(params.alpha_t), iso=iso,
+        alpha_t=jnp.asarray(params.alpha_t), iso=iso, external=external,
     )

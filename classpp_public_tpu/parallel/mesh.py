@@ -56,7 +56,8 @@ def sharded_solve(mesh: Mesh, solve_one_k, k, tau_ini, t_tca, t_ufa, t_rsa, t_nc
     vsolve = jax.vmap(solve_one_k)
 
     def local(k_, ti_, tc_, tu_, tr_, tn_):
-        return vsolve(k_, ti_, tc_, tu_, tr_, tn_)
+        srcs, steps, _ = vsolve(k_, ti_, tc_, tu_, tr_, tn_)
+        return srcs, steps
 
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh,

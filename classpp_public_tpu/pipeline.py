@@ -119,7 +119,14 @@ class Cosmology:
         if "pm" not in self._cache:
             from .models.primordial import compute_primordial
 
-            pm = compute_primordial(self.params, iso=getattr(self, "iso_primordial", None))
+            ext = None
+            cmd = getattr(self, "external_pk_command", None)
+            if cmd:
+                from .models.primordial import external_spectrum
+
+                ext = external_spectrum(cmd)
+            pm = compute_primordial(self.params, iso=getattr(self, "iso_primordial", None),
+                                    external=ext)
             if self.sigma8_target is not None:
                 # sigma8 -> A_s rescaling (reference Cosmology::GetPrimordialModule,
                 # cosmology.cpp:39-54). The source functions are A_s-independent
