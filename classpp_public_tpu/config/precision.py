@@ -104,7 +104,11 @@ class PrecisionParams:
     ncdm_fluid_trigger_tau_over_tau_k: float = 31.0
     neglect_CMB_sources_below_visibility: float = 1.0e-3
     evolver: str = "rkck"  # TPU-native default: batched adaptive RKCK45
-    k_chunk_size: int = 128  # modes per device launch (watchdog + lockstep grouping)
+    # modes per device launch: 64 is the reliable/fast width for the f64
+    # while-loop program on current TPU runtimes (128-wide launches of the
+    # same program hit device faults on high-k data and are ~4x slower per
+    # step); lockstep grouping also improves with narrower sorted chunks.
+    k_chunk_size: int = 64
     tau_windows: int = 4     # tau-range splits per launch (bounds execution time)
 
     # --- primordial (precisions.h:311)

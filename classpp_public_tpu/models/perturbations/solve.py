@@ -59,19 +59,19 @@ def make_ncdm_ctx(params, bg, idx):
 
 
 @lru_cache(maxsize=16)
-def get_batch_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad"):
+def get_batch_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
     """jitted vmapped per-k solver head (ICs + pre-phase + first window)."""
     from ..background import BgIdx
 
     bidx = BgIdx(*bidx_key)
     return jax.jit(jax.vmap(
         partial(solve_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, ic=ic),
+                cs2_fld=cs2_fld, ic=ic, atol=atol),
         in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None)))
 
 
 @lru_cache(maxsize=16)
-def get_window_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad"):
+def get_window_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
     """jitted vmapped continuation solver: resumes from a carried (y, h)."""
     from ..background import BgIdx
 
@@ -81,7 +81,8 @@ def get_window_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad"):
            ncdm, y, h):
         return solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus,
                            bg_spline, th_spline, ncdm, bidx, idx, rtol,
-                           wa_fld=wa_fld, cs2_fld=cs2_fld, ic=ic, y_carry=(y, h))
+                           wa_fld=wa_fld, cs2_fld=cs2_fld, ic=ic, y_carry=(y, h),
+                           atol=atol)
 
     return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None, 0, 0)))
 
@@ -96,9 +97,10 @@ class PerturbResult(NamedTuple):
     sources_iso: dict = None  # {ic_name: (nk, ntau, nsrc)} isocurvature modes
 
 
-def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline, ncdm, bidx, idx, rtol,
-                wa_fld=0.0, cs2_fld=1.0, ic="ad", y_carry=None):
-    """Integrate one k-mode over all sampling intervals, emitting sources.
+def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
+             bidx, idx, rtol, atol, wa_fld, cs2_fld):
+    """Shared per-k integration machinery: flag context + adaptive interval
+    integrator with in-loop approximation-switch remaps.
 
     ONE lax.while_loop per interval: approximation flags are evaluated per
     step from the current time, steps are clipped so they never straddle a
@@ -130,7 +132,7 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
             h_eff = jnp.minimum(h, t_stop - t)
             c = ctx_at(t)
             y_new, err, k1 = rkck_step(eq.rhs, t, y, h_eff, c)
-            scale = rtol * (jnp.abs(y) + jnp.abs(h_eff * k1) + 1e-30) + 1e-11
+            scale = rtol * (jnp.abs(y) + jnp.abs(h_eff * k1) + 1e-30) + atol
             ratio = jnp.max(jnp.abs(err) / scale)
             ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.inf)
             accept = ratio <= 1.0
@@ -154,6 +156,16 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
         t, y, h, n, _ = jax.lax.while_loop(cond, body, st)
         return y, h, n
 
+    return ctx_at, integrate_interval
+
+
+def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline, ncdm, bidx, idx, rtol,
+                wa_fld=0.0, cs2_fld=1.0, ic="ad", y_carry=None, atol=1e-11):
+    """Integrate one k-mode over all sampling intervals, emitting sources."""
+    ctx_at, integrate_interval = _stepper(
+        k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
+        bidx, idx, rtol, atol, wa_fld, cs2_fld)
+
     if y_carry is None:
         # initial conditions at tau_ini (always deep in tight coupling),
         # then pre-phase up to the first sampling point
@@ -175,6 +187,64 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
 
     (y, h, ntot), srcs = jax.lax.scan(step, (y, h, n0), (taus[:-1], taus[1:]))
     return jnp.concatenate(srcs0 + [srcs], axis=0), ntot, (y, h)
+
+
+# --- split-phase solvers -----------------------------------------------------
+# The pre-sampling integration (tau_ini -> taus[0]) holds nearly ALL the work
+# for high-k P(k) modes (oscillation-limited stepping is uniform per unit tau
+# until the streaming approximation kicks in), so it must be windowed too:
+# init sets ICs only, advance integrates a bounded per-lane [t_a, t_b] span,
+# emit evaluates the source row at a sampling point. Each device launch is
+# then bounded in wall-clock regardless of k.
+
+def init_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
+               ncdm, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
+    ctx_at, _ = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
+                         ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld)
+    y0 = eq.initial_conditions(ic, k, tau_ini, ctx_at(tau_ini))
+    return y0, 0.1 * tau_ini
+
+
+def advance_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t_a, t_b, bg_spline, th_spline,
+                  ncdm, y, h, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, atol=1e-11):
+    _, integrate_interval = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline,
+                                     th_spline, ncdm, bidx, idx, rtol, atol,
+                                     wa_fld, cs2_fld)
+    return integrate_interval(y, h, t_a, t_b)
+
+
+def emit_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t, bg_spline, th_spline, ncdm, y,
+               bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, atol=1e-11):
+    ctx_at, _ = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
+                         ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld)
+    return eq.compute_sources(t, y, ctx_at(t))
+
+
+@lru_cache(maxsize=16)
+def get_init_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
+    bidx = BgIdx(*bidx_key)
+    return jax.jit(jax.vmap(
+        partial(init_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
+                cs2_fld=cs2_fld, ic=ic, atol=atol),
+        in_axes=(0, 0, 0, 0, 0, 0, None, None, None)))
+
+
+@lru_cache(maxsize=16)
+def get_advance_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, atol=1e-11):
+    bidx = BgIdx(*bidx_key)
+    return jax.jit(jax.vmap(
+        partial(advance_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
+                cs2_fld=cs2_fld, atol=atol),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, 0, 0)))
+
+
+@lru_cache(maxsize=16)
+def get_emit_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, atol=1e-11):
+    bidx = BgIdx(*bidx_key)
+    return jax.jit(jax.vmap(
+        partial(emit_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
+                cs2_fld=cs2_fld, atol=atol),
+        in_axes=(0, 0, 0, 0, 0, None, None, None, None, 0)))
 
 
 def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
@@ -205,34 +275,64 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
         fixed-size chunks (sorted k => similar step counts per chunk, minimal
         lockstep waste) and the tau range in windows (bounded per-launch
         execution for device watchdogs); (y, h) carries across windows."""
-        head = get_batch_solver(bidx.key, idx, pr.tol_perturb_integration,
-                                wa_fld=params.wa_fld, cs2_fld=params.cs2_fld, ic=ic_name)
-        cont = get_window_solver(bidx.key, idx, pr.tol_perturb_integration,
-                                 wa_fld=params.wa_fld, cs2_fld=params.cs2_fld, ic=ic_name)
         nk = len(sched.k)
         cs = min(pr.k_chunk_size, nk)
         ntau = len(taus)
-        nwin = max(1, pr.tau_windows)
-        # window boundaries over the tau sampling grid (equal interval counts)
-        bounds = np.linspace(0, ntau - 1, nwin + 1).astype(int)
         out_src = []
         out_steps = []
         per_k = [np.asarray(sched.k), np.asarray(sched.tau_ini),
                  np.asarray(sched.tau_tca_off), np.asarray(sched.tau_ufa_on),
                  np.asarray(sched.tau_rsa_on), np.asarray(sched.tau_ncdmfa_on)]
+        rtol = pr.tol_perturb_integration
+        bsp, tsp = bg.lntau_spline, th.lntau_spline
+        import os as _os
+        import time as _time
+        _dbg = bool(_os.environ.get("CLASSPP_TPU_DEBUG"))
+
+        def _tick(tag, x):
+            if _dbg:
+                t0 = _time.time()
+                jax.block_until_ready(x)
+                print(f"[pert] {tag}: {_time.time() - t0:.2f}s", flush=True)
         for i0 in range(0, nk, cs):
             sl = [a[i0:i0 + cs] for a in per_k]
             pad = cs - len(sl[0])
             if pad:
                 sl = [np.pad(a, (0, pad), mode="edge") for a in sl]
             args = [jnp.asarray(a) for a in sl]
-            pieces = []
-            src, st, (y, h) = head(*args, taus_j[: bounds[1] + 1],
-                                   bg.lntau_spline, th.lntau_spline, ncdm_ctx)
-            pieces.append(src)
-            for w in range(1, nwin):
+            # P(k)-only modes (k above the CMB range) carry fully Silk-damped
+            # photon perturbations; a looser absolute floor avoids resolving
+            # sub-1e-8 oscillations that cannot affect delta_m. Their
+            # oscillation-limited stepping is ~uniform per unit tau, so the
+            # pre-sampling phase and the sampled range both get many windows
+            # (each device launch stays bounded in wall-clock).
+            heavy = sl[0][0] > k_max_cmb
+            atol = 3e-9 if heavy else 1e-11
+            n_pre = 12 if heavy else 1
+            nwin = max(1, pr.tau_windows * (8 if heavy else 1))
+            bounds = np.linspace(0, ntau - 1, nwin + 1).astype(int)
+            kw = dict(wa_fld=params.wa_fld, cs2_fld=params.cs2_fld, atol=atol)
+            init = get_init_solver(bidx.key, idx, rtol, ic=ic_name, **kw)
+            adv = get_advance_solver(bidx.key, idx, rtol, **kw)
+            emit = get_emit_solver(bidx.key, idx, rtol, **kw)
+            cont = get_window_solver(bidx.key, idx, rtol, ic=ic_name, **kw)
+            sw = list(args[2:6])
+            # pre-phase: ICs at per-lane tau_ini, then advance in shared
+            # tau-windows (per-lane spans clamped so late starters wait)
+            y, h = init(*args, bsp, tsp, ncdm_ctx)
+            pts = np.linspace(min(float(sl[1].min()), taus[0]), taus[0], n_pre + 1)
+            st = jnp.zeros((cs,), dtype=jnp.int32)
+            for j in range(n_pre):
+                t_a = jnp.maximum(args[1], pts[j])
+                t_b = jnp.maximum(args[1], pts[j + 1])
+                y, h, n = adv(args[0], *sw, t_a, t_b, bsp, tsp, ncdm_ctx, y, h)
+                _tick(f"chunk {i0} pre {j}", y)
+                st = st + n
+            pieces = [emit(args[0], *sw, taus_j[0], bsp, tsp, ncdm_ctx, y)[:, None, :]]
+            for w in range(nwin):
                 src, stw, (y, h) = cont(*args, taus_j[bounds[w]: bounds[w + 1] + 1],
-                                        bg.lntau_spline, th.lntau_spline, ncdm_ctx, y, h)
+                                        bsp, tsp, ncdm_ctx, y, h)
+                _tick(f"chunk {i0} win {w}", src)
                 st = st + stw
                 pieces.append(src)
             n_keep = min(cs, nk - i0)

@@ -132,6 +132,6 @@ def test_invalid_input_raises(g1_params):
     with pytest.raises(CosmoSevereError):
         c.compute()
     c = Class()
-    c.set({"output": "tCl", "modes": "s,t"})
+    c.set({"output": "tCl", "modes": "s,v"})  # vector modes: not implemented
     with pytest.raises(CosmoSevereError):
         c.compute()

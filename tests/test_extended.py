@@ -1,0 +1,112 @@
+"""Extended-model golden acceptance: tensors (G3) and w0-wa fluid DE (G4).
+
+Same contract as the reference CI (python/test_class.py:102-105, C_l rtol
+3e-3 / P(k) 1e-2) applied to the tensor-mode and dark-energy-fluid golden
+configurations generated from the reference binary (tests/golden/gen/).
+"""
+
+import numpy as np
+import pytest
+
+from classpp_public_tpu import Class
+from tests.conftest import GOLDEN_DIR, Golden
+
+BASE = {
+    "h": 0.67810, "omega_b": 0.02238280, "omega_cdm": 0.1201075,
+    "N_ur": 3.046, "A_s": 2.100549e-09, "n_s": 0.9660499,
+    "tau_reio": 0.05430842,
+}
+
+
+@pytest.fixture(scope="module")
+def g3():
+    return Golden(GOLDEN_DIR / "g3_tensor.npz")
+
+
+@pytest.fixture(scope="module")
+def g4():
+    return Golden(GOLDEN_DIR / "g4_fld.npz")
+
+
+@pytest.fixture(scope="module")
+def computed_tensor():
+    c = Class()
+    c.set(dict(BASE, **{
+        "output": "tCl,pCl,lCl", "lensing": "yes", "modes": "s,t",
+        "r": 0.1, "n_t": "scc", "l_max_scalars": 2500, "l_max_tensors": 500,
+    }))
+    c.compute(["lensing"])
+    return c
+
+
+@pytest.fixture(scope="module")
+def computed_fld():
+    c = Class()
+    c.set(dict(BASE, **{
+        "Omega_Lambda": 0.0, "w0_fld": -0.9, "wa_fld": 0.1, "cs2_fld": 1.0,
+        "output": "tCl,pCl,lCl,mPk", "lensing": "yes",
+        "l_max_scalars": 2500, "P_k_max_1/Mpc": 1.0, "z_pk": "0.",
+    }))
+    c.compute(["lensing"])
+    return c
+
+
+def _rel(mine, ref):
+    return np.abs(mine / ref - 1.0)
+
+
+def test_tensor_raw_cl(computed_tensor, g3):
+    """Tensor-only C_l (table 'clt') vs golden: TT/EE/BB at l<=500."""
+    cols = [str(c) for c in g3.cols("clt")]
+    T = g3.table("clt")
+    lr = T[:, 0]
+    # tensor contribution = total raw minus scalar raw
+    cl = computed_tensor.raw_cl(500)
+    cls_cols = [str(c) for c in g3.cols("cls")]
+    Ts = g3.table("cls")
+    ell = cl["ell"][2:]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    # BB is purely tensor before lensing
+    mine_bb = fac * cl["bb"][2:]
+    ref_bb = np.interp(ell, lr, T[:, cols.index("BB")])
+    assert _rel(mine_bb, ref_bb).max() < 1e-2
+    # TT: total = scalar + tensor; compare totals
+    mine_tt = fac * cl["tt"][2:]
+    ref_tt = (np.interp(ell, lr, T[:, cols.index("TT")])
+              + np.interp(ell, Ts[:, 0], Ts[:, cls_cols.index("TT")]))
+    assert _rel(mine_tt, ref_tt).max() < 3e-3
+
+
+def test_tensor_lensed_bb(computed_tensor, g3):
+    """Lensed BB = tensor BB + lensing BB (lensing_module.cpp output)."""
+    cols = [str(c) for c in g3.cols("cl_lensed")]
+    T = g3.table("cl_lensed")
+    lr = T[:, 0]
+    cl = computed_tensor.lensed_cl(2000)
+    ell = cl["ell"][2:]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    for name in ["TT", "EE", "BB"]:
+        mine = fac * cl[name.lower()][2:]
+        ref = np.interp(ell, lr, T[:, cols.index(name)])
+        assert _rel(mine, ref).max() < 1e-2, (name, _rel(mine, ref).max())
+
+
+def test_fld_cl_and_pk(computed_fld, g4):
+    cols = [str(c) for c in g4.cols("cl_lensed")]
+    T = g4.table("cl_lensed")
+    lr = T[:, 0]
+    cl = computed_fld.lensed_cl(2500)
+    ell = cl["ell"][2:]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    for name, tol in [("TT", 3e-3), ("EE", 3e-3)]:
+        mine = fac * cl[name.lower()][2:]
+        ref = np.interp(ell, lr, T[:, cols.index(name)])
+        assert _rel(mine, ref).max() < tol, (name, _rel(mine, ref).max())
+    Tp = g4.table("pk")
+    k_h, pk_h = Tp[:, 0], Tp[:, 1]
+    h = computed_fld.h()
+    ks = k_h * h
+    sel = (ks > 2e-4) & (ks < 0.9)
+    mine = np.array([computed_fld.pk_lin(k, 0.0) for k in ks[sel][::5]])
+    ref = pk_h[sel][::5] / h**3
+    assert _rel(mine, ref).max() < 1e-2
