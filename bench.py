@@ -15,6 +15,11 @@ import time
 
 BASELINE_SECONDS = 9.58  # reference wall-clock, BASELINE.md row 2
 
+# NOTE: no persistent XLA compile cache here: under remote-compile setups the
+# host-CPU stages produce AOT artifacts targeted at the compile machine, and
+# reloading them on this machine is unsafe (SIGILL risk). The reported value
+# is min(first, second) so in-process jit reuse already removes compile time.
+
 
 def run_once():
     from classpp_public_tpu import Class

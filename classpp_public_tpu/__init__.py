@@ -14,7 +14,9 @@ import os as _os
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+# f64 is the validated default; CLASSPP_X32=1 switches the whole pipeline to
+# f32 (experimental: faster on TPU VPUs, accuracy under evaluation).
+jax.config.update("jax_enable_x64", _os.environ.get("CLASSPP_X32", "") != "1")
 
 # optional persistent compilation cache (opt-in: cross-machine AOT artifacts
 # from remote-compile services can be incompatible with the local host).

@@ -78,6 +78,10 @@ class PrecisionParams:
     start_large_k_at_tau_h_over_tau_k: float = 0.07
     tight_coupling_trigger_tau_c_over_tau_h: float = 0.015
     tight_coupling_trigger_tau_c_over_tau_k: float = 0.01
+    # TPU-native: later TCA switch for P(k)-only modes (k above the CMB
+    # range); accuracy is O((k tau_c)^2) at switch, well inside the 1e-2
+    # matter-power contract, and the explicit stiff phase shrinks ~sqrt(trig).
+    tight_coupling_trigger_tau_c_over_tau_k_pkonly: float = 0.1
     start_sources_at_tau_c_over_tau_h: float = 0.008
     tight_coupling_approximation: str = "compromise_CLASS"
 

@@ -67,10 +67,11 @@ def get_tau_sampling(params: CosmoParams, pr: PrecisionParams,
     # dense table in lntau for rate evaluation
     spl = th.lntau_spline
     n = spl.y.shape[0]
-    lntau = np.asarray(spl.x0 + spl.dx * np.arange(n))
+    lntau = np.asarray(spl.x0 + spl.dx * np.arange(n), dtype=np.float64)
     tau_grid = np.exp(lntau)
-    thy = np.asarray(spl.y)
-    bgy = np.asarray(bg.lntau_spline.eval(lntau))
+    # host-side grid construction is always f64 (device tables may be f32)
+    thy = np.asarray(spl.y, dtype=np.float64)
+    bgy = np.asarray(bg.lntau_spline.eval(lntau), dtype=np.float64)
 
     a = bgy[:, bidx["a"]]
     H = bgy[:, bidx["H"]]
@@ -89,6 +90,7 @@ def get_tau_sampling(params: CosmoParams, pr: PrecisionParams,
         # tau_ini: aH/kappa' crossing of start_sources_at_tau_c_over_tau_h
         ratio = aH / dk
         i0 = np.searchsorted(ratio > pr.start_sources_at_tau_c_over_tau_h, True)
+        i0 = int(np.clip(i0, 1, len(ratio) - 1))
         # linear refine in lntau
         r0, r1 = ratio[i0 - 1], ratio[i0]
         w = (pr.start_sources_at_tau_c_over_tau_h - r0) / (r1 - r0)
@@ -124,7 +126,8 @@ class KSchedule(NamedTuple):
 def get_k_schedule(ks: np.ndarray, pr: PrecisionParams,
                    bg: BackgroundResult, bidx: BgIdx, th: ThermoResult,
                    tau_first_sample: float, n_ncdm: int = 0,
-                   tol_ncdm_initial_w: float = 1.0e-3) -> KSchedule:
+                   tol_ncdm_initial_w: float = 1.0e-3,
+                   k_max_cmb: float = np.inf) -> KSchedule:
     """Vectorized computation of tau_ini (perturb_solve bisection, :2541) and
     approximation switch times (perturb_approximations triggers, :5443):
       TCA off  when tau_c/tau_h > trigger_h  OR  k*tau_c > trigger_k
@@ -135,10 +138,11 @@ def get_k_schedule(ks: np.ndarray, pr: PrecisionParams,
     searchsorted inversions on the dense ln(tau) grid."""
     spl = th.lntau_spline
     n = spl.y.shape[0]
-    lntau = np.asarray(spl.x0 + spl.dx * np.arange(n))
+    lntau = np.asarray(spl.x0 + spl.dx * np.arange(n), dtype=np.float64)
     tau_grid = np.exp(lntau)
-    thy = np.asarray(spl.y)
-    bgy = np.asarray(bg.lntau_spline.eval(lntau))
+    # host-side grid construction is always f64 (device tables may be f32)
+    thy = np.asarray(spl.y, dtype=np.float64)
+    bgy = np.asarray(bg.lntau_spline.eval(lntau), dtype=np.float64)
     aH = bgy[:, bidx["a"]] * bgy[:, bidx["H"]]
     dk = thy[:, ThIdx.ix["dkappa"]]
 
@@ -163,7 +167,14 @@ def get_k_schedule(ks: np.ndarray, pr: PrecisionParams,
     # invert kappa'(tau): dkg decreasing -> flip for searchsorted
     logdk = np.log(dkg[::-1])
     logtg = np.log(tg[::-1])
-    kappa_target = np.log(ks / pr.tight_coupling_trigger_tau_c_over_tau_k)
+    # P(k)-only modes (k above the CMB range) keep tight coupling longer:
+    # the TCA slip/shear expansion is accurate to O((k tau_c)^2) and only the
+    # matter transfer (1e-2 contract) is consumed at these k, while the
+    # explicit-solver stiff phase after the switch costs steps ~ sqrt(k/trig).
+    trig_k = np.where(ks > k_max_cmb,
+                      pr.tight_coupling_trigger_tau_c_over_tau_k_pkonly,
+                      pr.tight_coupling_trigger_tau_c_over_tau_k)
+    kappa_target = np.log(ks / trig_k)
     tau_B = np.exp(np.interp(kappa_target, logdk, logtg))
     tau_tca_off = np.minimum(tau_A, tau_B)
 

@@ -256,12 +256,13 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
     ks = get_k_list(params, pr, bg, th, l_scalar_max=l_scalar_max,
                     k_max_for_pk=k_max_for_pk, has_cls=has_cls, has_pk=has_pk)
     taus = get_tau_sampling(params, pr, bg, bidx, th, has_cmb=has_cls, z_max_pk=z_max_pk)
-    sched = get_k_schedule(ks, pr, bg, bidx, th, tau_first_sample=float(taus[0]),
-                           n_ncdm=params.N_ncdm)
 
     n_ncdm = params.N_ncdm
 
-    k_max_cmb = pr.k_max_tau0_over_l_max * l_scalar_max / float(bg.tau0)
+    k_max_cmb = (pr.k_max_tau0_over_l_max * l_scalar_max / float(bg.tau0)
+                 if has_cls else 0.0)
+    sched = get_k_schedule(ks, pr, bg, bidx, th, tau_first_sample=float(taus[0]),
+                           n_ncdm=params.N_ncdm, k_max_cmb=k_max_cmb)
     k_size_cmb = int(np.searchsorted(ks, k_max_cmb, side="right")) if has_cls else 0
     k_size_cmb = min(k_size_cmb + 1, len(ks))
 
