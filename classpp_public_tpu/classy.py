@@ -403,7 +403,7 @@ class Class:
         return float(bg.Omega0_r)
 
     def Neff(self):
-        return self.cosmo.params.N_ur  # + ncdm contributions when present
+        return self.cosmo.params.N_eff
 
     def theta_s_100(self):
         th = self.cosmo.thermodynamics

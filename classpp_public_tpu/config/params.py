@@ -121,5 +121,16 @@ class CosmoParams:
     def deg_ncdm_of(self, i: int) -> float:
         return self.deg_ncdm[i] if i < len(self.deg_ncdm) else 1.0
 
+    @property
+    def N_eff(self) -> float:
+        """Effective relativistic species count in the early universe:
+        N_ur plus each (then-relativistic) ncdm species weighted by
+        deg*(T_ncdm/(4/11)^{1/3})^4 (reference NonColdDarkMatter::GetNeff,
+        tools/non_cold_dark_matter.cpp). Used for the BBN YHe table lookup."""
+        t_std = (4.0 / 11.0) ** (1.0 / 3.0)
+        return self.N_ur + sum(
+            self.deg_ncdm_of(i) * (self.T_ncdm_of(i) / t_std) ** 4
+            for i in range(self.N_ncdm))
+
     def replace(self, **kw) -> "CosmoParams":
         return dataclasses.replace(self, **kw)

@@ -114,6 +114,10 @@ class PrecisionParams:
     # step); lockstep grouping also improves with narrower sorted chunks.
     k_chunk_size: int = 64
     tau_windows: int = 4     # tau-range splits per launch (bounds execution time)
+    # working dtype of the perturbation state ("float64" | "float32"): time,
+    # step control and all other pipeline stages stay f64; f32 state runs on
+    # TPU VPU-native words. Accuracy vs the f64 path is validated in tests.
+    perturb_dtype: str = "float64"
 
     # --- primordial (precisions.h:311)
     k_per_decade_primordial: float = 10.0

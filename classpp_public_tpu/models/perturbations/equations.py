@@ -62,6 +62,13 @@ class PertCtx(NamedTuple):
     ncdm: object = None   # NcdmCtx when idx.n_ncdm > 0
     wa_fld: float = 0.0
     cs2_fld: float = 1.0
+    # offset of the stored eta slot (0.0 or 1.0, may be per-lane traced): the
+    # state carries eta - eta_off. Low-k adiabatic modes store eta - 1 so the
+    # super-horizon value 1 - O((k tau)^2) keeps its deviation at full
+    # relative precision; high-k modes store eta itself since their late-time
+    # eta decays far below 1 (critical for the f32 state path; exact no-op
+    # in f64)
+    eta_off: float = 0.0
 
 
 class Locals(NamedTuple):
@@ -90,6 +97,7 @@ class Locals(NamedTuple):
 
 def rhs_full(tau, y, ctx: PertCtx):
     """dy/dtau plus the Locals needed for source assembly."""
+    tau = jnp.asarray(tau, y.dtype)  # time bookkeeping may be f64
     idx = ctx.idx
     bidx = ctx.bidx
     k = ctx.k
@@ -136,7 +144,7 @@ def rhs_full(tau, y, ctx: PertCtx):
     theta_ur = y[idx.theta_ur]
     shear_ur = y[idx.shear_ur]
     F_ur = jax.lax.dynamic_slice(y, (idx.F_ur,), (idx.n_F_ur,))        # l=3..lmax_ur
-    eta = y[idx.eta]
+    eta = y[idx.eta] + ctx.eta_off
 
     ncdmfa = ctx.ncdmfa_on
     if idx.n_ncdm:
@@ -294,8 +302,8 @@ def rhs_full(tau, y, ctx: PertCtx):
     # F_g l=3..lmax: build the (lmax-2,) derivative vector
     lmax_g = idx.l_max_g
     ls = jnp.arange(3, lmax_g + 1, dtype=y.dtype)
-    F_lm1 = jnp.concatenate([jnp.array([2.0 * shear_g]), F_g[:-1]])
-    F_lp1 = jnp.concatenate([F_g[1:], jnp.array([0.0])])
+    F_lm1 = jnp.concatenate([2.0 * shear_g[None], F_g[:-1]])
+    F_lp1 = jnp.concatenate([F_g[1:], jnp.zeros((1,), y.dtype)])
     dF = k / (2.0 * ls + 1.0) * (ls * F_lm1 - (ls + 1.0) * F_lp1) - kap * F_g
     # lmax closure: F'_lmax = k(F_{lmax-1} - (lmax+1) cotk F_lmax) - kap F_lmax
     dF_last = k * (F_g[-2] - (lmax_g + 1.0) * cotk * F_g[-1]) - kap * F_g[-1]
@@ -305,8 +313,8 @@ def rhs_full(tau, y, ctx: PertCtx):
     # polarization l=0..lmax_pol
     lmax_p = idx.l_max_pol_g
     lp = jnp.arange(0, lmax_p + 1, dtype=y.dtype)
-    G_lm1 = jnp.concatenate([jnp.array([0.0]), G[:-1]])
-    G_lp1 = jnp.concatenate([G[1:], jnp.array([0.0])])
+    G_lm1 = jnp.concatenate([jnp.zeros((1,), y.dtype), G[:-1]])
+    G_lp1 = jnp.concatenate([G[1:], jnp.zeros((1,), y.dtype)])
     dG = k / (2.0 * lp + 1.0) * (lp * G_lm1 - (lp + 1.0) * G_lp1) - kap * G
     dG = dG.at[0].set(-k * G[1] - kap * (G[0] - 4.0 * P0))
     dG = dG.at[2].set(k / 5.0 * (2.0 * G[1] - 3.0 * G[3]) - kap * (G[2] - 4.0 / 5.0 * P0))
@@ -330,8 +338,8 @@ def rhs_full(tau, y, ctx: PertCtx):
 
     lmax_u = idx.l_max_ur
     lu = jnp.arange(3, lmax_u + 1, dtype=y.dtype)
-    Fu_lm1 = jnp.concatenate([jnp.array([2.0 * shear_ur]), F_ur[:-1]])
-    Fu_lp1 = jnp.concatenate([F_ur[1:], jnp.array([0.0])])
+    Fu_lm1 = jnp.concatenate([2.0 * shear_ur[None], F_ur[:-1]])
+    Fu_lp1 = jnp.concatenate([F_ur[1:], jnp.zeros((1,), y.dtype)])
     dFu = k / (2.0 * lu + 1.0) * (lu * Fu_lm1 - (lu + 1.0) * Fu_lp1)
     dFu_last = k * (F_ur[-2] - (lmax_u + 1.0) * cotk * F_ur[-1])
     dFu = dFu.at[-1].set(dFu_last)
@@ -345,8 +353,8 @@ def rhs_full(tau, y, ctx: PertCtx):
         dl0 = nc.dlnf0[None, :]
         # exact Boltzmann hierarchy on the momentum grid
         lsn = jnp.arange(0, nl, dtype=y.dtype)                # l values
-        Ps_m1 = jnp.concatenate([jnp.zeros((ns, nq, 1)), Psi[:, :, :-1]], axis=2)
-        Ps_p1 = jnp.concatenate([Psi[:, :, 1:], jnp.zeros((ns, nq, 1))], axis=2)
+        Ps_m1 = jnp.concatenate([jnp.zeros((ns, nq, 1), y.dtype), Psi[:, :, :-1]], axis=2)
+        Ps_p1 = jnp.concatenate([Psi[:, :, 1:], jnp.zeros((ns, nq, 1), y.dtype)], axis=2)
         dPsi = qk_eps[:, :, None] / (2.0 * lsn + 1.0) * (
             lsn * Ps_m1 - (lsn + 1.0) * Ps_p1)
         dPsi = dPsi.at[:, :, 0].set(-qk_eps * Psi[:, :, 1]
@@ -431,6 +439,7 @@ def rhs(tau, y, ctx: PertCtx):
 def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
     """Adiabatic initial conditions, synchronous gauge, flat
     (perturb_initial_conditions :4825-4935)."""
+    tau = jnp.asarray(tau, jnp.result_type(k))
     idx = ctx.idx
     bidx = ctx.bidx
     bgv = ctx.bg_spline.eval(jnp.log(tau))
@@ -461,11 +470,14 @@ def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
     shear_ur = ktau2 / (45.0 + 12.0 * fracnu) * 2.0 * (
         1.0 + (4.0 * fracnu - 5.0) / 4.0 / (2.0 * fracnu + 15.0) * tau * om) * curvature_ini
     l3_ur = ktau3 * 2.0 / 7.0 / (12.0 * fracnu + 45.0) * curvature_ini
-    eta = curvature_ini * (1.0 - ktau2 / 12.0 / (15.0 + 4.0 * fracnu) * (
+    # deviation from curvature_ini computed directly (never form 1 - small),
+    # then shifted by the lane's eta_off (see PertCtx.eta_off)
+    eta_hat = -curvature_ini * ktau2 / 12.0 / (15.0 + 4.0 * fracnu) * (
         5.0 + 4.0 * fracnu
-        - (16.0 * fracnu**2 + 280.0 * fracnu + 325.0) / 10.0 / (2.0 * fracnu + 15.0) * tau * om))
+        - (16.0 * fracnu**2 + 280.0 * fracnu + 325.0) / 10.0 / (2.0 * fracnu + 15.0) * tau * om)
+    eta_hat = eta_hat + (curvature_ini - ctx.eta_off)
 
-    y = jnp.zeros((idx.size,))
+    y = jnp.zeros((idx.size,), jnp.result_type(k))
     y = y.at[idx.delta_g].set(delta_g)
     y = y.at[idx.theta_g].set(theta_g)
     y = y.at[idx.delta_b].set(0.75 * delta_g)
@@ -475,7 +487,7 @@ def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
     y = y.at[idx.theta_ur].set(theta_ur)
     y = y.at[idx.shear_ur].set(shear_ur)
     y = y.at[idx.F_ur].set(l3_ur)
-    y = y.at[idx.eta].set(eta)
+    y = y.at[idx.eta].set(eta_hat)
     if idx.has_fld:
         # from 1004.5509 (perturb_initial_conditions :4895-4900)
         w0 = ctx.bg_spline.eval(jnp.log(tau))[ctx.bidx["w_fld"]]
@@ -491,7 +503,7 @@ def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
         ns, nq, nl = idx.n_ncdm, idx.q_size_ncdm, idx.n_l_ncdm
         eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)
         dl0 = jnp.broadcast_to(nc.dlnf0[None, :], (ns, nq))
-        Psi = jnp.zeros((ns, nq, nl))
+        Psi = jnp.zeros((ns, nq, nl), y.dtype)
         Psi = Psi.at[:, :, 0].set(-0.25 * delta_ur * dl0)
         Psi = Psi.at[:, :, 1].set(-eps / (3.0 * nc.q[None, :] * k) * theta_ur * dl0)
         Psi = Psi.at[:, :, 2].set(-0.5 * shear_ur * dl0)
@@ -504,6 +516,7 @@ def isocurvature_ic(kind, k, tau, ctx: PertCtx, entropy_ini=1.0):
     """Isocurvature initial conditions (Bucher-Moodley-Turok 99 conventions;
     reference perturb_initial_conditions :4946-5085): kind in
     {"cdi", "bi", "nid", "niv"}. Flat case."""
+    tau = jnp.asarray(tau, jnp.result_type(k))
     idx = ctx.idx
     bidx = ctx.bidx
     bgv = ctx.bg_spline.eval(jnp.log(tau))
@@ -577,7 +590,7 @@ def isocurvature_ic(kind, k, tau, ctx: PertCtx, entropy_ini=1.0):
     else:
         raise ValueError(f"unknown isocurvature kind {kind!r}")
 
-    y = jnp.zeros((idx.size,))
+    y = jnp.zeros((idx.size,), jnp.result_type(k))
     y = y.at[idx.delta_g].set(dg)
     y = y.at[idx.theta_g].set(tg)
     y = y.at[idx.delta_b].set(db)
@@ -592,7 +605,7 @@ def isocurvature_ic(kind, k, tau, ctx: PertCtx, entropy_ini=1.0):
         ns, nq, nl = idx.n_ncdm, idx.q_size_ncdm, idx.n_l_ncdm
         eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)
         dl0 = jnp.broadcast_to(nc.dlnf0[None, :], (ns, nq))
-        Psi = jnp.zeros((ns, nq, nl))
+        Psi = jnp.zeros((ns, nq, nl), y.dtype)
         Psi = Psi.at[:, :, 0].set(-0.25 * dur * dl0)
         Psi = Psi.at[:, :, 1].set(-eps / (3.0 * nc.q[None, :] * k) * tur * dl0)
         Psi = Psi.at[:, :, 2].set(-0.5 * sur * dl0)
@@ -611,6 +624,7 @@ def remap_tca_off(y, tau, ctx: PertCtx):
     """State re-initialization when tight coupling switches off
     (perturb_vector_init :3900-3920): fill the photon hierarchy slots from
     their tight-coupling values."""
+    tau = jnp.asarray(tau, y.dtype)
     idx = ctx.idx
     ctx_tca = ctx._replace(tca_on=jnp.asarray(True))
     _, loc = rhs_full(tau, y, ctx_tca)
@@ -639,6 +653,7 @@ def remap_ufa_on(y, ctx: PertCtx):
 def remap_ncdmfa_on(y, tau, ctx: PertCtx):
     """Collapse each ncdm phase-space block to its fluid moments when the
     fluid approximation switches on (perturb_vector_init :4485-4517)."""
+    tau = jnp.asarray(tau, y.dtype)
     idx = ctx.idx
     nc = ctx.ncdm
     ns, nq, nl = idx.n_ncdm, idx.q_size_ncdm, idx.n_l_ncdm
@@ -654,7 +669,7 @@ def remap_ncdmfa_on(y, tau, ctx: PertCtx):
     delta = fac * jnp.sum(qw[None, :] * eps * Psi[:, :, 0], axis=1) / rho_nc
     theta = k * fac * jnp.sum(qw[None, :] * nc.q[None, :] * Psi[:, :, 1], axis=1) / (rho_nc + p_nc)
     shear = 2.0 / 3.0 * fac * jnp.sum(qw[None, :] * nc.q[None, :] ** 2 / eps * Psi[:, :, 2], axis=1) / (rho_nc + p_nc)
-    Psi_new = jnp.zeros((ns, nq, nl))
+    Psi_new = jnp.zeros((ns, nq, nl), y.dtype)
     Psi_new = Psi_new.at[:, 0, 0].set(delta)
     Psi_new = Psi_new.at[:, 0, 1].set(theta)
     Psi_new = Psi_new.at[:, 0, 2].set(shear)
@@ -683,6 +698,7 @@ def remap_rsa_on(y, ctx: PertCtx):
 def compute_sources(tau, y, ctx: PertCtx):
     """All source functions at (k, tau) — reference perturb_sources (:6830-7010),
     synchronous gauge 'efficient' form. Returns (SrcIdx.n,) vector."""
+    tau = jnp.asarray(tau, y.dtype)
     k = ctx.k
     k2 = k * k
     dy, L = rhs_full(tau, y, ctx)
@@ -706,7 +722,7 @@ def compute_sources(tau, y, ctx: PertCtx):
     phi_plus_psi = L.eta + L.alpha_prime
     phi_prime = L.eta_prime - L.aH_prime * L.alpha - L.aH * L.alpha_prime
 
-    out = jnp.zeros((SrcIdx.n,))
+    out = jnp.zeros((SrcIdx.n,), y.dtype)
     six = SrcIdx.ix
     out = out.at[six["t0"]].set(t0)
     out = out.at[six["t1"]].set(t1)

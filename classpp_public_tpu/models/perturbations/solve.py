@@ -97,8 +97,12 @@ class PerturbResult(NamedTuple):
     sources_iso: dict = None  # {ic_name: (nk, ntau, nsrc)} isocurvature modes
 
 
+K_ETA_SPLIT = 0.02  # 1/Mpc: below this, adiabatic lanes store eta - 1
+
+
 def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
-             bidx, idx, rtol, atol, wa_fld, cs2_fld):
+             bidx, idx, rtol, atol, wa_fld, cs2_fld, ic="ad"):
+    eta_off = (k < K_ETA_SPLIT).astype(k.dtype) if ic == "ad" else 0.0
     """Shared per-k integration machinery: flag context + adaptive interval
     integrator with in-loop approximation-switch remaps.
 
@@ -117,7 +121,7 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
         return eq.PertCtx(k=k, tca_on=t < t_tca, rsa_on=t >= t_rsa, ufa_on=t >= t_ufa,
                           bg_spline=bg_spline, th_spline=th_spline, bidx=bidx, idx=idx,
                           ncdmfa_on=t >= t_ncfa, ncdm=ncdm,
-                          wa_fld=wa_fld, cs2_fld=cs2_fld)
+                          wa_fld=wa_fld, cs2_fld=cs2_fld, eta_off=eta_off)
 
     def integrate_interval(y, h, t_a, t_b):
         def cond(st):
@@ -164,7 +168,7 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
     """Integrate one k-mode over all sampling intervals, emitting sources."""
     ctx_at, integrate_interval = _stepper(
         k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
-        bidx, idx, rtol, atol, wa_fld, cs2_fld)
+        bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic)
 
     if y_carry is None:
         # initial conditions at tau_ini (always deep in tight coupling),
@@ -200,23 +204,24 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
 def init_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
                ncdm, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
     ctx_at, _ = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
-                         ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld)
+                         ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic)
     y0 = eq.initial_conditions(ic, k, tau_ini, ctx_at(tau_ini))
     return y0, 0.1 * tau_ini
 
 
 def advance_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t_a, t_b, bg_spline, th_spline,
-                  ncdm, y, h, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, atol=1e-11):
+                  ncdm, y, h, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad",
+                  atol=1e-11):
     _, integrate_interval = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline,
                                      th_spline, ncdm, bidx, idx, rtol, atol,
-                                     wa_fld, cs2_fld)
+                                     wa_fld, cs2_fld, ic=ic)
     return integrate_interval(y, h, t_a, t_b)
 
 
 def emit_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t, bg_spline, th_spline, ncdm, y,
-               bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, atol=1e-11):
+               bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
     ctx_at, _ = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
-                         ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld)
+                         ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic)
     return eq.compute_sources(t, y, ctx_at(t))
 
 
@@ -230,20 +235,20 @@ def get_init_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=
 
 
 @lru_cache(maxsize=16)
-def get_advance_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, atol=1e-11):
+def get_advance_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
     bidx = BgIdx(*bidx_key)
     return jax.jit(jax.vmap(
         partial(advance_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, atol=atol),
+                cs2_fld=cs2_fld, ic=ic, atol=atol),
         in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, 0, 0)))
 
 
 @lru_cache(maxsize=16)
-def get_emit_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, atol=1e-11):
+def get_emit_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
     bidx = BgIdx(*bidx_key)
     return jax.jit(jax.vmap(
         partial(emit_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, atol=atol),
+                cs2_fld=cs2_fld, ic=ic, atol=atol),
         in_axes=(0, 0, 0, 0, 0, None, None, None, None, 0)))
 
 
@@ -286,6 +291,16 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                  np.asarray(sched.tau_rsa_on), np.asarray(sched.tau_ncdmfa_on)]
         rtol = pr.tol_perturb_integration
         bsp, tsp = bg.lntau_spline, th.lntau_spline
+        ncdm_d = ncdm_ctx
+        if pr.perturb_dtype == "float32":
+            # f32 working state: the jitted solvers retrace on input dtype, so
+            # casting k/tables here switches the whole compute path; time,
+            # switch clipping and step control stay f64.
+            def _c32(tree):
+                return jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, tree)
+            bsp, tsp, ncdm_d = _c32(bsp), _c32(tsp), _c32(ncdm_ctx)
         import os as _os
         import time as _time
         _dbg = bool(_os.environ.get("CLASSPP_TPU_DEBUG"))
@@ -301,45 +316,53 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
             if pad:
                 sl = [np.pad(a, (0, pad), mode="edge") for a in sl]
             args = [jnp.asarray(a) for a in sl]
+            if pr.perturb_dtype == "float32":
+                args[0] = args[0].astype(jnp.float32)
             # P(k)-only modes (k above the CMB range) carry fully Silk-damped
             # photon perturbations; a looser absolute floor avoids resolving
             # sub-1e-8 oscillations that cannot affect delta_m. Their
             # oscillation-limited stepping is ~uniform per unit tau, so the
             # pre-sampling phase and the sampled range both get many windows
             # (each device launch stays bounded in wall-clock).
-            heavy = sl[0][0] > k_max_cmb
-            atol = 3e-9 if heavy else 1e-11
-            n_pre = 12 if heavy else 1
-            nwin = max(1, pr.tau_windows * (8 if heavy else 1))
+            # windowing is driven by the most expensive lane in the chunk
+            # (any high-k lane needs its pre-phase split to stay under the
+            # per-interval step cap and device launch bounds); the looser
+            # error floor applies only when EVERY lane is beyond the CMB range
+            any_heavy = sl[0][-1] > k_max_cmb
+            all_heavy = sl[0][0] > k_max_cmb
+            atol = 3e-9 if all_heavy else 1e-11
+            n_pre = 12 if any_heavy else 1
+            nwin = max(1, pr.tau_windows * (8 if any_heavy else 1))
             bounds = np.linspace(0, ntau - 1, nwin + 1).astype(int)
             kw = dict(wa_fld=params.wa_fld, cs2_fld=params.cs2_fld, atol=atol)
             init = get_init_solver(bidx.key, idx, rtol, ic=ic_name, **kw)
-            adv = get_advance_solver(bidx.key, idx, rtol, **kw)
-            emit = get_emit_solver(bidx.key, idx, rtol, **kw)
+            adv = get_advance_solver(bidx.key, idx, rtol, ic=ic_name, **kw)
+            emit = get_emit_solver(bidx.key, idx, rtol, ic=ic_name, **kw)
             cont = get_window_solver(bidx.key, idx, rtol, ic=ic_name, **kw)
             sw = list(args[2:6])
             # pre-phase: ICs at per-lane tau_ini, then advance in shared
             # tau-windows (per-lane spans clamped so late starters wait)
-            y, h = init(*args, bsp, tsp, ncdm_ctx)
+            y, h = init(*args, bsp, tsp, ncdm_d)
             pts = np.linspace(min(float(sl[1].min()), taus[0]), taus[0], n_pre + 1)
             st = jnp.zeros((cs,), dtype=jnp.int32)
             for j in range(n_pre):
                 t_a = jnp.maximum(args[1], pts[j])
                 t_b = jnp.maximum(args[1], pts[j + 1])
-                y, h, n = adv(args[0], *sw, t_a, t_b, bsp, tsp, ncdm_ctx, y, h)
+                y, h, n = adv(args[0], *sw, t_a, t_b, bsp, tsp, ncdm_d, y, h)
                 _tick(f"chunk {i0} pre {j}", y)
                 st = st + n
-            pieces = [emit(args[0], *sw, taus_j[0], bsp, tsp, ncdm_ctx, y)[:, None, :]]
+            pieces = [emit(args[0], *sw, taus_j[0], bsp, tsp, ncdm_d, y)[:, None, :]]
             for w in range(nwin):
                 src, stw, (y, h) = cont(*args, taus_j[bounds[w]: bounds[w + 1] + 1],
-                                        bsp, tsp, ncdm_ctx, y, h)
+                                        bsp, tsp, ncdm_d, y, h)
                 _tick(f"chunk {i0} win {w}", src)
                 st = st + stw
                 pieces.append(src)
             n_keep = min(cs, nk - i0)
             out_src.append(jnp.concatenate(pieces, axis=1)[:n_keep])
             out_steps.append(st[:n_keep])
-        return jnp.concatenate(out_src, axis=0), jnp.concatenate(out_steps, axis=0)
+        src_all = jnp.concatenate(out_src, axis=0).astype(jnp.float64)
+        return src_all, jnp.concatenate(out_steps, axis=0)
 
     sources, nsteps = run_ic("ad")
     sources_iso = None

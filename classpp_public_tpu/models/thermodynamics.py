@@ -120,12 +120,13 @@ def _bbn_table():
     return omegab, dneff, yp
 
 
-def helium_from_bbn_np(omega_b: float, N_ur: float) -> float:
+def helium_from_bbn_np(omega_b: float, N_eff: float) -> float:
     """YHe from the standard BBN table by bilinear interpolation (reference
     thermodynamics_helium_from_bbn, thermodynamics_module.cpp:1535;
-    data table bbn/sBBN_2017.dat)."""
+    data table bbn/sBBN_2017.dat). N_eff must count ALL relativistic species
+    at BBN, including (then-relativistic) ncdm."""
     omegab_g, dneff_g, yp = _bbn_table()
-    dneff = N_ur - 3.046
+    dneff = N_eff - 3.046
     # bilinear interpolation
     i = np.clip(np.searchsorted(omegab_g, omega_b) - 1, 0, len(omegab_g) - 2)
     j = np.clip(np.searchsorted(dneff_g, dneff) - 1, 0, len(dneff_g) - 2)
@@ -143,7 +144,7 @@ def helium_from_bbn_np(omega_b: float, N_ur: float) -> float:
 
 
 def make_recfast_ctx(params: CosmoParams, pr: PrecisionParams, bg: BackgroundResult, idx: BgIdx) -> RecfastCtx:
-    YHe = params.YHe if params.YHe is not None else helium_from_bbn_np(params.omega_b, params.N_ur)
+    YHe = params.YHe if params.YHe is not None else helium_from_bbn_np(params.omega_b, params.N_eff)
     H0_s = params.H0 * const.c_SI / const.Mpc_over_m
     mu_H = 1.0 / (1.0 - YHe)
     fHe = YHe / (const.not4 * (1.0 - YHe))

@@ -43,17 +43,27 @@ _MAX_SCALE = 5.0
 
 def rkck_step(rhs: Callable, t, y, h, args):
     """One Cash-Karp embedded step as a scan over the six stages.
-    Returns (y5, err, k1)."""
+    Returns (y5, err, k1). Mixed precision: the state y sets the working
+    dtype; t and h may be f64 (time bookkeeping) with a cast at the stage."""
+    dt = y.dtype
+    h_c = jnp.asarray(h, dt)
+    A = _CK_A_MAT.astype(dt)
+    B5 = _CK_B5.astype(dt)
+    B4 = _CK_B4.astype(dt)
+
+    # HIGHEST: TPU f32 dots otherwise route through bf16 MXU passes, which
+    # wrecks the embedded error estimate (y5-y4) and stalls the controller
+    hp = jax.lax.Precision.HIGHEST
 
     def stage(K, i):
-        y_i = y + h * jnp.tensordot(_CK_A_MAT[i], K, axes=1)
+        y_i = y + h_c * jnp.tensordot(A[i], K, axes=1, precision=hp)
         k_i = rhs(t + _CK_C[i] * h, y_i, args)
         return K.at[i].set(k_i), None
 
-    K0 = jnp.zeros((6,) + y.shape, y.dtype)
+    K0 = jnp.zeros((6,) + y.shape, dt)
     K, _ = jax.lax.scan(stage, K0, jnp.arange(6))
-    y5 = y + h * jnp.tensordot(_CK_B5, K, axes=1)
-    y4 = y + h * jnp.tensordot(_CK_B4, K, axes=1)
+    y5 = y + h_c * jnp.tensordot(B5, K, axes=1, precision=hp)
+    y4 = y + h_c * jnp.tensordot(B4, K, axes=1, precision=hp)
     return y5, y5 - y4, K[0]
 
 
