@@ -106,10 +106,24 @@ class Class:
                 v = p.pop(name)
                 if name == "YHe" and isinstance(v, str) and v.strip().upper() == "BBN":
                     kw["YHe"] = None
+                elif (name == "n_t" and isinstance(v, str)
+                      and "scc" in v.strip().lower()):
+                    pass  # slow-roll self-consistency, filled in below
                 else:
                     kw[name] = float(v)
+        if (isinstance(p.get("alpha_t"), str) and "scc" in p["alpha_t"].lower()):
+            p.pop("alpha_t")  # scc is the default (filled below when r > 0)
+        elif "alpha_t" in p:
+            kw["alpha_t"] = float(p.pop("alpha_t"))
         if "tau_reio" in kw and "z_reio" not in kw:
             kw["z_reio"] = None
+        if abs(kw.get("Omega_k", 0.0)) > 1e-12:
+            # curvature is applied to background distances only so far; the
+            # perturbation/transfer stages are flat (equations.py, transfer.py)
+            # — refuse rather than return confidently wrong spectra
+            raise CosmoSevereError(
+                "Omega_k != 0 not implemented yet (flat perturbations/transfer); "
+                "reference: hyperspherical.c, perturbations_module.cpp:4723")
         if "gauge" in p:
             kw["gauge"] = str(p.pop("gauge")).strip().lower()
             if kw["gauge"] not in ("synchronous",):
@@ -159,11 +173,15 @@ class Class:
         if "l_max_tensors" in p:
             out.l_tensor_max = int(float(p.pop("l_max_tensors")))
         if "t" in out.modes:
-            # tensor tilt: inflationary self-consistency unless given
-            # (input_module.cpp:3376: n_t = -r/8 (2 - r/8 - n_s))
+            # tensor tilt/running: inflationary self-consistency unless given
+            # (input_module.cpp:2126-2144: n_t = -r/8 (2 - r/8 - n_s),
+            # alpha_t = r/8 (r/8 + n_s - 1))
+            r_val = kw.get("r", 0.0)
+            n_s_val = kw.get("n_s", 0.9660499)
             if "n_t" not in kw:
-                r_val = kw.get("r", 0.0)
-                kw["n_t"] = -r_val / 8.0 * (2.0 - r_val / 8.0 - kw.get("n_s", 0.9660499))
+                kw["n_t"] = -r_val / 8.0 * (2.0 - r_val / 8.0 - n_s_val)
+            if "alpha_t" not in kw:
+                kw["alpha_t"] = r_val / 8.0 * (r_val / 8.0 + n_s_val - 1.0)
         ics = tuple(x.strip() for x in str(p.pop("ic", "ad")).replace(",", " ").split())
         for icn in ics:
             if icn not in ("ad", "cdi", "bi", "nid", "niv"):
@@ -468,12 +486,30 @@ class Class:
         return self.pk_cb_lin(k, z)
 
     def get_pk_array(self, k, z, nk, nz, nonlinear=False):
-        k = np.asarray(k).reshape(nz, nk) if np.ndim(k) == 1 else np.asarray(k)
-        out = np.zeros((nz, nk))
-        for iz in range(nz):
-            for ik in range(nk):
-                zz = z[iz] if np.ndim(z) else z
-                out[iz, ik] = self.pk(k[iz, ik], zz) if nonlinear else self.pk_lin(k[iz, ik], zz)
+        """Vectorized P(k,z) grid (classy.pyx get_pk_array :1743): ONE log-log
+        interpolation per z row instead of nz*nk scalar pk() calls — this is
+        the sampler-facing hot accessor (MontePython/Cobaya)."""
+        from .models.nonlinear import pk_linear_at_z
+
+        k = np.asarray(k, dtype=np.float64).reshape(nz, nk)
+        zs = np.atleast_1d(np.asarray(z, dtype=np.float64))[:nz]
+        out = np.empty((nz, nk))
+        bg, _ = self._bg()
+        pert = self.cosmo.perturbations
+        if nonlinear and self.cosmo.out.non_linear == "halofit":
+            nl = self.cosmo.nonlinear
+            z_tab = np.asarray(nl.z)
+            lnk_tab = np.log(np.asarray(nl.k))
+            pk_tab = np.log(np.asarray(nl.pk_nl))
+            for iz in range(nz):
+                j = int(np.argmin(np.abs(z_tab - zs[min(iz, len(zs) - 1)])))
+                out[iz] = np.exp(np.interp(np.log(k[iz]), lnk_tab, pk_tab[j]))
+        else:
+            lnk_tab = np.log(np.asarray(pert.k))
+            for iz in range(nz):
+                pk_row = np.log(np.asarray(
+                    pk_linear_at_z(pert, bg, self.cosmo.primordial, float(zs[min(iz, len(zs) - 1)]))))
+                out[iz] = np.exp(np.interp(np.log(k[iz]), lnk_tab, pk_row))
         return out.flatten()
 
     def sigma(self, R, z):

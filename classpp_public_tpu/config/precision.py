@@ -78,10 +78,11 @@ class PrecisionParams:
     start_large_k_at_tau_h_over_tau_k: float = 0.07
     tight_coupling_trigger_tau_c_over_tau_h: float = 0.015
     tight_coupling_trigger_tau_c_over_tau_k: float = 0.01
-    # TPU-native: later TCA switch for P(k)-only modes (k above the CMB
-    # range); accuracy is O((k tau_c)^2) at switch, well inside the 1e-2
-    # matter-power contract, and the explicit stiff phase shrinks ~sqrt(trig).
-    tight_coupling_trigger_tau_c_over_tau_k_pkonly: float = 0.1
+    # TPU-native: optional later TCA switch for P(k)-only modes (k above the
+    # CMB range). With the IMEX stiff evolver the post-TCA phase is no longer
+    # stability-limited, so the default now matches the reference trigger;
+    # raising it (e.g. 0.1) trades O((k tau_c)^2) accuracy for fewer steps.
+    tight_coupling_trigger_tau_c_over_tau_k_pkonly: float = 0.01
     start_sources_at_tau_c_over_tau_h: float = 0.008
     tight_coupling_approximation: str = "compromise_CLASS"
 
@@ -107,7 +108,10 @@ class PrecisionParams:
     ncdm_fluid_approximation: str = "ncdmfa_CLASS"
     ncdm_fluid_trigger_tau_over_tau_k: float = 31.0
     neglect_CMB_sources_below_visibility: float = 1.0e-3
-    evolver: str = "rkck"  # TPU-native default: batched adaptive RKCK45
+    # "imex" = ARK3(2) additive scheme with the Thomson-drag terms implicit
+    # (closed-form solve; the ndf15-equivalent stiff path, ops/ode.py);
+    # "rkck" = fully explicit Cash-Karp 45 (reference evolver_rk analog).
+    evolver: str = "imex"
     # modes per device launch: 64 is the reliable/fast width for the f64
     # while-loop program on current TPU runtimes (128-wide launches of the
     # same program hit device faults on high-k data and are ~4x slower per

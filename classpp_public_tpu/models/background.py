@@ -130,7 +130,19 @@ def ncdm_momenta(x):
 
 
 def compute_background(params: CosmoParams, pr: PrecisionParams) -> tuple[BackgroundResult, BgIdx]:
-    """Build all background tables. Pure function of (params, precision)."""
+    """Build all background tables. Pure function of (params, precision).
+
+    Runs on the host CPU backend: this stage is a latency-dominated chain of
+    small f64 ops (closed-form densities + cumulative integrals on a 4k grid)
+    — see utils/device.py. The resulting tables feed the accelerator stages.
+    """
+    from ..utils.device import on_host_cpu
+
+    with on_host_cpu():
+        return _compute_background_impl(params, pr)
+
+
+def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[BackgroundResult, BgIdx]:
     N = pr.background_Nloga
     dtype = jnp.float64
     H0 = jnp.asarray(params.H0, dtype)

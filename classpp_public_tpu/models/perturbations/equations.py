@@ -433,6 +433,89 @@ def rhs(tau, y, ctx: PertCtx):
     return rhs_full(tau, y, ctx)[0]
 
 
+# --- stiff (Thomson-drag) split for the IMEX evolver -------------------------
+# The perturbation ODE is linear, y' = A(tau) y, and the ONLY stiff entries of
+# A are the Thomson terms proportional to kappa' (reference perturb_derivs,
+# perturbations_module.cpp:7861+). Their sub-matrix is diagonal over the
+# photon hierarchies plus two tiny couplings:
+#   * {shear_g, G0, G2} through P0 = (G0 + G2 + 2 shear)/8:
+#       J3 = kap * (-I + u v^T), u = (0.05, 0.5, 0.1), v = (2, 1, 1)
+#     so (I - gh J3)^-1 is a Sherman-Morrison closed form;
+#   * {theta_g, theta_b}: J2 = kap * [[-1, 1], [R, -R]], 2x2 closed form.
+# Everything else (k^2 oscillation terms, metric, ncdm, fld) stays explicit —
+# those are accuracy-limited, not stability-limited. Under TCA and RSA the
+# kappa' terms are masked out of the RHS, so the stiff mask is ~(tca|rsa).
+
+_SM_U = (0.05, 0.5, 0.1)   # rows: shear_g, G0, G2 (P0-coupling strengths /8)
+_SM_V = (2.0, 1.0, 1.0)    # P0 composition: 2*shear + G0 + G2
+_SM_VU = 0.7               # v.u
+
+
+def _stiff_kappa(tau, y_dtype, ctx: PertCtx):
+    """(kap_masked, R): Thomson rate with the TCA/RSA mask applied, and the
+    baryon-photon momentum ratio R = 4 rho_g / (3 rho_b)."""
+    lntau = jnp.log(jnp.asarray(tau, y_dtype))
+    thv = ctx.th_spline.eval(lntau)
+    bgv = ctx.bg_spline.eval(lntau)
+    kap = thv[ThIdx.ix["dkappa"]]
+    R = 4.0 / 3.0 * bgv[ctx.bidx["rho_g"]] / bgv[ctx.bidx["rho_b"]]
+    on = ~(ctx.tca_on | ctx.rsa_on)
+    return jnp.where(on, kap, jnp.zeros_like(kap)), R
+
+
+def stiff_apply(tau, y, ctx: PertCtx):
+    """J_s(tau) · y — exactly the kappa'-proportional terms of rhs()."""
+    idx = ctx.idx
+    kap, R = _stiff_kappa(tau, y.dtype, ctx)
+    theta_g = y[idx.theta_g]
+    theta_b = y[idx.theta_b]
+    shear_g = y[idx.shear_g]
+    F_g = jax.lax.dynamic_slice(y, (idx.F_g,), (idx.n_F_g,))
+    G = jax.lax.dynamic_slice(y, (idx.G_g,), (idx.n_G_g,))
+    P0 = (G[0] + G[2] + 2.0 * shear_g) / 8.0
+
+    out = jnp.zeros_like(y)
+    out = out.at[idx.theta_g].set(kap * (theta_b - theta_g))
+    out = out.at[idx.theta_b].set(R * kap * (theta_g - theta_b))
+    out = out.at[idx.shear_g].set(kap * (0.4 * P0 - shear_g))
+    out = jax.lax.dynamic_update_slice(out, -kap * F_g, (idx.F_g,))
+    outG = -kap * G
+    outG = outG.at[0].add(kap * 4.0 * P0)
+    outG = outG.at[2].add(kap * 0.8 * P0)
+    out = jax.lax.dynamic_update_slice(out, outG, (idx.G_g,))
+    return out
+
+
+def stiff_solve(tau, gh, r, ctx: PertCtx):
+    """x = (I - gh·J_s(tau))^{-1} r, closed form (no LU)."""
+    idx = ctx.idx
+    kap, R = _stiff_kappa(tau, r.dtype, ctx)
+    a = jnp.asarray(gh, r.dtype) * kap
+
+    # diagonal part: hierarchy slots relax as 1/(1+a)
+    x = r
+    F_r = jax.lax.dynamic_slice(r, (idx.F_g,), (idx.n_F_g,))
+    G_r = jax.lax.dynamic_slice(r, (idx.G_g,), (idx.n_G_g,))
+    x = jax.lax.dynamic_update_slice(x, F_r / (1.0 + a), (idx.F_g,))
+    x = jax.lax.dynamic_update_slice(x, G_r / (1.0 + a), (idx.G_g,))
+
+    # 3x3 {shear_g, G0, G2}: M = (1+a) I - a u v^T (Sherman-Morrison)
+    r3 = jnp.stack([r[idx.shear_g], G_r[0], G_r[2]])
+    u = jnp.asarray(_SM_U, r.dtype)
+    vr = 2.0 * r3[0] + r3[1] + r3[2]
+    x3 = r3 / (1.0 + a) + a * u * vr / ((1.0 + a) * (1.0 + (1.0 - _SM_VU) * a))
+    x = x.at[idx.shear_g].set(x3[0])
+    x = x.at[idx.G_g + 0].set(x3[1])
+    x = x.at[idx.G_g + 2].set(x3[2])
+
+    # 2x2 {theta_g, theta_b}: det = 1 + a (1 + R)
+    det = 1.0 + a * (1.0 + R)
+    r_g, r_b = r[idx.theta_g], r[idx.theta_b]
+    x = x.at[idx.theta_g].set(((1.0 + a * R) * r_g + a * r_b) / det)
+    x = x.at[idx.theta_b].set((a * R * r_g + (1.0 + a) * r_b) / det)
+    return x
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -59,19 +59,19 @@ def make_ncdm_ctx(params, bg, idx):
 
 
 @lru_cache(maxsize=16)
-def get_batch_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
+def get_batch_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex"):
     """jitted vmapped per-k solver head (ICs + pre-phase + first window)."""
     from ..background import BgIdx
 
     bidx = BgIdx(*bidx_key)
     return jax.jit(jax.vmap(
         partial(solve_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, ic=ic, atol=atol),
+                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver),
         in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None)))
 
 
 @lru_cache(maxsize=16)
-def get_window_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
+def get_window_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex"):
     """jitted vmapped continuation solver: resumes from a carried (y, h)."""
     from ..background import BgIdx
 
@@ -82,7 +82,7 @@ def get_window_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", ato
         return solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus,
                            bg_spline, th_spline, ncdm, bidx, idx, rtol,
                            wa_fld=wa_fld, cs2_fld=cs2_fld, ic=ic, y_carry=(y, h),
-                           atol=atol)
+                           atol=atol, evolver=evolver)
 
     return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None, 0, 0)))
 
@@ -101,7 +101,7 @@ K_ETA_SPLIT = 0.02  # 1/Mpc: below this, adiabatic lanes store eta - 1
 
 
 def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
-             bidx, idx, rtol, atol, wa_fld, cs2_fld, ic="ad"):
+             bidx, idx, rtol, atol, wa_fld, cs2_fld, ic="ad", evolver="imex"):
     eta_off = (k < K_ETA_SPLIT).astype(k.dtype) if ic == "ad" else 0.0
     """Shared per-k integration machinery: flag context + adaptive interval
     integrator with in-loop approximation-switch remaps.
@@ -111,8 +111,12 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
     switch time, and the state remaps fire inside the loop when a step lands
     on a switch boundary. (A single loop keeps the compiled graph small: the
     RHS appears once per interval instead of once per sub-segment.)
+
+    evolver: "imex" (default) = ARK3(2) with the Thomson terms implicit —
+    the ndf15-equivalent stiff path (steps limited by acoustic accuracy, not
+    by kappa' stability); "rkck" = fully explicit Cash-Karp 45.
     """
-    from ...ops.ode import rkck_step
+    from ...ops.ode import ark43_step, rkck_step
 
     switch_list = [t_tca, t_ufa, t_rsa] + ([t_ncfa] if idx.n_ncdm else [])
     switches = jnp.stack(switch_list)
@@ -122,6 +126,9 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
                           bg_spline=bg_spline, th_spline=th_spline, bidx=bidx, idx=idx,
                           ncdmfa_on=t >= t_ncfa, ncdm=ncdm,
                           wa_fld=wa_fld, cs2_fld=cs2_fld, eta_off=eta_off)
+
+    # embedded-error order sets the controller exponent
+    err_exp = -0.25 if evolver == "imex" else -0.2
 
     def integrate_interval(y, h, t_a, t_b):
         def cond(st):
@@ -135,12 +142,16 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
             t_stop = jnp.minimum(jnp.min(cand), t_b)
             h_eff = jnp.minimum(h, t_stop - t)
             c = ctx_at(t)
-            y_new, err, k1 = rkck_step(eq.rhs, t, y, h_eff, c)
+            if evolver == "imex":
+                y_new, err, k1 = ark43_step(eq.rhs, eq.stiff_apply, eq.stiff_solve,
+                                            t, y, h_eff, c)
+            else:
+                y_new, err, k1 = rkck_step(eq.rhs, t, y, h_eff, c)
             scale = rtol * (jnp.abs(y) + jnp.abs(h_eff * k1) + 1e-30) + atol
             ratio = jnp.max(jnp.abs(err) / scale)
             ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.inf)
             accept = ratio <= 1.0
-            fac = jnp.clip(0.9 * jnp.where(ratio > 0, ratio ** -0.2, 5.0), 0.2, 5.0)
+            fac = jnp.clip(0.9 * jnp.where(ratio > 0, ratio ** err_exp, 5.0), 0.2, 5.0)
             clipped = h_eff < h
             h_next = jnp.where(accept & clipped, jnp.maximum(h, h_eff * fac), h_eff * fac)
             t_new = jnp.where(accept, t + h_eff, t)
@@ -155,8 +166,13 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
             done_new = t_new >= t_b * (1.0 - 1e-15)
             return (t_new, y_out, jnp.maximum(h_next, 1e-300), n + 1, done_new)
 
-        n0 = (t_a * 0).astype(jnp.int32)
-        st = (t_a, y, h, n0, t_b <= t_a)
+        # derive every scalar carry from the (mesh-varying) step size h so the
+        # while_loop carry keeps consistent varying-axis types under shard_map
+        # (t_a/t_b come from the replicated tau grid and would otherwise start
+        # invariant and become varying after the first where(accept, ...))
+        zero_v = h * 0.0
+        n0 = zero_v.astype(jnp.int32)
+        st = (t_a + zero_v, y, h, n0, (t_b + zero_v) <= t_a)
         t, y, h, n, _ = jax.lax.while_loop(cond, body, st)
         return y, h, n
 
@@ -164,11 +180,12 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
 
 
 def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline, ncdm, bidx, idx, rtol,
-                wa_fld=0.0, cs2_fld=1.0, ic="ad", y_carry=None, atol=1e-11):
+                wa_fld=0.0, cs2_fld=1.0, ic="ad", y_carry=None, atol=1e-11,
+                evolver="imex"):
     """Integrate one k-mode over all sampling intervals, emitting sources."""
     ctx_at, integrate_interval = _stepper(
         k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
-        bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic)
+        bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic, evolver=evolver)
 
     if y_carry is None:
         # initial conditions at tau_ini (always deep in tight coupling),
@@ -202,53 +219,57 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
 # then bounded in wall-clock regardless of k.
 
 def init_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
-               ncdm, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
+               ncdm, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11,
+               evolver="imex"):
     ctx_at, _ = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
-                         ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic)
+                         ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic,
+                         evolver=evolver)
     y0 = eq.initial_conditions(ic, k, tau_ini, ctx_at(tau_ini))
     return y0, 0.1 * tau_ini
 
 
 def advance_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t_a, t_b, bg_spline, th_spline,
                   ncdm, y, h, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad",
-                  atol=1e-11):
+                  atol=1e-11, evolver="imex"):
     _, integrate_interval = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline,
                                      th_spline, ncdm, bidx, idx, rtol, atol,
-                                     wa_fld, cs2_fld, ic=ic)
+                                     wa_fld, cs2_fld, ic=ic, evolver=evolver)
     return integrate_interval(y, h, t_a, t_b)
 
 
 def emit_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t, bg_spline, th_spline, ncdm, y,
-               bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
+               bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11,
+               evolver="imex"):
     ctx_at, _ = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
-                         ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic)
+                         ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic,
+                         evolver=evolver)
     return eq.compute_sources(t, y, ctx_at(t))
 
 
 @lru_cache(maxsize=16)
-def get_init_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
+def get_init_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex"):
     bidx = BgIdx(*bidx_key)
     return jax.jit(jax.vmap(
         partial(init_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, ic=ic, atol=atol),
+                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver),
         in_axes=(0, 0, 0, 0, 0, 0, None, None, None)))
 
 
 @lru_cache(maxsize=16)
-def get_advance_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
+def get_advance_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex"):
     bidx = BgIdx(*bidx_key)
     return jax.jit(jax.vmap(
         partial(advance_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, ic=ic, atol=atol),
+                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver),
         in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, 0, 0)))
 
 
 @lru_cache(maxsize=16)
-def get_emit_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11):
+def get_emit_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex"):
     bidx = BgIdx(*bidx_key)
     return jax.jit(jax.vmap(
         partial(emit_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, ic=ic, atol=atol),
+                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver),
         in_axes=(0, 0, 0, 0, 0, None, None, None, None, 0)))
 
 
@@ -282,7 +303,13 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
         lockstep waste) and the tau range in windows (bounded per-launch
         execution for device watchdogs); (y, h) carries across windows."""
         nk = len(sched.k)
-        cs = min(pr.k_chunk_size, nk)
+        # multi-device: widen the chunk so every device carries k_chunk_size
+        # lanes and shard the lane axis over the mesh (GSPMD splits the one
+        # jitted lockstep program across chips with no collectives)
+        from ...parallel.mesh import make_mesh, n_compute_devices, shard_lanes
+        n_dev = n_compute_devices()
+        mesh = make_mesh() if n_dev > 1 else None
+        cs = min(pr.k_chunk_size * n_dev, nk + (-nk) % n_dev)
         ntau = len(taus)
         out_src = []
         out_steps = []
@@ -318,6 +345,8 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
             args = [jnp.asarray(a) for a in sl]
             if pr.perturb_dtype == "float32":
                 args[0] = args[0].astype(jnp.float32)
+            if mesh is not None:
+                args = shard_lanes(mesh, args)
             # P(k)-only modes (k above the CMB range) carry fully Silk-damped
             # photon perturbations; a looser absolute floor avoids resolving
             # sub-1e-8 oscillations that cannot affect delta_m. Their
@@ -331,10 +360,17 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
             any_heavy = sl[0][-1] > k_max_cmb
             all_heavy = sl[0][0] > k_max_cmb
             atol = 3e-9 if all_heavy else 1e-11
-            n_pre = 12 if any_heavy else 1
-            nwin = max(1, pr.tau_windows * (8 if any_heavy else 1))
+            if pr.evolver == "imex":
+                # stiff path: step counts are oscillation-limited (~1e3/lane),
+                # so a couple of windows suffice to bound launch wall-clock
+                n_pre = 2 if any_heavy else 1
+                nwin = max(1, pr.tau_windows // 2)
+            else:
+                n_pre = 12 if any_heavy else 1
+                nwin = max(1, pr.tau_windows * (8 if any_heavy else 1))
             bounds = np.linspace(0, ntau - 1, nwin + 1).astype(int)
-            kw = dict(wa_fld=params.wa_fld, cs2_fld=params.cs2_fld, atol=atol)
+            kw = dict(wa_fld=params.wa_fld, cs2_fld=params.cs2_fld, atol=atol,
+                      evolver=pr.evolver)
             init = get_init_solver(bidx.key, idx, rtol, ic=ic_name, **kw)
             adv = get_advance_solver(bidx.key, idx, rtol, ic=ic_name, **kw)
             emit = get_emit_solver(bidx.key, idx, rtol, ic=ic_name, **kw)

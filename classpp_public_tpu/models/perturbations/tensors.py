@@ -242,8 +242,11 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa_unused, t_rsa, taus, bg_spline, th_spli
             done_new = t_new >= t_b * (1.0 - 1e-15)
             return (t_new, y_out, jnp.maximum(h_next, 1e-300), n + 1, done_new)
 
-        n0 = (t_a * 0).astype(jnp.int32)
-        t, y, h, n, _ = jax.lax.while_loop(cond, body, (t_a, y, h, n0, t_b <= t_a))
+        # scalar carries derived from h: consistent vma types under shard_map
+        zero_v = h * 0.0
+        n0 = zero_v.astype(jnp.int32)
+        t, y, h, n, _ = jax.lax.while_loop(
+            cond, body, (t_a + zero_v, y, h, n0, (t_b + zero_v) <= t_a))
         return y, h, n
 
     y = tensor_ic(idx)

@@ -498,7 +498,16 @@ def compute_thermodynamics(params: CosmoParams, pr: PrecisionParams,
     uniform-ln(tau) table with optical depth, visibility and derivatives.
 
     Reference: thermodynamics_init (thermodynamics_module.cpp:293-1297).
+    Runs on the host CPU backend (sequential 20k-step scan; utils/device.py).
     """
+    from ..utils.device import on_host_cpu
+
+    with on_host_cpu():
+        return _compute_thermodynamics_impl(params, pr, bg, bidx)
+
+
+def _compute_thermodynamics_impl(params: CosmoParams, pr: PrecisionParams,
+                                 bg: BackgroundResult, bidx: BgIdx) -> ThermoResult:
     ctx = make_recfast_ctx(params, pr, bg, bidx)
     reco = compute_recombination(params, pr, ctx)
     fHe = ctx.fHe

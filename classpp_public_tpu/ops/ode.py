@@ -60,11 +60,142 @@ def rkck_step(rhs: Callable, t, y, h, args):
         k_i = rhs(t + _CK_C[i] * h, y_i, args)
         return K.at[i].set(k_i), None
 
-    K0 = jnp.zeros((6,) + y.shape, dt)
+    # derive the stage carry from y so it keeps y's varying mesh axes under
+    # shard_map (a plain jnp.zeros carry is mesh-invariant and trips the
+    # while/scan carry vma check)
+    K0 = jnp.zeros((6,) + y.shape, dt) + (y * 0)[None]
     K, _ = jax.lax.scan(stage, K0, jnp.arange(6))
     y5 = y + h_c * jnp.tensordot(B5, K, axes=1, precision=hp)
     y4 = y + h_c * jnp.tensordot(B4, K, axes=1, precision=hp)
     return y5, y5 - y4, K[0]
+
+
+# --- ARK3(2)4L[2]SA additive (IMEX) Runge-Kutta, Kennedy & Carpenter 2003 ---
+# Explicit table advances the non-stiff physics; the ESDIRK table (L-stable,
+# stiffly accurate, gamma diagonal) absorbs the stiff part implicitly. This is
+# the TPU-native replacement for the reference's ndf15 stiff evolver
+# (tools/evolver_ndf15.cpp:62): the perturbation ODE is LINEAR and its only
+# stiff couplings (Thomson drag) have a closed-form (I - gamma*h*J)^-1, so no
+# Newton iteration, no numjac, no LU — every stage is elementwise VPU work and
+# the whole k-grid steps in lockstep under vmap.
+_ARK_G = 1767732205903.0 / 4055673282236.0   # 0.435866521508459
+_ARK_C = (0.0, 2.0 * _ARK_G, 3.0 / 5.0, 1.0)
+_ARK_AE = (
+    (0.0, 0.0, 0.0),
+    (2.0 * _ARK_G, 0.0, 0.0),
+    (5535828885825.0 / 10492691773637.0, 788022342437.0 / 10882634858940.0, 0.0),
+    (6485989280629.0 / 16251701735622.0, -4246266847089.0 / 9704473918619.0,
+     10755448449292.0 / 10357097424841.0),
+)
+_ARK_AI = (
+    (0.0, 0.0, 0.0),
+    (_ARK_G, 0.0, 0.0),
+    (2746238789719.0 / 10658868560708.0, -640167445237.0 / 6845629431997.0, 0.0),
+    (1471266399579.0 / 7840856788654.0, -4482444167858.0 / 7529755066697.0,
+     11266239266428.0 / 11593286722821.0),
+)
+_ARK_B = (1471266399579.0 / 7840856788654.0, -4482444167858.0 / 7529755066697.0,
+          11266239266428.0 / 11593286722821.0, _ARK_G)
+_ARK_BH = (2756255671327.0 / 12835298489170.0, -10771552573575.0 / 22201958757719.0,
+           9247589265047.0 / 10645013368117.0, 2193209047091.0 / 5459859503100.0)
+
+
+# --- ARK4(3)6L[2]SA (Kennedy & Carpenter 2003): 6-stage, 4th order, embedded
+# 3rd order; implicit ESDIRK part L-stable with gamma = 1/4. Order-4 additive
+# coupling conditions verified exactly (tests/test_ode.py). Same RHS-eval
+# count per step as Cash-Karp 45 but stiff-capable.
+_ARK4_G = 0.25
+_ARK4_C = (0.0, 1.0 / 2.0, 83.0 / 250.0, 31.0 / 50.0, 17.0 / 20.0, 1.0)
+_ARK4_AE = (
+    (),
+    (1.0 / 2.0,),
+    (13861.0 / 62500.0, 6889.0 / 62500.0),
+    (-116923316275.0 / 2393684061468.0, -2731218467317.0 / 15368042101831.0,
+     9408046702089.0 / 11113171139209.0),
+    (-451086348788.0 / 2902428689909.0, -2682348792572.0 / 7519795681897.0,
+     12662868775082.0 / 11960479115383.0, 3355817975965.0 / 11060851509271.0),
+    (647845179188.0 / 3216320057751.0, 73281519250.0 / 8382639484533.0,
+     552539513391.0 / 3454668386233.0, 3354512671639.0 / 8306763924573.0,
+     4040.0 / 17871.0),
+)
+_ARK4_AI = (
+    (),
+    (1.0 / 4.0,),
+    (8611.0 / 62500.0, -1743.0 / 31250.0),
+    (5012029.0 / 34652500.0, -654441.0 / 2922500.0, 174375.0 / 388108.0),
+    (15267082809.0 / 155376265600.0, -71443401.0 / 120774400.0,
+     730878875.0 / 902184768.0, 2285395.0 / 8070912.0),
+    (82889.0 / 524892.0, 0.0, 15625.0 / 83664.0, 69875.0 / 102672.0,
+     -2260.0 / 8211.0),
+)
+_ARK4_B = (82889.0 / 524892.0, 0.0, 15625.0 / 83664.0, 69875.0 / 102672.0,
+           -2260.0 / 8211.0, 1.0 / 4.0)
+_ARK4_BH = (4586570599.0 / 29645900160.0, 0.0, 178811875.0 / 945068544.0,
+            814220225.0 / 1159782912.0, -3700637.0 / 11593932.0,
+            61727.0 / 225920.0)
+
+_ARK3_TABLEAU = (_ARK_G, _ARK_C, _ARK_AE, _ARK_AI, _ARK_B, _ARK_BH)
+_ARK4_TABLEAU = (_ARK4_G, _ARK4_C, _ARK4_AE, _ARK4_AI, _ARK4_B, _ARK4_BH)
+
+
+def _ark_step(tableau, rhs, stiff_apply, stiff_solve, t, y, h, args):
+    """One additive (IMEX) RK step for y' = f(t,y) = f_E + J(t)·y, where
+    stiff_apply(t, y, args) = J(t)·y and stiff_solve(t, gh, r, args) solves
+    (I - gh·J(t)) x = r in closed form. rhs returns the FULL f; the explicit
+    part is f - J·y. Returns (y_new, err, f(t,y)) like rkck_step.
+
+    The implicit table is L-stable so the Thomson-drag stiffness never limits
+    the step — steps are set by acoustic-oscillation accuracy alone (the
+    reference needs ndf15's variable-order BDF for the same reason,
+    tools/evolver_ndf15.cpp:62).
+    """
+    gamma, C, AE, AI, B, BH = tableau
+    s = len(C)
+    dt = y.dtype
+    h_c = jnp.asarray(h, dt)
+    gh = gamma * h_c
+    gh_safe = jnp.where(gh > 0, gh, 1.0)  # guard 0-length steps
+
+    f1 = rhs(t, y, args)
+    s1 = stiff_apply(t, y, args)
+    fE = [f1 - s1]
+    fI = [s1]
+    for i in range(1, s):
+        r = y
+        for j in range(i):
+            aE, aI = AE[i][j] if j < len(AE[i]) else 0.0, AI[i][j] if j < len(AI[i]) else 0.0
+            r = r + h_c * (aE * fE[j] + aI * fI[j])
+        t_i = t + C[i] * h
+        Y_i = stiff_solve(t_i, gh, r, args)
+        fI_i = (Y_i - r) / gh_safe          # = J(t_i)·Y_i, exactly
+        fE_i = rhs(t_i, Y_i, args) - fI_i
+        fE.append(fE_i)
+        fI.append(fI_i)
+
+    y_new = y
+    err = jnp.zeros_like(y)
+    for j in range(s):
+        fj = fE[j] + fI[j]
+        y_new = y_new + h_c * B[j] * fj
+        err = err + h_c * (B[j] - BH[j]) * fj
+    # stiffness-filtered error estimate: the embedded pair is not stiffly
+    # accurate, so the raw (b - bhat) combination is O(kap h y) on slaved
+    # components and would collapse the step back to explicit sizes; passing
+    # it through (I - gamma h J)^-1 restores a sharp estimate (same filter as
+    # SUNDIALS ARKODE applies for ESDIRK embeddings)
+    err = stiff_solve(t + h, gh, err, args)
+    return y_new, err, f1
+
+
+def ark32_step(rhs, stiff_apply, stiff_solve, t, y, h, args):
+    """ARK3(2)4L[2]SA additive step (4 stages, order 3(2))."""
+    return _ark_step(_ARK3_TABLEAU, rhs, stiff_apply, stiff_solve, t, y, h, args)
+
+
+def ark43_step(rhs, stiff_apply, stiff_solve, t, y, h, args):
+    """ARK4(3)6L[2]SA additive step (6 stages, order 4(3)) — the default
+    stiff evolver of the framework."""
+    return _ark_step(_ARK4_TABLEAU, rhs, stiff_apply, stiff_solve, t, y, h, args)
 
 
 class OdeStats(NamedTuple):

@@ -26,6 +26,22 @@ def make_mesh(n_devices: int | None = None, axis: str = "k") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def n_compute_devices() -> int:
+    """Devices on the default backend (the k-sharding width)."""
+    return len(jax.devices())
+
+
+def shard_lanes(mesh: Mesh, arrays, axis: str = "k"):
+    """Place per-lane (leading-axis) arrays with the lane axis sharded over
+    the mesh. The batched Boltzmann solve is embarrassingly parallel over k,
+    so sharding its vmapped lane axis lets GSPMD split the one jitted program
+    across all chips with no collectives — the TPU-native equivalent of the
+    reference's thread pool over k (tools/thread_pool.h:83,
+    perturbations_module.cpp:668)."""
+    sh = NamedSharding(mesh, P(axis))
+    return [jax.device_put(jnp.asarray(a), sh) for a in arrays]
+
+
 def pad_to_multiple(arr: np.ndarray, m: int, axis: int = 0, pad_value=None):
     """Pad axis length to a multiple of m (k-grids are not device-count
     aligned; padded modes replicate the last k and are dropped after)."""
