@@ -45,6 +45,37 @@ def _parse_list(v) -> List[float]:
     return [float(v)]
 
 
+# Reference parameters (input_module.cpp:549-3149) whose features are not
+# implemented yet: naming them in an error beats calling them "unknown".
+_UNIMPLEMENTED_PARAMS = frozenset({
+    # scalar-field dark energy (background_module.cpp:2065)
+    "Omega_scf", "scf_parameters", "scf_tuning_index", "attractor_ic_scf",
+    "scf_lambda", "scf_alpha", "scf_A", "scf_B",
+    # decaying dark matter -> dark radiation (tools/dark_radiation.cpp)
+    "Omega_dcdmdr", "omega_dcdmdr", "Omega_ini_dcdm", "omega_ini_dcdm",
+    "Gamma_dcdm", "tau_dcdm",
+    # interacting dark matter / dark radiation (perturbations :8600s)
+    "N_idr", "xi_idr", "a_idm_dr", "Omega_idm_dr", "omega_idm_dr",
+    "f_idm_dr", "stat_f_idr", "nindex_idm_dr", "m_idm",
+    # energy injection (thermodynamics_module.cpp:1755)
+    "annihilation", "decay", "annihilation_variation", "annihilation_z",
+    "annihilation_zmax", "annihilation_zmin", "annihilation_f_halo",
+    "annihilation_z_halo", "on the spot",
+    # inflation-ODE primordial (primordial_module.cpp:1087)
+    "potential", "V_0", "V_1", "V_2", "V_3", "V_4",
+    "H_0", "H_1", "H_2", "H_3", "H_4", "phi_end", "full_potential",
+    "inflation_parametrization", "primordial_spec_type",
+    # fluid DE extensions
+    "use_ppf", "c_gamma_over_c_fld", "fluid_equation_of_state", "EDE",
+    # misc reference features
+    "pk_eq", "headers_in_output", "bessel file", "l_max_vectors",
+    "temperature contributions", "early/late isw redshift",
+    "number count contributions", "selection_bias",
+    "selection_magnification_bias", "dNdz_selection", "dNdz_evolution",
+    "varying_alpha", "varying_fundamental_constants",
+})
+
+
 class Class:
     """The classy entry point (classy.pyx `Class`/`PyCosmology`)."""
 
@@ -124,12 +155,21 @@ class Class:
             raise CosmoSevereError(
                 "Omega_k != 0 not implemented yet (flat perturbations/transfer); "
                 "reference: hyperspherical.c, perturbations_module.cpp:4723")
+        gauge = "synchronous"
         if "gauge" in p:
-            kw["gauge"] = str(p.pop("gauge")).strip().lower()
-            if kw["gauge"] not in ("synchronous",):
-                raise CosmoSevereError("only synchronous gauge implemented so far")
+            gauge = str(p.pop("gauge")).strip().lower()
+            if gauge in ("new", "newt"):
+                gauge = "newtonian"
+            if gauge not in ("synchronous", "newtonian"):
+                raise CosmoSevereError(f"unknown gauge {gauge!r}")
         if "recombination" in p:
             kw["recombination"] = str(p.pop("recombination")).strip().lower()
+        if "reio_parametrization" in p:
+            reio = str(p.pop("reio_parametrization")).strip().lower()
+            if reio != "reio_camb":
+                raise CosmoSevereError(
+                    f"reio_parametrization {reio!r} not implemented (reio_camb only; "
+                    "ref thermodynamics_module.cpp:1893)")
 
         # ncdm
         n_ncdm = int(p.pop("N_ncdm", 0) or 0)
@@ -146,6 +186,8 @@ class Class:
 
         # output selection
         out = OutputSelection()
+        out.gauge = gauge
+        kw["gauge"] = gauge
         output = str(p.pop("output", "tCl,pCl,lCl,mPk"))
         out.tCl = "tCl" in output
         out.pCl = "pCl" in output
@@ -153,8 +195,29 @@ class Class:
         out.mPk = "mPk" in output
         out.dTk = "dTk" in output
         out.vTk = "vTk" in output
-        if ("nCl" in output) or ("sCl" in output):
-            raise CosmoSevereError("number-count / galaxy-lensing Cls not yet implemented")
+        out.nCl = ("nCl" in output) or ("dCl" in output)
+        out.sCl = "sCl" in output
+        if out.has_nc:
+            kind = str(p.pop("selection", "gaussian")).strip().lower()
+            if kind not in ("gaussian", "tophat", "dirac"):
+                raise CosmoSevereError(f"unknown selection {kind!r}")
+            out.selection_kind = kind
+            out.selection_mean = tuple(_parse_list(p.pop("selection_mean", "1.0")))
+            w = _parse_list(p.pop("selection_width", "0.1"))
+            if len(w) == 1:
+                w = w * len(out.selection_mean)
+            out.selection_width = tuple(w)
+            out.l_lss_max = int(float(p.pop("l_max_lss", 300)))
+            out.non_diagonal = int(float(p.pop("non_diagonal", 0)))
+            if "number count contributions" in p or "number_count_contributions" in p:
+                contrib = str(p.pop("number count contributions",
+                                    p.pop("number_count_contributions", "density")))
+                extras = [c.strip() for c in contrib.replace(",", " ").split()
+                          if c.strip() not in ("density", "dens")]
+                if extras:
+                    raise CosmoSevereError(
+                        f"number count contributions {extras} not implemented "
+                        "(density term only; ref transfer_module.cpp:1845)")
         out.lensing = _parse_bool(p.pop("lensing", "yes" if out.lCl else "no"))
         out.l_scalar_max = int(float(p.pop("l_max_scalars", 2500)))
         if "P_k_max_1/Mpc" in p:
@@ -166,6 +229,28 @@ class Class:
         if "z_max_pk" in p:
             out.z_max_pk = float(p.pop("z_max_pk"))
         out.non_linear = str(p.pop("non linear", p.pop("non_linear", ""))).strip().lower()
+        if out.non_linear not in ("", "halofit", "hmcode"):
+            raise CosmoSevereError(f"unknown non linear method {out.non_linear!r}")
+        # HMcode baryonic feedback (input_module.cpp:2814-2867): either a
+        # named model or explicit eta_0/c_min (each implies the other via
+        # eta_0 = 0.98 - 0.12 c_min when only one is given)
+        if "feedback model" in p or "feedback_model" in p:
+            from .models.nonlinear import HMCODE_FEEDBACK
+
+            name = str(p.pop("feedback model", p.pop("feedback_model", ""))).strip().lower()
+            if name not in HMCODE_FEEDBACK:
+                raise CosmoSevereError(f"unknown feedback model {name!r}")
+            out.hm_eta0, out.hm_cmin = HMCODE_FEEDBACK[name]
+        if "eta_0" in p or "c_min" in p:
+            if "eta_0" in p and "c_min" in p:
+                out.hm_eta0 = float(p.pop("eta_0"))
+                out.hm_cmin = float(p.pop("c_min"))
+            elif "eta_0" in p:
+                out.hm_eta0 = float(p.pop("eta_0"))
+                out.hm_cmin = (0.98 - out.hm_eta0) / 0.12
+            else:
+                out.hm_cmin = float(p.pop("c_min"))
+                out.hm_eta0 = 0.98 - 0.12 * out.hm_cmin
         modes = str(p.pop("modes", "s"))
         out.modes = tuple(m.strip() for m in modes.replace(",", " ").split())
         if "v" in out.modes:
@@ -216,16 +301,11 @@ class Class:
                 prkw[key] = type(cur)(val) if not isinstance(cur, bool) else _parse_bool(val)
         if prkw:
             pr = pr.replace(**prkw)
-
-        # ignore verbosity and echo parameters
-        for key in list(p.keys()):
-            if key.endswith("_verbose") or key in ("root", "headers", "format",
-                                                   "write background", "write thermodynamics",
-                                                   "write primordial", "k_output_values"):
-                p.pop(key)
-        if p:
-            # unused parameters: reference warns; we do too via attribute
-            self.unused_params = dict(p)
+        if out.non_linear:
+            # nonlinear sigma(R) integrals need k beyond the requested P(k)
+            # range (input_module.cpp:2806/2811: k_max_for_pk raised to
+            # nonlinear_min_k_max)
+            out.P_k_max = max(out.P_k_max, pr.nonlinear_min_k_max)
 
         # --- shooting for indirect parameters (reference input_module
         # FixUnknownParameters :195 + Cosmology sigma8 loop, cosmology.cpp:39)
@@ -236,6 +316,30 @@ class Class:
         if "sigma8" in p:
             sigma8_target = float(p.pop("sigma8"))
             kw.setdefault("A_s", 2.1e-9)
+
+        # ignore verbosity and echo parameters
+        for key in list(p.keys()):
+            if key.endswith("_verbose") or key in ("root", "headers", "format",
+                                                   "write background", "write thermodynamics",
+                                                   "write primordial", "write parameters",
+                                                   "write warnings", "overwrite_root",
+                                                   "k_output_values"):
+                p.pop(key)
+        if p:
+            # refuse unknown / unimplemented parameters loudly instead of
+            # computing a confidently-wrong cosmology (classy raises
+            # "Class did not read input parameter(s)" the same way;
+            # classy.pyx compute() unread-flag check)
+            known_missing = sorted(k for k in p if k in _UNIMPLEMENTED_PARAMS)
+            unknown = sorted(k for k in p if k not in _UNIMPLEMENTED_PARAMS)
+            msgs = []
+            if known_missing:
+                msgs.append("parameters of reference features not implemented yet: "
+                            + ", ".join(repr(k) for k in known_missing))
+            if unknown:
+                msgs.append("unknown input parameter(s): "
+                            + ", ".join(repr(k) for k in unknown))
+            raise CosmoSevereError("; ".join(msgs))
 
         params = CosmoParams(**kw)
 
@@ -302,22 +406,59 @@ class Class:
     # --- Cl accessors ----------------------------------------------------------
 
     def raw_cl(self, lmax=-1):
-        """Unlensed C_l dict (classy.pyx raw_cl, keys per cl_output_index_map)."""
-        sp = self.cosmo.spectra
-        ell = np.asarray(sp.ell)
-        cl = np.asarray(sp.cl)
+        """Unlensed C_l dict (classy.pyx raw_cl, keys per cl_output_index_map
+        — CMB types plus "dens[i]-dens[j]" / "lens[i]-lens[j]" /
+        "dens[i]-lens[j]" when nCl/sCl are computed)."""
         if lmax < 0:
-            lmax = self.cosmo.out.l_scalar_max
+            lmax = self.cosmo.out.l_scalar_max if self.cosmo.out.has_cls \
+                else self.cosmo.out.l_lss_max
         n = lmax + 1
         out = {"ell": np.arange(n)}
-        from .models.spectra import CT_TYPES
+        if self.cosmo.out.has_cls:
+            sp = self.cosmo.spectra
+            ell = np.asarray(sp.ell)
+            cl = np.asarray(sp.cl)
+            from .models.spectra import CT_TYPES
 
-        for i, name in enumerate(CT_TYPES):
-            arr = np.zeros(n)
+            for i, name in enumerate(CT_TYPES):
+                arr = np.zeros(n)
+                m = ell <= lmax
+                arr[ell[m]] = cl[m, i]
+                out[name] = arr
+        if self.cosmo.out.has_nc:
+            nc = self.cosmo.number_counts
+            ell = np.asarray(nc.ell)
             m = ell <= lmax
-            arr[ell[m]] = cl[m, i]
-            out[name] = arr
+
+            def put(name, row):
+                arr = np.zeros(n)
+                arr[ell[m]] = np.asarray(row)[m]
+                out[name] = arr
+
+            if self.cosmo.out.nCl:
+                for p, (i, j) in enumerate(nc.dd_pairs):
+                    put(f"dens[{i + 1}]-dens[{j + 1}]", nc.dd[p])
+            if self.cosmo.out.sCl:
+                for p, (i, j) in enumerate(nc.dd_pairs):
+                    put(f"lens[{i + 1}]-lens[{j + 1}]", nc.ll[p])
+            if self.cosmo.out.nCl and self.cosmo.out.sCl:
+                nd = self.cosmo.out.non_diagonal
+                nbin = len(self.cosmo.out.selection_mean)
+                for p, (i, j) in enumerate(nc.dl_pairs):
+                    if abs(i - j) <= nd:
+                        put(f"dens[{i + 1}]-lens[{j + 1}]", nc.dl[p])
         return out
+
+    def density_cl(self, lmax=-1):
+        """Number-count spectra dict: 'ell', 'dd', 'll', 'dl' stacked over
+        bin pairs (classy-compatible accessor)."""
+        nc = self.cosmo.number_counts
+        ell = np.asarray(nc.ell)
+        if lmax < 0:
+            lmax = int(ell[-1])
+        m = ell <= lmax
+        return {"ell": ell[m], "dd": np.asarray(nc.dd)[:, m],
+                "ll": np.asarray(nc.ll)[:, m], "dl": np.asarray(nc.dl)[:, m]}
 
     def lensed_cl(self, lmax=-1):
         le = self.cosmo.lensing
@@ -460,7 +601,7 @@ class Class:
 
     def pk(self, k, z):
         """P_m(k,z): nonlinear if 'non linear' was requested, else linear."""
-        if self.cosmo.out.non_linear == "halofit":
+        if self.cosmo.out.non_linear in ("halofit", "hmcode"):
             nl = self.cosmo.nonlinear
             zs = np.asarray(nl.z)
             iz = int(np.argmin(np.abs(zs - z)))
@@ -478,7 +619,7 @@ class Class:
         return self._pk_interp(k, z, pert.k, pk)
 
     def pk_cb(self, k, z):
-        if self.cosmo.out.non_linear == "halofit":
+        if self.cosmo.out.non_linear in ("halofit", "hmcode"):
             nl = self.cosmo.nonlinear
             zs = np.asarray(nl.z)
             iz = int(np.argmin(np.abs(zs - z)))
@@ -496,7 +637,7 @@ class Class:
         out = np.empty((nz, nk))
         bg, _ = self._bg()
         pert = self.cosmo.perturbations
-        if nonlinear and self.cosmo.out.non_linear == "halofit":
+        if nonlinear and self.cosmo.out.non_linear in ("halofit", "hmcode"):
             nl = self.cosmo.nonlinear
             z_tab = np.asarray(nl.z)
             lnk_tab = np.log(np.asarray(nl.k))

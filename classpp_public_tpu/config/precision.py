@@ -20,8 +20,9 @@ from dataclasses import dataclass, replace
 class PrecisionParams:
     # --- background (precisions.h:12-67)
     a_ini_over_a_today_default: float = 1.0e-14
-    back_integration_stepsize: float = 7.0e-3
-    tol_background_integration: float = 1.0e-2
+    # (no back_integration_stepsize / tol_background_integration here: the
+    # background runs on a fixed dense ln(a) grid with exact cumulative
+    # integrals, not an adaptive ODE march; background_Nloga is the knob)
     tol_initial_Omega_r: float = 1.0e-4
     tol_ncdm_bg: float = 1.0e-5
     tol_tau_eq: float = 1.0e-6
@@ -96,7 +97,8 @@ class PrecisionParams:
 
     # --- perturbation integration (precisions.h:219-299)
     curvature_ini: float = 1.0
-    perturb_integration_stepsize: float = 0.5
+    # (no perturb_integration_stepsize: the batched evolvers are
+    # error-controlled by tol_perturb_integration, not timescale-scaled)
     perturb_sampling_stepsize: float = 0.1
     tol_perturb_integration: float = 1.0e-5
     tol_tau_approx: float = 1.0e-10
@@ -112,15 +114,18 @@ class PrecisionParams:
     # (closed-form solve; the ndf15-equivalent stiff path, ops/ode.py);
     # "rkck" = fully explicit Cash-Karp 45 (reference evolver_rk analog).
     evolver: str = "imex"
-    # modes per device launch: 64 is the reliable/fast width for the f64
-    # while-loop program on current TPU runtimes (128-wide launches of the
-    # same program hit device faults on high-k data and are ~4x slower per
-    # step); lockstep grouping also improves with narrower sorted chunks.
-    k_chunk_size: int = 64
+    # modes per device launch (per device when a mesh is present). Measured on
+    # TPU v5e with the imex evolver: 128 is ~1.7x faster than 64 (better VPU
+    # occupancy) and 256 is slightly worse (lockstep waste); the old 128-wide
+    # device faults were an artifact of the explicit evolver's 100k-iteration
+    # launches and are gone.
+    k_chunk_size: int = 128
     tau_windows: int = 4     # tau-range splits per launch (bounds execution time)
     # working dtype of the perturbation state ("float64" | "float32"): time,
-    # step control and all other pipeline stages stay f64; f32 state runs on
-    # TPU VPU-native words. Accuracy vs the f64 path is validated in tests.
+    # step control and all other pipeline stages stay f64. NOTE: with the
+    # imex evolver f32 is SLOWER end-to-end (measured 2-5x on TPU v5e): the
+    # embedded error estimate hits f32 roundoff at rtol 1e-5 and the
+    # controller thrashes. Keep f64 unless rtol is relaxed to >=1e-4.
     perturb_dtype: str = "float64"
 
     # --- primordial (precisions.h:311)
@@ -134,7 +139,6 @@ class PrecisionParams:
     hyper_phi_min_abs: float = 1.0e-10
     q_linstep: float = 0.45
     q_logstep_spline: float = 170.0
-    q_numstep_transition: float = 250.0
     transfer_neglect_delta_k_S_t0: float = 0.15
     transfer_neglect_delta_k_S_t1: float = 0.04
     transfer_neglect_delta_k_S_t2: float = 0.15
@@ -144,6 +148,12 @@ class PrecisionParams:
     transfer_neglect_delta_k_T_b: float = 0.1
     transfer_neglect_late_source: float = 400.0
     l_switch_limber: float = 10.0
+    # number counts / selection windows (precisions.h:400-411)
+    l_switch_limber_for_nc_local_over_z: float = 100.0
+    l_switch_limber_for_nc_los_over_z: float = 30.0
+    selection_cut_at_sigma: float = 5.0
+    selection_sampling: float = 50.0
+    selection_sampling_bessel: float = 20.0
 
     # --- nonlinear (precisions.h:418-449)
     sigma_k_per_decade: float = 80.0
@@ -152,6 +162,17 @@ class PrecisionParams:
     halofit_k_per_decade: float = 80.0
     halofit_sigma_precision: float = 0.05
     halofit_tol_sigma: float = 1.0e-6
+
+    # --- hmcode (precisions.h:459-485)
+    hmcode_max_k_extra: float = 1.0e6
+    n_hmcode_tables: int = 64
+    rmin_for_sigtab: float = 1.0e-5
+    rmax_for_sigtab: float = 1.0e3
+    ainit_for_growtab: float = 1.0e-3
+    amax_for_growtab: float = 1.0
+    nsteps_for_p1h_integral: int = 256
+    mmin_for_p1h_integral: float = 1.0e3
+    mmax_for_p1h_integral: float = 1.0e18
 
     # --- lensing (precisions.h:492-495)
     accurate_lensing: bool = False

@@ -1,0 +1,727 @@
+"""HyRec-2011 recombination (EMLA + two-photon radiative transfer).
+
+Reference: the vendored HyRec code (hyrec/history.c:242 rec_build_history,
+hyrec/hydrogen.c, hyrec/helium.c) as called by CLASS
+(thermodynamics_module.cpp:3031 thermodynamics_recombination_with_hyrec).
+Physics: Ali-Haimoud & Hirata 2011 — effective multi-level atom with
+tabulated effective rates, two-photon decays/absorptions and Raman
+scattering through NVIRT virtual levels, Lyman-alpha frequency diffusion,
+and Lyman-line feedback via the free-streamed photon occupation number.
+
+TPU-native reshaping: the staged history (He Saha -> He post-Saha -> He
+evolution -> H post-Saha -> H 2-photon -> MLA -> Peebles) is ONE lax.scan
+over the fixed dlna = 8.49e-5 grid with an integer phase in the carry
+(lax.switch selects the active physics; XLA's conditional executes only the
+taken branch). The photon-occupation history - the part that makes HyRec
+look irreducibly sequential - becomes a ring buffer in the scan carry: the
+free-streaming lookback Delta ln a = ln(E_{b+1}/E_b) is CONSTANT in time,
+so every history read is a gather at a fixed offset (max ~357 steps, ring
+length 512) with precomputed cubic-interpolation weights, and XLA keeps the
+buffer in place across steps. The NDIFF-bin Lyman-alpha diffusion system is
+a batched Thomas solve (one inner scan, three right-hand sides at once).
+
+Energy injection (annihilation/decay) is not wired: all energy_rate terms
+of the reference are identically zero here.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from pathlib import Path
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# --- dimensions and constants (hyrec/hydrogen.h:14-26, 77-80; physical
+# constants in eV-cgs units as published)
+EI = 13.598286071938324
+E21 = 10.198714553953742
+E31 = 12.087365397278509
+E41 = 12.748393192442178
+E32 = 1.8886508433247664
+E42 = 2.5496786384884356
+KBOLTZ = 8.617343e-5          # eV/K
+L2S1S = 8.2206                # 2s->1s two-photon rate, s^-1
+HPC = 1.239841874331e-04      # h*c in eV cm
+MH_EV = 0.93878299831e9       # H atom mass, eV/c^2
+
+NSUBLYA = 140
+NSUBLYB = 271
+NVIRT = 311
+NDIFF = 80
+NSUBDIFF = NSUBLYA - NDIFF // 2
+
+TR_MIN, TR_MAX, NTR = 0.004, 0.4, 100
+TM_TR_MIN, TM_TR_MAX, NTM = 0.1, 1.0, 40
+
+DLNA = 8.49e-5
+RING = 512                    # > max lookback (~357 steps) for zstart = 1e4
+
+_DATA = Path(__file__).parent.parent / "data" / "hyrec"
+
+
+@lru_cache(maxsize=1)
+def _load_tables():
+    """Rate tables: logAlpha (2, NTM, NTR), logR2p2s (NTR,), two-photon
+    coefficient table (NVIRT rows x 5 cols). Layout per hyrec read_rates /
+    read_twog_params (hydrogen.c:97-128, :268-290)."""
+    alpha_flat = np.loadtxt(_DATA / "Alpha_inf.dat").reshape(-1)
+    # file order: for each TR (outer), for each TM (inner): (alpha_2s, alpha_2p)
+    alpha = alpha_flat.reshape(NTR, NTM, 2)
+    log_alpha = np.log(alpha).transpose(2, 1, 0)       # (2, NTM, NTR)
+    log_r2p2s = np.log(np.loadtxt(_DATA / "R_inf.dat").reshape(NTR))
+    twog = np.loadtxt(_DATA / "two_photon_tables.dat")
+    Eb = twog[:, 0].copy()
+    A1s = twog[:, 1].copy()
+    A2s = twog[:, 2].copy()
+    A3s3d = twog[:, 3].copy()
+    A4s4d = twog[:, 4].copy()
+    # normalize the differential 2s->1s rate to L2s1s (hydrogen.c:292-295)
+    A2s[:NSUBLYA] *= L2S1S / A2s[:NSUBLYA].sum()
+    return log_alpha, log_r2p2s, Eb, A1s, A2s, A3s3d, A4s4d
+
+
+def _read_specs(Eb):
+    """(src_row, offset_steps, frac, 4 cubic weights) for every photon-history
+    read in fplus_from_fminus (hydrogen.c:600-654). Rows 0..NVIRT-1 of the
+    ring hold the virtual bins, rows NVIRT..NVIRT+2 the Ly a/b/g lines.
+    Lookbacks are constant in time, so everything here is precomputed."""
+    src = np.zeros(NVIRT + 2, dtype=np.int32)
+    d = np.zeros(NVIRT + 2)
+    # entries 0..NVIRT-1 -> fplus[b]; entries NVIRT, NVIRT+1 -> fplus_Ly[0/1]
+    for b in range(NVIRT - 1):
+        src[b] = b + 1
+        d[b] = math.log(Eb[b + 1] / Eb[b]) / DLNA
+    src[NSUBLYA - 1] = NVIRT + 0
+    d[NSUBLYA - 1] = math.log(E21 / Eb[NSUBLYA - 1]) / DLNA
+    src[NSUBLYB - 1] = NVIRT + 1
+    d[NSUBLYB - 1] = math.log(E31 / Eb[NSUBLYB - 1]) / DLNA
+    src[NVIRT - 1] = NVIRT + 2
+    d[NVIRT - 1] = math.log(E41 / Eb[NVIRT - 1]) / DLNA
+    src[NVIRT] = NSUBLYA
+    d[NVIRT] = math.log(Eb[NSUBLYA] / E21) / DLNA
+    src[NVIRT + 1] = NSUBLYB
+    d[NVIRT + 1] = math.log(Eb[NSUBLYB] / E31) / DLNA
+    # cubic-Lagrange interpolation at index (m - d), clamped to ix <= m-3
+    # exactly as rec_interp1d (hyrectools.c:104-133)
+    off = np.maximum(np.ceil(d - 1e-12), 3.0)
+    frac = off - d
+    f = frac
+    w = np.stack([
+        -f * (1.0 - f) * (2.0 - f) / 6.0,
+        (1.0 + f) * (1.0 - f) * (2.0 - f) / 2.0,
+        (1.0 + f) * f * (2.0 - f) / 2.0,
+        (1.0 + f) * f * (f - 1.0) / 6.0,
+    ], axis=1)                                          # (NSPEC, 4)
+    return src, off.astype(np.int64), w
+
+
+class HyrecCtx(NamedTuple):
+    """Scalars + tables for one cosmology (REC_COSMOPARAMS analog)."""
+
+    T0: jnp.ndarray           # K
+    nH0: jnp.ndarray          # m^-3
+    fHe: jnp.ndarray
+    omh2: jnp.ndarray
+    okh2: jnp.ndarray
+    odeh2: jnp.ndarray
+    ogh2: jnp.ndarray
+    onuh2_fac: jnp.ndarray    # 0.2271..*Nnueff
+    w0: jnp.ndarray
+    wa: jnp.ndarray
+    log_alpha: jnp.ndarray    # (2, NTM, NTR)
+    log_r2p2s: jnp.ndarray    # (NTR,)
+    Eb: jnp.ndarray
+    A1s: jnp.ndarray
+    A2s: jnp.ndarray
+    A3s3d: jnp.ndarray
+    A4s4d: jnp.ndarray
+    read_src: jnp.ndarray
+    read_off: jnp.ndarray
+    read_w: jnp.ndarray
+
+
+def make_hyrec_ctx(params, bg, YHe, Neff) -> HyrecCtx:
+    h2 = params.h * params.h
+    obh2 = params.omega_b
+    omh2 = (float(bg.Omega0_b) + float(bg.Omega0_cdm) + float(bg.Omega0_ncdm_tot)) * h2
+    okh2 = params.Omega_k * h2
+    others = (float(bg.Omega0_g) + float(bg.Omega0_ur) + float(bg.Omega0_b)
+              + float(bg.Omega0_cdm) + float(bg.Omega0_ncdm_tot))
+    odeh2 = (1.0 - params.Omega_k - others) * h2
+    log_alpha, log_r2p2s, Eb, A1s, A2s, A3s3d, A4s4d = _load_tables()
+    src, off, w = _read_specs(Eb)
+    f = jnp.asarray
+    return HyrecCtx(
+        T0=f(params.T_cmb),
+        nH0=f(11.223846333047 * obh2 * (1.0 - YHe)),
+        fHe=f(YHe / (1.0 - YHe) / 3.97153),
+        omh2=f(omh2), okh2=f(okh2), odeh2=f(odeh2),
+        ogh2=f(4.48162687719e-7 * params.T_cmb**4),
+        onuh2_fac=f(0.227107317660239 * Neff),
+        w0=f(params.w0_fld if params.use_fld else -1.0),
+        wa=f(params.wa_fld if params.use_fld else 0.0),
+        log_alpha=f(log_alpha), log_r2p2s=f(log_r2p2s),
+        Eb=f(Eb), A1s=f(A1s), A2s=f(A2s), A3s3d=f(A3s3d), A4s4d=f(A4s4d),
+        read_src=f(src), read_off=f(off), read_w=f(w),
+    )
+
+
+# --- elementary pieces ------------------------------------------------------
+
+
+def hubble_s(ctx: HyrecCtx, z):
+    """H(z) in s^-1 (history.c:69 rec_HubbleConstant)."""
+    ai = 1.0 + z
+    rho = (ctx.omh2 * ai**3 + ctx.okh2 * ai**2
+           + ctx.odeh2 * ai ** (3.0 * (1.0 + ctx.w0))
+           * jnp.exp(3.0 * ctx.wa * (jnp.log(ai) - 1.0 + 1.0 / ai))
+           + ctx.ogh2 * ai**4 * (1.0 + ctx.onuh2_fac))
+    return 3.2407792896393e-18 * jnp.sqrt(rho)
+
+
+def tm_ss(xe, Tr, H, fHe):
+    """Steady-state matter temperature, K (history.c:104 rec_Tmss)."""
+    return Tr / (1.0 + H / 4.91466895548409e-22 / Tr**4 * (1.0 + xe + fHe) / xe)
+
+
+def dtm_dlna(xe, Tm, Tr, H, fHe):
+    """dTm/dlna, K (history.c:127 rec_dTmdlna)."""
+    return -2.0 * Tm + 4.91466895548409e-22 * Tr**4 * xe / (1.0 + xe + fHe) * (Tr - Tm) / H
+
+
+def saha_xe_H(ctx: HyrecCtx, z):
+    """Hydrogen Saha xe (helium.c:72 rec_saha_xe_H). K / m^-3 units."""
+    ai = 1.0 + z
+    Tr = ctx.T0 * ai
+    nH = ctx.nH0 * ai**3
+    s = 2.4127161187130e21 * Tr * jnp.sqrt(Tr) * jnp.exp(-157801.37882 / Tr) / nH
+    return 2.0 / (1.0 + jnp.sqrt(1.0 + 4.0 / s))
+
+
+def saha_HeII(ctx: HyrecCtx, z):
+    """(xe, xHeIII) in HeII<->III equilibrium (helium.c:28 rec_sahaHeII)."""
+    ai = 1.0 + z
+    Tr = ctx.T0 * ai
+    nH = ctx.nH0 * ai**3
+    s = 2.414194e21 * Tr * jnp.sqrt(Tr) * jnp.exp(-631462.7 / Tr) / nH
+    f = ctx.fHe
+    xHeIII = 2.0 * s * f / (1.0 + s + f) / (1.0 + jnp.sqrt(1.0 + 4.0 * s * f / (1.0 + s + f) ** 2))
+    return 1.0 + f + xHeIII, xHeIII
+
+
+def saha_HeI(ctx: HyrecCtx, z):
+    """xe in HeI<->II equilibrium (helium.c:50 rec_sahaHeI)."""
+    ai = 1.0 + z
+    Tr = ctx.T0 * ai
+    nH = ctx.nH0 * ai**3
+    s = 2.414194e21 * Tr * jnp.sqrt(Tr) * jnp.exp(-285325.0 / Tr) / nH * 4.0
+    q = 2.0 * s * ctx.fHe / (1.0 + s) / (1.0 + jnp.sqrt(1.0 + 4.0 * s * ctx.fHe / (1.0 + s) ** 2))
+    return 1.0 + q
+
+
+def helium_dxedt(ctx: HyrecCtx, xe, H, z):
+    """HeII->I recombination rate dxe/dt (helium.c:99 rec_helium_dxedt):
+    2(1)P->1(1)S escape with H continuum opacity, 2(1)S two-photon,
+    intercombination line; Compton equilibrium assumed."""
+    ai = 1.0 + z
+    Tr = ctx.T0 * ai
+    nH = ctx.nH0 * ai**3
+    s0 = 2.414194e21 * Tr * jnp.sqrt(Tr) / nH * 4.0
+    s = s0 * jnp.exp(-285325.0 / Tr)
+    xHII = saha_xe_H(ctx, z)
+    xHeII = xe - xHII
+    xHeI = ctx.fHe - xHeII
+    y2s = jnp.exp(46090.0 / Tr) / s0
+    y2p = jnp.exp(39101.0 / Tr) / s0 * 3.0
+    etacinv = H / (nH * nH * xe) * Tr * jnp.sqrt(Tr) * jnp.exp(115.920 - 157801.37882 / Tr)
+    g2pinc = (1.976e6 / (1.0 - jnp.exp(-6989.0 / Tr))
+              + 6.03e6 / (jnp.exp(19754.0 / Tr) - 1.0)
+              + 1.06e8 / (jnp.exp(21539.0 / Tr) - 1.0)
+              + 2.18e6 / (jnp.exp(28496.0 / Tr) - 1.0)
+              + 3.37e7 / (jnp.exp(29224.0 / Tr) - 1.0)
+              + 1.04e6 / (jnp.exp(32414.0 / Tr) - 1.0)
+              + 1.51e7 / (jnp.exp(32781.0 / Tr) - 1.0))
+    tau2p = 4.277e-14 * nH / H * xHeI
+    dnuline = g2pinc * tau2p / (4.0 * math.pi**2)
+    tauc = dnuline / etacinv
+    enh = jnp.sqrt(1.0 + math.pi**2 * tauc) + 7.74 * tauc / (1.0 + 70.0 * tauc)
+    pesc = enh / tau2p
+    pesc = pesc + (1.0 - jnp.exp(-1.023e-7 * tau2p)) \
+        * (0.964525 * jnp.exp(2947.0 / Tr) - enh * jnp.exp(-6.14e13 / etacinv)) / tau2p
+    ydown = 50.94 * y2s + 1.7989e9 * y2p * pesc
+    xdown = ydown * xHeII * xe
+    xup = ydown * xHeI * s
+    return (xup - xdown
+            + H * ai * (saha_xe_H(ctx, z - 0.5) - saha_xe_H(ctx, z + 0.5)))
+
+
+def interpolate_rates(ctx: HyrecCtx, TR, TM_TR):
+    """(Alpha[2], Beta[2], R2p2s) from the tabulated effective rates,
+    4-point cubic in TM/TR and log TR (hydrogen.c:137 interpolate_rates)."""
+    logTR = jnp.log(TR)
+    dlogtr = (math.log(TR_MAX) - math.log(TR_MIN)) / (NTR - 1)
+    dtmtr = (TM_TR_MAX - TM_TR_MIN) / (NTM - 1)
+
+    iTM = jnp.clip(jnp.floor((TM_TR - TM_TR_MIN) / dtmtr).astype(jnp.int32), 1, NTM - 3)
+    f1 = (TM_TR - TM_TR_MIN) / dtmtr - iTM
+    c1 = jnp.stack([f1 * (f1 - 1.0) * (2.0 - f1) / 6.0,
+                    (1.0 + f1) * (1.0 - f1) * (2.0 - f1) / 2.0,
+                    (1.0 + f1) * f1 * (2.0 - f1) / 2.0,
+                    (1.0 + f1) * f1 * (f1 - 1.0) / 6.0])
+    iTR = jnp.clip(jnp.floor((logTR - math.log(TR_MIN)) / dlogtr).astype(jnp.int32), 1, NTR - 3)
+    f2 = (logTR - math.log(TR_MIN)) / dlogtr - iTR
+    c2 = jnp.stack([f2 * (f2 - 1.0) * (2.0 - f2) / 6.0,
+                    (1.0 + f2) * (1.0 - f2) * (2.0 - f2) / 2.0,
+                    (1.0 + f2) * f2 * (2.0 - f2) / 2.0,
+                    (1.0 + f2) * f2 * (f2 - 1.0) / 6.0])
+
+    patch = jax.lax.dynamic_slice(ctx.log_alpha, (0, iTM - 1, iTR - 1), (2, 4, 4))
+    temp = jnp.einsum("ljk,k->lj", patch, c2)
+    Alpha = jnp.exp(temp @ c1)
+    row = jax.lax.dynamic_slice(ctx.log_alpha, (0, NTM - 1, iTR - 1), (2, 1, 4))[:, 0, :]
+    Beta = jnp.exp(row @ c2)
+    factor = 3.016103031869581e21 * TR * jnp.sqrt(TR) * jnp.exp(-3.399571517984581 / TR)
+    Beta = Beta * jnp.array([factor, factor / 3.0])
+    r_row = jax.lax.dynamic_slice(ctx.log_r2p2s, (iTR - 1,), (4,))
+    R2p2s = jnp.exp(r_row @ c2)
+    return Alpha, Beta, R2p2s
+
+
+def hmla_dxedlna(ctx: HyrecCtx, xe, nH, H, TM, TR):
+    """Steady-state 2s/2p EMLA with Sobolev Ly-alpha, no feedback
+    (hydrogen.c:218 rec_HMLA_dxedlna). nH in cm^-3, TM/TR in eV."""
+    Alpha, Beta, R2p2s = interpolate_rates(ctx, TR, TM / TR)
+    x1s_db = (1.0 - xe) * jnp.exp(-E21 / TR)
+    RLya = 4.662899067555897e15 * H / nH / (1.0 - xe)
+    m00 = Beta[0] + 3.0 * R2p2s + L2S1S
+    m01 = -R2p2s
+    b0 = xe * xe * nH * Alpha[0] + L2S1S * x1s_db
+    m11 = Beta[1] + R2p2s + RLya
+    m10 = -3.0 * R2p2s
+    b1 = xe * xe * nH * Alpha[1] + 3.0 * RLya * x1s_db
+    det = m00 * m11 - m01 * m10
+    x2s = (m11 * b0 - m01 * b1) / det
+    x2p = (m00 * b1 - m10 * b0) / det
+    return (x1s_db * (L2S1S + 3.0 * RLya) - x2s * L2S1S - x2p * RLya) / H
+
+
+def peebles_dxedlna(xe, nH, H, TM, TR):
+    """Peebles effective 3-level rate (hydrogen.c:45). nH cm^-3, T in eV."""
+    t4 = TM / KBOLTZ / 1e4
+    alphaB = 4.309e-13 * t4 ** (-0.6166) / (1.0 + 0.6703 * t4**0.5300)
+    RLya = 4.662899067555897e15 * H / nH / (1.0 - xe)
+    four_betaB = 3.016103031869581e21 * TR * jnp.sqrt(TR) * jnp.exp(-0.25 * EI / TR) * alphaB
+    C = (3.0 * RLya + L2S1S) / (3.0 * RLya + L2S1S + four_betaB)
+    return (-nH * xe * xe * alphaB + four_betaB * (1.0 - xe) * jnp.exp(-E21 / TR)) * C / H
+
+
+# --- the two-photon radiative-transfer core --------------------------------
+
+
+def _fplus(ctx: HyrecCtx, ring, m):
+    """All photon-history reads for one derivative evaluation: gather the
+    ring buffer at fixed offsets (fplus_from_fminus, hydrogen.c:600).
+    ring: (RING, NVIRT+3) of log f^-; m: global index of the slot being
+    written (history rows < m are valid). Returns (fplus[NVIRT], fplus_Ly2)."""
+    base = m - ctx.read_off                      # (NSPEC,) first index ix
+    idx = (base[:, None] - 1 + jnp.arange(4)[None, :]) % RING
+    vals = ring[idx, ctx.read_src[:, None]]      # (NSPEC, 4)
+    logf = jnp.sum(vals * ctx.read_w, axis=1)
+    f = jnp.exp(logf)
+    return f[:NVIRT], f[NVIRT:]
+
+
+def _thomas3(diag, up, dn, rhs3):
+    """Thomas solve of a diagonally-dominant tridiagonal system for three
+    right-hand sides at once (solveTXeqB, hydrogen.c:510). All (NDIFF,) /
+    (NDIFF, 3)."""
+    def fwd(carry, xs):
+        alpha_p, gamma_p = carry
+        d, u, l, b = xs
+        denom = d - l * alpha_p
+        alpha = u / denom
+        gamma = (b - l * gamma_p) / denom
+        return (alpha, gamma), (alpha, gamma)
+
+    (_, _), (alphas, gammas) = jax.lax.scan(
+        fwd, (jnp.zeros(()), jnp.zeros((3,))), (diag, up, dn, rhs3))
+
+    def bwd(x_next, xs):
+        alpha, gamma = xs
+        x = gamma - alpha * x_next
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, jnp.zeros((3,)), (alphas, gammas), reverse=True)
+    return xs                                     # (NDIFF, 3)
+
+
+def _diffusion_rates(ctx: HyrecCtx, TM):
+    """A_{b,b+/-1} diffusion rates in the Ly-alpha wings
+    (populate_Diffusion, hydrogen.c:336). Sequential detailed-balance
+    recurrences over each wing -> two small lax.scans."""
+    Eb = ctx.Eb
+    DE2 = E21 * E21 * 2.0 * TM / MH_EV
+    Aup = jnp.zeros(NVIRT)
+    Adn = jnp.zeros(NVIRT)
+
+    # red wing: b = NSUBDIFF .. NSUBLYA-1
+    b0 = NSUBDIFF
+    Aup0 = DE2 / (Eb[b0 + 1] - Eb[b0]) ** 2 * ctx.A1s[b0]
+    bs = np.arange(b0 + 1, NSUBLYA - 1)
+    dE_dn = Eb[bs] - Eb[bs - 1]
+    dE_up = Eb[bs + 1] - Eb[bs]
+
+    def red_step(aup_prev, xs):
+        dEdn, dEup, a1s = xs
+        adn = jnp.exp(dEdn / TM) * aup_prev
+        aup = (DE2 * a1s - dEdn**2 * adn) / dEup**2
+        return aup, (aup, adn)
+
+    aup_last, (aup_red, adn_red) = jax.lax.scan(
+        red_step, Aup0, (dE_dn, dE_up, ctx.A1s[bs]))
+    Aup = Aup.at[b0].set(Aup0)
+    Aup = Aup.at[bs].set(aup_red)
+    Adn = Adn.at[bs].set(adn_red)
+    b = NSUBLYA - 1
+    adn_b = jnp.exp((Eb[b] - Eb[b - 1]) / TM) * aup_last
+    aup_b = (DE2 * ctx.A1s[b] - (Eb[b] - Eb[b - 1]) ** 2 * adn_b) / (E21 - Eb[b]) ** 2
+    Adn = Adn.at[b].set(adn_b)
+    Aup = Aup.at[b].set(aup_b)
+    A2p_dn = jnp.exp((E21 - Eb[b]) / TM) / 3.0 * aup_b
+
+    # blue wing: b = NSUBLYA .. NSUBLYA+NDIFF/2-1, recursed downward
+    b1 = NSUBLYA + NDIFF // 2 - 1
+    Adn1 = DE2 / (Eb[b1] - Eb[b1 - 1]) ** 2 * ctx.A1s[b1]
+    bs2 = np.arange(b1 - 1, NSUBLYA, -1)
+    dE_up2 = Eb[bs2 + 1] - Eb[bs2]
+    dE_dn2 = Eb[bs2] - Eb[bs2 - 1]
+
+    def blue_step(adn_next, xs):
+        dEup, dEdn, a1s = xs
+        aup = jnp.exp(-dEup / TM) * adn_next
+        adn = (DE2 * a1s - dEup**2 * aup) / dEdn**2
+        return adn, (aup, adn)
+
+    adn_last, (aup_blue, adn_blue) = jax.lax.scan(
+        blue_step, Adn1, (dE_up2, dE_dn2, ctx.A1s[bs2]))
+    Adn = Adn.at[b1].set(Adn1)
+    Aup = Aup.at[bs2].set(aup_blue)
+    Adn = Adn.at[bs2].set(adn_blue)
+    b = NSUBLYA
+    aup_b2 = jnp.exp(-(Eb[b + 1] - Eb[b]) / TM) * adn_last
+    adn_b2 = (DE2 * ctx.A1s[b] - (Eb[b + 1] - Eb[b]) ** 2 * aup_b2) / (Eb[b] - E21) ** 2
+    Aup = Aup.at[b].set(aup_b2)
+    Adn = Adn.at[b].set(adn_b2)
+    A2p_up = jnp.exp((E21 - Eb[b]) / TM) / 3.0 * adn_b2
+
+    return Aup, Adn, A2p_up, A2p_dn
+
+
+def twophoton_dxedlna(ctx: HyrecCtx, xe, nH, H, TM, TR, ring, m):
+    """Full two-photon + diffusion dxe/dlna (rec_HMLA_2photon_dxedlna,
+    hydrogen.c:663), plus the new log f^- row to store at slot m.
+    nH in cm^-3, TM/TR in eV. Returns (dxedlna, new_row[NVIRT+3])."""
+    Eb = ctx.Eb
+    fplus, fplus_Ly = _fplus(ctx, ring, m)
+
+    Alpha, Beta, R2p2s = interpolate_rates(ctx, TR, TM / TR)
+    RLya = 4.662899067555897e15 * H / nH / (1.0 - xe)
+
+    # real-real block and sources (populateTS_2photon, hydrogen.c:391)
+    Trr00 = Beta[0] + 3.0 * R2p2s \
+        + 3.0 * RLya * (1.664786871919931 * jnp.exp(-E32 / TR)
+                        + 1.953125 * jnp.exp(-E42 / TR))
+    Trr01 = -R2p2s
+    sr0 = nH * Alpha[0] * xe * xe \
+        + 3.0 * RLya * (1.0 - xe) * (1.664786871919931 * fplus_Ly[1]
+                                     + 1.953125 * jnp.exp(-E41 / TR))
+    Trr11 = Beta[1] + R2p2s + RLya
+    Trr10 = -3.0 * R2p2s
+    sr1 = nH * Alpha[1] * xe * xe + 3.0 * RLya * (1.0 - xe) * fplus_Ly[0]
+
+    dbfact = jnp.exp((Eb - E21) / TR)
+    Tvr0 = -ctx.A2s / jnp.abs(jnp.exp((Eb - E21) / TR) - 1.0)
+    Trv0 = Tvr0 * dbfact
+    Tvr1 = (-jnp.exp(-E32 / TR) / 3.0 * ctx.A3s3d / jnp.abs(jnp.exp((Eb - E31) / TR) - 1.0)
+            - jnp.exp(-E42 / TR) / 3.0 * ctx.A4s4d / jnp.abs(jnp.exp((Eb - E41) / TR) - 1.0))
+    Trv1 = Tvr1 * 3.0 * dbfact
+    Trr00 = Trr00 - jnp.sum(Tvr0)
+    Trr11 = Trr11 - jnp.sum(Tvr1)
+
+    Aup, Adn, A2p_up, A2p_dn = _diffusion_rates(ctx, TM)
+    Trr11 = Trr11 + A2p_dn + A2p_up
+
+    # off-diagonals of Tvv (zero outside the diffusion region)
+    Tvv1 = jnp.zeros(NVIRT).at[1:].set(-Aup[:-1])    # T_{b,b-1}
+    Tvv2 = jnp.zeros(NVIRT).at[:-1].set(-Adn[1:])    # T_{b,b+1}
+    in_diff = jnp.zeros(NVIRT, bool).at[NSUBDIFF:NSUBLYA + NDIFF // 2].set(True)
+    Tvv1 = jnp.where(in_diff, Tvv1, 0.0)
+    Tvv2 = jnp.where(in_diff, Tvv2, 0.0)
+    # bins adjacent to the Ly-a line couple to 2p, not across the line
+    Tvv2 = Tvv2.at[NSUBLYA - 1].set(0.0)
+    Tvv1 = Tvv1.at[NSUBLYA].set(0.0)
+    Tvr1 = Tvr1.at[NSUBLYA - 1].add(-A2p_dn)
+    Trv1 = Trv1.at[NSUBLYA - 1].add(-Aup[NSUBLYA - 1])
+    Tvr1 = Tvr1.at[NSUBLYA].add(-A2p_up)
+    Trv1 = Trv1.at[NSUBLYA].add(-Adn[NSUBLYA])
+
+    Gamma = -(Trv0 + Trv1) + Aup + Adn
+    Dtau = Gamma * (1.0 - xe) * (HPC / Eb) ** 3 * nH / 8.0 / math.pi / H
+    thick = Dtau > 1e-30
+    Dt = jnp.where(thick, Dtau, 1.0)
+    Pib = (1.0 - jnp.exp(-Dt)) / Dt
+    Tvv0 = jnp.where(thick, Gamma / (1.0 - Pib), 1.0)
+    Trv0 = jnp.where(thick, Trv0, 0.0)
+    Trv1 = jnp.where(thick, Trv1, 0.0)
+    Tvr0 = jnp.where(thick, Tvr0, 0.0)
+    Tvr1 = jnp.where(thick, Tvr1, 0.0)
+    sv = jnp.where(thick, Tvv0 * (1.0 - xe) * fplus * Pib, (1.0 - xe) * fplus)
+
+    # solve the real+virtual system (solve_real_virt, hydrogen.c:534):
+    # diagonal outside the diffusion window, Thomas inside, then 2x2 Schur
+    sl = slice(NSUBDIFF, NSUBDIFF + NDIFF)
+    rhs3 = jnp.stack([Tvr0[sl], Tvr1[sl], sv[sl]], axis=1)
+    sol3 = _thomas3(Tvv0[sl], Tvv2[sl], Tvv1[sl], rhs3)
+    inv_Tvr0 = (Tvr0 / Tvv0).at[sl].set(sol3[:, 0])
+    inv_Tvr1 = (Tvr1 / Tvv0).at[sl].set(sol3[:, 1])
+    inv_sv = (sv / Tvv0).at[sl].set(sol3[:, 2])
+
+    Trr_new00 = Trr00 - jnp.sum(Trv0 * inv_Tvr0)
+    Trr_new01 = Trr01 - jnp.sum(Trv0 * inv_Tvr1)
+    Trr_new10 = Trr10 - jnp.sum(Trv1 * inv_Tvr0)
+    Trr_new11 = Trr11 - jnp.sum(Trv1 * inv_Tvr1)
+    sr_new0 = sr0 - jnp.sum(Trv0 * inv_sv)
+    sr_new1 = sr1 - jnp.sum(Trv1 * inv_sv)
+    det = Trr_new00 * Trr_new11 - Trr_new01 * Trr_new10
+    xr0 = (Trr_new11 * sr_new0 - Trr_new01 * sr_new1) / det
+    xr1 = (Trr_new00 * sr_new1 - Trr_new10 * sr_new0) / det
+    xv = inv_sv - inv_Tvr0 * xr0 - inv_Tvr1 * xr1
+
+    xedot = -nH * xe * xe * (Alpha[0] + Alpha[1]) + xr0 * Beta[0] + xr1 * Beta[1]
+
+    # update f^- (hydrogen.c:730-749)
+    xv_up = jnp.concatenate([xv[1:], jnp.zeros(1)])
+    xv_dn = jnp.concatenate([jnp.zeros(1), xv[:-1]])
+    feq = -xr0 * Tvr0 - xr1 * Tvr1 - (xv_up * Tvv2 + xv_dn * Tvv1)
+    feq = feq / ((1.0 - xe) * (1.0 - Pib) * Tvv0)
+    logf_new = jnp.where(thick,
+                         jnp.log(fplus + (feq - fplus) * (1.0 - jnp.exp(-Dt))),
+                         jnp.log(fplus))
+    ly_new = jnp.array([
+        jnp.log(xr1 / 3.0 / (1.0 - xe)),
+        jnp.log(xr0 / (1.0 - xe)) - E32 / TR,
+        jnp.log(xr0 / (1.0 - xe)) - E42 / TR,
+    ])
+    return xedot / H, jnp.concatenate([logf_new, ly_new])
+
+
+# --- the staged history as one scan ----------------------------------------
+
+
+def build_history(ctx: HyrecCtx, zstart: float):
+    """xe(lna), Tm(lna) on the uniform dlna grid (rec_build_history,
+    history.c:242). Returns (z_grid_desc, xe, Tm) as arrays of length nz."""
+    nz = int(np.floor(2 + np.log(1.0 + zstart) / DLNA))
+    z_grid = (1.0 + zstart) * np.exp(-DLNA * np.arange(nz)) - 1.0
+    z_arr = jnp.asarray(z_grid)
+
+    PH_HE_SAHA, PH_HE_POSTSAHA, PH_HE_EVOL, PH_H_POSTSAHA = 0, 1, 2, 3
+    PH_H2G_TMSS, PH_H2G_TM, PH_HMLA, PH_PEEBLES = 4, 5, 6, 7
+
+    def thermal_row(Tr_eV):
+        return jnp.concatenate([-ctx.Eb / Tr_eV,
+                                jnp.array([-E21, -E31, -E41]) / Tr_eV])
+
+    def step(carry, j):
+        (phase, xe, Tm, dxe_p, dxe_p2, dTm_p, dTm_p2, ring) = carry
+        z = z_arr[j]                      # z of the slot being computed
+        zp = z_arr[j - 1]                 # z of the previous slot
+        ai = 1.0 + z
+        Tr_K = ctx.T0 * ai
+        H = hubble_s(ctx, z)
+        nH_cm = ctx.nH0 * ai**3 * 1e-6
+        Tr_eV = Tr_K * KBOLTZ
+
+        # previous-slot quantities for evolution-phase derivatives
+        aip = 1.0 + zp
+        Hp = hubble_s(ctx, zp)
+        nHp_cm = ctx.nH0 * aip**3 * 1e-6
+        Trp_K = ctx.T0 * aip
+        Trp_eV = Trp_K * KBOLTZ
+
+        def he_saha(_):
+            xe_new, xHeIII = saha_HeII(ctx, z)
+            row = thermal_row(Tr_eV)
+            done = xHeIII <= 1e-9
+            return (xe_new, Tr_K, row, j, done, dxe_p, dxe_p2)
+
+        def he_postsaha(_):
+            xeS = saha_HeI(ctx, z)
+            ai_ = 1.0 + z
+            Tr = ctx.T0 * ai_
+            nH = ctx.nH0 * ai_**3
+            s = 2.414194e21 * Tr * jnp.sqrt(Tr) * jnp.exp(-285325.0 / Tr) / nH * 4.0
+            dxeSdt = -xeS * (xeS - 1.0) / (2.0 * xeS + s - 1.0) * (285325.0 / Tr - 1.5) * H
+            Dxe = 0.01 * (1.0 + ctx.fHe - xeS)
+            dd = (helium_dxedt(ctx, xeS + Dxe, H, z)
+                  - helium_dxedt(ctx, xeS - Dxe, H, z)) / (2.0 * Dxe)
+            delta = dxeSdt / dd
+            xe_new = xeS + delta
+            row = thermal_row(Tr_eV)
+            done = delta >= 5e-4
+            return (xe_new, Tr_K, row, j, done, dxe_p, dxe_p2)
+
+        def he_evol(_):
+            dxe = helium_dxedt(ctx, xe, Hp, zp) / Hp
+            xe_new = xe + DLNA * (1.25 * dxe - 0.25 * dxe_p2)
+            Tm_new = tm_ss(xe_new, Tr_K, H, ctx.fHe)
+            row = thermal_row(Tr_eV)
+            delta = jnp.abs(xe_new - saha_xe_H(ctx, z))
+            done = jnp.logical_and(delta <= 1e-4, z <= 1650.0)
+            return (xe_new, Tm_new, row, j, done, dxe, dxe_p)
+
+        def h_postsaha(_):
+            ai_ = 1.0 + z
+            Tr = ctx.T0 * ai_
+            nH_m = ctx.nH0 * ai_**3
+            s = 2.4127161187130e21 * Tr * jnp.sqrt(Tr) * jnp.exp(-157801.37882 / Tr) / nH_m
+            xeS = 2.0 / (1.0 + jnp.sqrt(1.0 + 4.0 / s))
+            dxeS = -(EI / Tr_eV - 1.5) / (2.0 * xeS + s) * xeS * xeS
+            eps = 0.01 * (1.0 - xeS)
+            d_hi, _ = twophoton_dxedlna(ctx, xeS + eps, nH_cm, H, Tr_eV, Tr_eV, ring, j)
+            d_lo, row = twophoton_dxedlna(ctx, xeS - eps, nH_cm, H, Tr_eV, Tr_eV, ring, j)
+            dd = (d_hi - d_lo) / (2.0 * eps)
+            delta = dxeS / dd
+            xe_new = xeS + delta
+            Tm_new = tm_ss(xe_new, Tr_K, H, ctx.fHe)
+            done = delta >= 5e-5
+            return (xe_new, Tm_new, row, j, done, dxe_p, dxe_p2)
+
+        def h2g_tmss(_):
+            Tmp = tm_ss(xe, Trp_K, Hp, ctx.fHe)
+            dxe, row = twophoton_dxedlna(ctx, xe, nHp_cm, Hp,
+                                         Tmp * KBOLTZ, Trp_eV, ring, j - 1)
+            xe_new = xe + DLNA * (1.25 * dxe - 0.25 * dxe_p2)
+            Tm_new = tm_ss(xe_new, Tr_K, H, ctx.fHe)
+            done = jnp.logical_or(1.0 - Tm_new / Tr_K >= 5e-4, z <= 700.0)
+            return (xe_new, Tm_new, row, j - 1, done, dxe, dxe_p)
+
+        def h2g_tm(_):
+            dxe, row = twophoton_dxedlna(ctx, xe, nHp_cm, Hp,
+                                         Tm * KBOLTZ, Trp_eV, ring, j - 1)
+            dTm = dtm_dlna(xe, Tm, Trp_K, Hp, ctx.fHe)
+            xe_new = xe + DLNA * (1.25 * dxe - 0.25 * dxe_p2)
+            Tm_new = Tm + DLNA * (1.25 * dTm - 0.25 * dTm_p2)
+            done = z <= 700.0
+            return (xe_new, Tm_new, row, j - 1, done, dxe, dxe_p, dTm, dTm_p)
+
+        def hmla(_):
+            dxe = hmla_dxedlna(ctx, xe, nHp_cm, Hp, Tm * KBOLTZ, Trp_eV)
+            dTm = dtm_dlna(xe, Tm, Trp_K, Hp, ctx.fHe)
+            xe_new = xe + DLNA * (1.25 * dxe - 0.25 * dxe_p2)
+            Tm_new = Tm + DLNA * (1.25 * dTm - 0.25 * dTm_p2)
+            done = z <= 20.0
+            return (xe_new, Tm_new, ring[(j - 1) % RING], j - 1, done,
+                    dxe, dxe_p, dTm, dTm_p)
+
+        def peebles(_):
+            dxe = peebles_dxedlna(xe, nHp_cm, Hp, Tm * KBOLTZ, Trp_eV)
+            dTm = dtm_dlna(xe, Tm, Trp_K, Hp, ctx.fHe)
+            xe_new = xe + DLNA * (1.25 * dxe - 0.25 * dxe_p2)
+            Tm_new = Tm + DLNA * (1.25 * dTm - 0.25 * dTm_p2)
+            done = jnp.asarray(False)
+            return (xe_new, Tm_new, ring[(j - 1) % RING], j - 1, done,
+                    dxe, dxe_p, dTm, dTm_p)
+
+        # phases 0-4 keep the Tm derivative history primed with the current
+        # steady-state derivative so phase 5 starts with sane AB2 seeds
+        def wrap_no_tm(fn, fd_seed=False):
+            def g(_):
+                xe_new, Tm_new, row, slot, done, dxe_n, dxe_n2 = fn(_)
+                if fd_seed:
+                    # prime the AB2 history with a finite difference so the
+                    # next evolution phase starts with sane previous
+                    # derivatives (history.c:281-287 seeds them the same way)
+                    dxe_n, dxe_n2 = (xe_new - xe) / DLNA, dxe_p
+                dTm_n = dtm_dlna(xe_new, Tm_new, Tr_K, H, ctx.fHe)
+                return (xe_new, Tm_new, row, slot, done, dxe_n, dxe_n2, dTm_n, dTm_p)
+            return g
+
+        out = jax.lax.switch(phase, [
+            wrap_no_tm(he_saha, fd_seed=True), wrap_no_tm(he_postsaha, fd_seed=True),
+            wrap_no_tm(he_evol), wrap_no_tm(h_postsaha, fd_seed=True),
+            wrap_no_tm(h2g_tmss),
+            h2g_tm, hmla, peebles,
+        ], None)
+        (xe_new, Tm_new, row, slot, done, dxe_n, dxe_n2, dTm_n, dTm_n2) = out
+
+        ring = ring.at[slot % RING].set(row)
+        phase_new = jnp.where(done, jnp.minimum(phase + 1, 7), phase)
+        # seed the AB2 derivative history from finite differences when the
+        # phase just advanced out of a non-AB2 stage (history.c:281-287)
+        carry_new = (phase_new, xe_new, Tm_new, dxe_n, dxe_n2, dTm_n, dTm_n2, ring)
+        return carry_new, (xe_new, Tm_new)
+
+    ring0 = jnp.full((RING, NVIRT + 3), -1.0)
+    xe0, _ = saha_HeII(ctx, jnp.asarray(zstart))
+    carry0 = (jnp.asarray(0, jnp.int32), xe0, ctx.T0 * (1.0 + zstart),
+              jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), ring0)
+    _, (xe_hist, Tm_hist) = jax.lax.scan(step, carry0, jnp.arange(1, nz))
+    xe_full = jnp.concatenate([jnp.array([xe0]), xe_hist])
+    Tm_full = jnp.concatenate([jnp.array([ctx.T0 * (1.0 + zstart)]), Tm_hist])
+    return z_grid, xe_full, Tm_full
+
+
+def _cubic_resample(ytab, x0, dx, x):
+    """4-point cubic Lagrange on a uniform grid, vectorized over query
+    points (array_interpolate_cubic_equal / rec_interp1d semantics)."""
+    n = ytab.shape[0]
+    raw = (x - x0) / dx
+    ix = jnp.clip(jnp.floor(raw).astype(jnp.int32), 1, n - 3)
+    f = raw - ix
+    w = jnp.stack([-f * (1.0 - f) * (2.0 - f) / 6.0,
+                   (1.0 + f) * (1.0 - f) * (2.0 - f) / 2.0,
+                   (1.0 + f) * f * (2.0 - f) / 2.0,
+                   (1.0 + f) * f * (f - 1.0) / 6.0], axis=-1)
+    idx = ix[:, None] - 1 + jnp.arange(4)[None, :]
+    return jnp.sum(ytab[idx] * w, axis=-1)
+
+
+def compute_recombination_hyrec(params, pr, rec_ctx, bg):
+    """RecoTable from the HyRec history, resampled to the recfast_Nz0 grid
+    exactly as thermodynamics_recombination_with_hyrec
+    (thermodynamics_module.cpp:3199-3278)."""
+    from .. import constants as const
+    from .thermodynamics import RecoTable
+
+    zstart = pr.recfast_z_initial
+    ctx = make_hyrec_ctx(params, bg, float(rec_ctx.YHe), params.N_eff)
+    z_hi, xe_hi, Tm_hi = jax.jit(build_history, static_argnums=1)(ctx, zstart)
+
+    Nz = pr.recfast_Nz0
+    i = jnp.arange(Nz)
+    z = zstart * (1.0 - (i + 1.0) / Nz)          # descending, z[Nz-1] ~ 0
+    lna = -jnp.log1p(z)
+    lna0 = -math.log(1.0 + zstart)
+    xe = _cubic_resample(xe_hi, lna0, DLNA, lna)
+    Tm = _cubic_resample(Tm_hi, lna0, DLNA, lna)
+
+    # background H in s^-1 from the real background table (the reference
+    # passes pvecback H here, not hyrec's internal Friedmann)
+    Hz = rec_ctx.H_of_z.eval(-jnp.log1p(z))[:, 0] * const.c_SI / const.Mpc_over_m
+    Tr = ctx.T0 * (1.0 + z)
+    YHe = rec_ctx.YHe
+    wb = const.k_B / (const.c_SI**2 * const.m_H) \
+        * (1.0 + (1.0 / const.not4 - 1.0) * YHe + xe * (1.0 - YHe)) * Tm
+    dTm = dtm_dlna(xe, Tm, Tr, Hz, ctx.fHe)
+    cb2 = wb * (1.0 - dTm / Tm / 3.0)
+    dkap = (1.0 + z) ** 2 * rec_ctx.Nnow * xe * const.sigma_T * const.Mpc_over_m
+
+    # ascending z like the recfast table
+    rev = slice(None, None, -1)
+    return RecoTable(z=z[rev], xe=xe[rev], Tb=Tm[rev], wb=wb[rev],
+                     cb2=cb2[rev], dkappadtau=dkap[rev])

@@ -21,9 +21,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config.precision import PrecisionParams
+from ..ops.special import si_ci
 from ..ops.splines import spline_d2, spline_eval
 from .perturbations.indices import SrcIdx
 from .primordial import PrimordialResult
+
+# HMcode baryonic feedback presets (nonlinear_module.cpp:3424-3474
+# nonlinear_hmcode_baryonic_feedback): name -> (eta_0, c_min)
+HMCODE_FEEDBACK = {
+    "emu_dmonly": (0.603, 3.13),
+    "owls_dmonly": (0.64, 3.43),
+    "owls_ref": (0.68, 3.91),
+    "owls_agn": (0.76, 2.32),
+    "owls_dblim": (0.70, 3.01),
+}
 
 
 class PkResult(NamedTuple):
@@ -141,8 +152,255 @@ def _halofit_one_z(k_hf, pk_hf, k_out, pk_lin_out, Omega_m, Omega_v, w0, fnu, Om
     return pk_nl, rknl
 
 
+def _extend_pk(k, pk_z, pm: PrimordialResult, k_max_extra, per_decade=10.0):
+    """Extrapolate the linear P(k,z) beyond the source k_max, HMcode-style.
+
+    Reference nonlinear_get_source (nonlinear_module.cpp:1750-1835),
+    default method extrap_max_scaled: the *source* (transfer function)
+    is continued as S(k) = S_max * ln(a k)/ln(a k_max) with a fixed by
+    the last two tabulated points; the primordial spectrum stays analytic.
+    Returns (k_ext, pk_ext) with k_ext = [k, logspaced tail up to k_max_extra].
+    """
+    n_extra = int(math.log10(k_max_extra / float(k[-1])) * per_decade) + 1
+    k_tail = np.asarray(k[-1]) * 10.0 ** ((np.arange(n_extra) + 1.0) / per_decade)
+    k_tail = jnp.asarray(k_tail)
+    # recover |S| on the last two points:  P = 2 pi^2/k^3 P_R S^2
+    anorm = 1.0 / (2.0 * math.pi**2)
+    S = jnp.sqrt(pk_z[-2:] * k[-2:] ** 3 * anorm / pm.scalar_pk(k[-2:]))
+    s_prev, s_max = S[0], S[1]
+    lnk_max, lnk_prev = jnp.log(k[-1]), jnp.log(k[-2])
+    ln_a = (s_prev * lnk_max - s_max * lnk_prev) / (s_max - s_prev)
+    S_tail = s_max * (ln_a + jnp.log(k_tail)) / (ln_a + lnk_max)
+    pk_tail = S_tail**2 * pm.scalar_pk(k_tail) / (k_tail**3 * anorm)
+    return jnp.concatenate([k, k_tail]), jnp.concatenate([pk_z, pk_tail])
+
+
+def _sigma_integrals(k_s, pk_s, R, lnk_s):
+    """(sigma, dsigma^2/dR) for an array of R over a presampled log-k grid.
+
+    Matches nonlinear_sigmas out_sigma / out_sigma_prime (:2041): top-hat
+    window, trapezoid in ln k (the reference's t=1/(1+k) spline quadrature
+    agrees to ~1e-6 at sigma_k_per_decade=80).
+    """
+    x = k_s[None, :] * jnp.atleast_1d(R)[:, None]
+    small = x < 0.01
+    W = jnp.where(small, 1.0 - x * x / 10.0,
+                  3.0 / jnp.where(small, 1.0, x) ** 3
+                  * (jnp.sin(x) - x * jnp.cos(x)))
+    Wp = jnp.where(small, -0.2 * x,
+                   3.0 / jnp.where(small, 1.0, x) ** 2 * jnp.sin(x)
+                   - 9.0 / jnp.where(small, 1.0, x) ** 4
+                   * (jnp.sin(x) - x * jnp.cos(x)))
+    anorm = 1.0 / (2.0 * math.pi**2)
+    base = k_s[None, :] ** 3 * pk_s[None, :] * anorm    # k^2 pk dk = k^3 pk dlnk
+    sig2 = jnp.trapezoid(base * W * W, lnk_s, axis=-1)
+    dsig2_dR = jnp.trapezoid(base * 2.0 * k_s[None, :] * W * Wp, lnk_s, axis=-1)
+    return jnp.sqrt(sig2), dsig2_dR
+
+
+def _sigma_disp(k_s, pk_s, R, lnk_s):
+    """1D displacement dispersion sigma_d(R) (out_sigma_disp, :2131-2141)."""
+    x = k_s[None, :] * jnp.atleast_1d(R)[:, None]
+    small = x < 0.01
+    W = jnp.where(small, 1.0 - x * x / 10.0,
+                  3.0 / jnp.where(small, 1.0, x) ** 3
+                  * (jnp.sin(x) - x * jnp.cos(x)))
+    anorm = 1.0 / (2.0 * math.pi**2)
+    integ = k_s[None, :] * pk_s[None, :] * anorm / 3.0 * W * W   # pk dk = k pk dlnk
+    return jnp.sqrt(jnp.trapezoid(integ, lnk_s, axis=-1))
+
+
+def _window_nfw(kx, rv, c):
+    """Fourier transform of the NFW profile (nonlinear_hmcode_window_nfw
+    :3718-3765): analytic in Si/Ci."""
+    ks = kx * rv / c
+    si1, ci1 = si_ci(ks)
+    si2, ci2 = si_ci(ks * (1.0 + c))
+    p1 = jnp.cos(ks) * (ci2 - ci1)
+    p2 = jnp.sin(ks) * (si2 - si1)
+    p3 = jnp.sin(ks * c) / (ks * (1.0 + c))
+    return (p1 + p2 - p3) / (jnp.log(1.0 + c) - c / (1.0 + c))
+
+
+def _growint(Omega0_m, Omega0_k, Omega0_de, w0, wa):
+    """Linder & Cahn 2007 approximate growth, D = exp(-int Omega_m(a)^gamma dlna)
+    (nonlinear_hmcode_growint :3623-3712), from a=1/(1+z_inf) to 1."""
+    z_inf = 10.0
+    a = jnp.linspace(1.0 / (1.0 + z_inf), 1.0, 1024)
+    z = 1.0 / a - 1.0
+    X_de = a ** (-3.0 * (1.0 + w0 + wa)) * jnp.exp(-3.0 * wa * (1.0 - a))
+    H2 = Omega0_m * (1.0 + z) ** 3 + Omega0_k * (1.0 + z) ** 2 + Omega0_de * X_de
+    Om = Omega0_m * (1.0 + z) ** 3 / H2
+    gamma = jnp.where(w0 == -1.0, 0.55,
+                      jnp.where(w0 < -1.0, 0.55 + 0.02 * (1.0 + w0),
+                                0.55 + 0.05 * (1.0 + w0)))
+    return jnp.exp(jnp.trapezoid(-(Om**gamma) / a, a))
+
+
+def _hmcode_one_z(k, pk_m_z, pk_cb_z, pm, D_z, z, Omega_m_z, fnu, Omega0_m_eff,
+                  h, eta_0, c_min, de_corr, growtable, ztable, pr: PrecisionParams):
+    """HMcode-2016 nonlinear P(k) at one redshift (nonlinear_hmcode :2811).
+
+    pk_m_z is the spectrum being corrected (_m or _cb); pk_cb_z is the
+    cb spectrum used for the nonlinear-scale solve (reference index_pk_cb).
+    Omega0_m_eff is Omega0_m for _m and Omega0_cb for _cb (ref :2889-2893).
+    """
+    # extended linear spectra, resampled at sigma_k_per_decade per decade
+    k_ext, pk_ext = _extend_pk(k, pk_m_z, pm, pr.hmcode_max_k_extra)
+    _, pkcb_ext = _extend_pk(k, pk_cb_z, pm, pr.hmcode_max_k_extra)
+    n_s = int(math.log10(pr.hmcode_max_k_extra / float(k[0])) * pr.sigma_k_per_decade) + 1
+    lnk_s = jnp.log(k[0]) + jnp.arange(n_s) / pr.sigma_k_per_decade * math.log(10.0)
+    lnk_ext = jnp.log(k_ext)
+    d2m = spline_d2(lnk_ext, jnp.log(pk_ext))
+    d2cb = spline_d2(lnk_ext, jnp.log(pkcb_ext))
+    k_samp = jnp.exp(lnk_s)
+    pk_samp = jnp.exp(spline_eval(lnk_ext, jnp.log(pk_ext), d2m, lnk_s))
+    pkcb_samp = jnp.exp(spline_eval(lnk_ext, jnp.log(pkcb_ext), d2cb, lnk_s))
+
+    # scalars: sigma8(z), displacement dispersions (ref :2924-2955)
+    sigma8, _ = _sigma_integrals(k_samp, pk_samp, 8.0 / h, lnk_s)
+    sigma8 = sigma8[0]
+    sigma_disp = _sigma_disp(k_samp, pk_samp, 1e-12, lnk_s)[0]
+    sigma_disp100 = _sigma_disp(k_samp, pk_samp, 100.0 / h, lnk_s)[0]
+
+    # spherical-collapse thresholds (ref :2973-2981)
+    delta_c = 1.59 + 0.0314 * jnp.log(sigma8)
+    delta_c = delta_c * (1.0 + 0.0123 * jnp.log10(Omega_m_z))
+    delta_c = delta_c * (1.0 + 0.262 * fnu)
+    Delta_v = 418.0 * Omega_m_z ** (-0.352) * (1.0 + 0.916 * fnu)
+    fraction = 0.01 ** (1.0 / 3.0)
+
+    # mass grid (ref :2958-3021)
+    nm = pr.nsteps_for_p1h_integral
+    rho_crit = 2.7754e11 * h * h            # M_sun / Mpc^3 (3 H0^2/8 pi G)
+    mmin = pr.mmin_for_p1h_integral / h
+    mmax = pr.mmax_for_p1h_integral / h
+    m = jnp.exp(jnp.linspace(jnp.log(mmin), jnp.log(mmax), nm))
+    r_real = (3.0 * m / (4.0 * math.pi * rho_crit * Omega0_m_eff)) ** (1.0 / 3.0)
+    r_virial = r_real / Delta_v ** (1.0 / 3.0)
+    sigma_r, _ = _sigma_integrals(k_samp, pk_samp, r_real, lnk_s)
+    sigmaf_r, _ = _sigma_integrals(k_samp, pk_samp, r_real * fraction, lnk_s)
+    nu = delta_c / sigma_r
+
+    # nonlinear scale: sigma_cb(r_nl) = delta_c (ref :3024-3119): monotone
+    # inversion of ln sigma_cb on the mass grid + 2 Newton polishes
+    sig_cb, dsig2_cb = _sigma_integrals(k_samp, pkcb_samp, r_real, lnk_s)
+    ln_r_nl = jnp.interp(jnp.log(delta_c), -jnp.log(sig_cb), jnp.log(r_real))
+    r_nl = jnp.exp(ln_r_nl)
+    for _ in range(2):
+        s, ds2 = _sigma_integrals(k_samp, pkcb_samp, r_nl, lnk_s)
+        s, ds2 = s[0], ds2[0]
+        f = jnp.log(s / delta_c)
+        fp = r_nl * ds2 / (2.0 * s * s)     # dln sigma/dln R
+        r_nl = r_nl * jnp.exp(-f / fp)
+    k_nl = 1.0 / r_nl
+
+    # effective index at r_nl (ref :3122-3140); the reference's
+    # sigma_prime = d sigma^2/dR and n_eff = -3 - r sigma'^2-normalized
+    s_nl, ds2_nl = _sigma_integrals(k_samp, pkcb_samp, r_nl, lnk_s)
+    dlnsig = r_nl * ds2_nl[0] / (s_nl[0] ** 2)
+    n_eff = -3.0 - dlnsig
+    alpha = 3.24 * 1.85**n_eff
+
+    # halo concentrations, Bullock et al. (ref :3143-3165)
+    g_form = jnp.minimum(delta_c * D_z / sigmaf_r, 1.0)
+    z_form = jnp.interp(g_form, growtable, ztable)
+    conc = jnp.where(z_form < z, c_min,
+                     c_min * (1.0 + z_form) / (1.0 + z) * de_corr)
+
+    # damping parameters (ref :3168-3174)
+    eta = eta_0 - 0.3 * sigma8
+    k_star = 0.584 / sigma_disp
+    fdamp = jnp.clip(0.0095 * (sigma_disp100 * h) ** 1.37, 1e-3, 0.99)
+
+    # one-halo integral over nu (ref :3186-3243): (nk, nm) -> trapz in nu
+    anorm = 1.0 / (2.0 * math.pi**2)
+    gst = 0.21616 * (1.0 + (0.707 * nu * nu) ** -0.3) * jnp.exp(-0.707 * nu * nu / 2.0)
+    kx = nu[None, :] ** eta * k[:, None]
+    Wn = _window_nfw(kx, r_virial[None, :], conc[None, :])
+    integ = m[None, :] * gst[None, :] * Wn * Wn
+    integ = jnp.where(nu[None, :] <= 10.0, integ, 0.0)      # nu_cut (ref :3181)
+    p1h = jnp.trapezoid(integ, nu, axis=-1)
+    fac = jnp.where((k / k_star) ** 2 > 7.0, 0.0, jnp.exp(-((k / k_star) ** 2)))
+    pk_1h = p1h * anorm * k**3 * (1.0 - fac) / (rho_crit * Omega0_m_eff)
+
+    # two-halo term + blend (ref :3246-3258)
+    pk_lin_dimless = pk_m_z * k**3 * anorm
+    pk_2h = pk_lin_dimless * (1.0 - fdamp * jnp.tanh(k * sigma_disp / jnp.sqrt(fdamp)) ** 2)
+    pk_2h = jnp.maximum(pk_2h, 0.0)
+    pk_nl = (pk_1h**alpha + pk_2h**alpha) ** (1.0 / alpha) / k**3 / anorm
+    return pk_nl, k_nl
+
+
+def compute_hmcode(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
+                   params, z_pk=(0.0,), eta_0=0.603, c_min=3.13) -> PkResult:
+    """HMcode-2016 (Mead et al.) nonlinear spectra at the requested redshifts.
+
+    Reference nonlinear_hmcode (nonlinear_module.cpp:2811-3258) plus its
+    workspace tables (:3310-3712). TPU-native reshaping: every per-mass /
+    per-k loop is a dense array op; the sigma quadratures for all radii are
+    one (nR, nk) matrix contraction; the growth table comes straight from
+    the background's D column.
+    """
+    from .background import tau_of_z
+
+    k = pert.k
+    z_arr = jnp.asarray(z_pk)
+    pk_lin = jax.vmap(lambda z: pk_linear_at_z(pert, bg, pm, z, "delta_m"))(z_arr)
+    pk_cb = jax.vmap(lambda z: pk_linear_at_z(pert, bg, pm, z, "delta_cb"))(z_arr)
+
+    # growth table D(z) on a linear a-grid (nonlinear_hmcode_fill_growtab :3573)
+    a_g = jnp.linspace(pr.ainit_for_growtab, pr.amax_for_growtab, pr.n_hmcode_tables)
+    z_g = 1.0 / a_g - 1.0
+    tau_g = tau_of_z(bg, z_g)
+    growtable = bg.lntau_spline.eval(jnp.log(tau_g))[:, bidx["D"]]
+    ztable = z_g
+
+    # dark-energy correction (nonlinear_hmcode_dark_energy_correction :3377)
+    Omega0_de = 1.0 - float(bg.Omega0_m) - float(getattr(bg, "Omega0_r", 0.0)) \
+        - params.Omega_k
+    if params.use_fld:
+        g_lcdm = _growint(bg.Omega0_m, params.Omega_k, Omega0_de, -1.0, 0.0)
+        # growint's w(a) = w0 + (1-a) wa == CLP, so wa passes through
+        # (reference passes dw_over_da_fld * (-1) = +wa, :3404)
+        g_wcdm = _growint(bg.Omega0_m, params.Omega_k, Omega0_de,
+                          params.w0_fld, params.wa_fld)
+        de_corr = (g_wcdm / g_lcdm) ** 1.5
+    else:
+        de_corr = jnp.asarray(1.0)
+
+    taus = tau_of_z(bg, z_arr)
+    bgv = bg.lntau_spline.eval(jnp.log(taus))
+    Om_z = bgv[:, bidx["Omega_m"]]
+    D_z = bgv[:, bidx["D"]]
+    fnu = jnp.asarray(float(bg.Omega0_ncdm_tot) / float(bg.Omega0_m))
+    Om0 = jnp.asarray(float(bg.Omega0_m))
+    Om0_cb = Om0 - float(bg.Omega0_ncdm_tot)
+
+    def one_m(pk_z, pkcb_z, Dz, zz, Omz):
+        return _hmcode_one_z(k, pk_z, pkcb_z, pm, Dz, zz, Omz, fnu, Om0,
+                             params.h, eta_0, c_min, de_corr, growtable, ztable, pr)
+
+    def one_cb(pk_z, Dz, zz, Omz):
+        return _hmcode_one_z(k, pk_z, pk_z, pm, Dz, zz, Omz, jnp.asarray(0.0),
+                             Om0_cb if float(bg.Omega0_ncdm_tot) else Om0,
+                             params.h, eta_0, c_min, de_corr, growtable, ztable, pr)
+
+    pk_nl, k_nl = jax.vmap(one_m)(pk_lin, pk_cb, D_z, z_arr, Om_z)
+    pk_cb_nl, _ = jax.vmap(one_cb)(pk_cb, D_z, z_arr, Om_z)
+
+    pk0 = pk_linear_at_z(pert, bg, pm, 0.0, "delta_m")
+    sigma8 = sigma_R(k, pk0, 8.0 / params.h)[0]
+    return PkResult(k=k, z=z_arr, pk_lin=pk_lin, pk_nl=pk_nl,
+                    pk_cb_lin=pk_cb, pk_cb_nl=pk_cb_nl, k_nl=k_nl, sigma8=sigma8)
+
+
 def compute_nonlinear(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
-                      params, z_pk=(0.0,)) -> PkResult:
+                      params, z_pk=(0.0,), method="halofit",
+                      hm_eta0=0.603, hm_cmin=3.13) -> PkResult:
+    if method == "hmcode":
+        return compute_hmcode(pert, bg, bidx, pm, pr, params, z_pk=z_pk,
+                              eta_0=hm_eta0, c_min=hm_cmin)
     from .background import tau_of_z
 
     k = pert.k

@@ -54,7 +54,7 @@ def output_pk(cosmo, root: str):
     k_h = np.asarray(nl.k) / h
     for iz, z in enumerate(np.asarray(nl.z)):
         for tab, suffix in [(nl.pk_lin, "pk"), (nl.pk_nl, "pk_nl")]:
-            if suffix == "pk_nl" and cosmo.out.non_linear != "halofit":
+            if suffix == "pk_nl" and cosmo.out.non_linear not in ("halofit", "hmcode"):
                 continue
             pk = np.asarray(tab[iz]) * h**3
             _write_table(Path(f"{root}z{iz + 1}_{suffix}.dat"),

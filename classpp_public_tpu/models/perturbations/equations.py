@@ -92,7 +92,12 @@ class Locals(NamedTuple):
     g: jnp.ndarray
     dg: jnp.ndarray
     exp_m_kappa: jnp.ndarray
-    eta: jnp.ndarray
+    eta: jnp.ndarray          # eta (sync) / phi (newtonian state slot)
+    # gauge-invariant Bardeen potentials, computed per gauge in rhs_full
+    phi: jnp.ndarray = None
+    psi: jnp.ndarray = None
+    phi_plus_psi: jnp.ndarray = None
+    phi_prime: jnp.ndarray = None
 
 
 def rhs_full(tau, y, ctx: PertCtx):
@@ -207,36 +212,76 @@ def rhs_full(tau, y, ctx: PertCtx):
         delta_p = delta_p + cs2_fld * rho_fld * d_fld \
             + 3.0 * aH * (cs2_fld - ca2_fld) * (1.0 + w_fld) * rho_fld * t_fld / k2
 
-    # --- Einstein 00: h' (perturb_einstein :5911)
-    h_prime = (k2 * eta + 1.5 * a2 * delta_rho) / (0.5 * aH)
+    newt = idx.gauge == "newtonian"
+    if newt:
+        # --- Einstein equations, newtonian gauge (perturb_einstein :5870-5905):
+        # phi is dynamical (state slot idx.eta holds phi), psi is constrained.
+        phi = eta          # the state slot, unpacked above under the name eta
+        theta_cdm = y[idx.theta_cdm]
+        rho_plus_p_theta = rho_plus_p_theta + rho_cdm * theta_cdm
+        # under TCA the photon shear entering psi is its 1st-order value
+        # 16/45/kap * theta_g (perturb_total_stress_energy :6125)
+        rho_plus_p_shear_psi = rho_plus_p_shear + jnp.where(
+            tca, 4.0 / 3.0 * rho_g * 16.0 / 45.0 / kap * theta_g, zero)
+        psi = phi - 4.5 * (a2 / k2) * rho_plus_p_shear_psi
+        phi_prime = -aH * psi + 1.5 * (a2 / k2) * rho_plus_p_theta
 
-    # --- radiation streaming values (perturb_rsa_delta_and_theta :9575-9615,
-    # synchronous, rsa_MD_with_reio)
-    rsa_delta_g = 4.0 / k2 * (aH * h_prime - k2 * eta) \
-        - 4.0 / k2 * kap * (theta_b + 0.5 * h_prime)
-    rsa_theta_g = -0.5 * h_prime + 3.0 / k2 * (
-        kapp * (theta_b + 0.5 * h_prime)
-        + kap * (-aH * theta_b + cb2 * k2 * delta_b - aH * h_prime + k2 * eta)
-    )
-    rsa_delta_ur = 4.0 / k2 * (aH * h_prime - k2 * eta)
-    rsa_theta_ur = -0.5 * h_prime
+        # radiation streaming, newtonian (perturb_rsa_delta_and_theta :9543)
+        rsa_delta_g = -4.0 * phi - 4.0 / k2 * kap * theta_b
+        rsa_theta_g = 6.0 * phi_prime + 3.0 / k2 * (
+            kapp * theta_b
+            + kap * (-aH * theta_b + cb2 * k2 * delta_b + k2 * phi))
+        rsa_delta_ur = -4.0 * phi
+        rsa_theta_ur = 6.0 * phi_prime
 
-    delta_rho = delta_rho + jnp.where(rsa, rho_g * rsa_delta_g + rho_ur * rsa_delta_ur, zero)
-    rho_plus_p_theta = rho_plus_p_theta + jnp.where(
-        rsa, 4.0 / 3.0 * rho_g * rsa_theta_g + 4.0 / 3.0 * rho_ur * rsa_theta_ur, zero)
+        metric_continuity = -3.0 * phi_prime
+        metric_euler = k2 * psi
+        metric_shear = zero
+        metric_shear_prime = zero
+        metric_ufa = -6.0 * phi_prime
+        # sync-only quantities, defined for the shared Locals layout
+        h_prime = zero
+        eta_prime = phi_prime
+        alpha = zero
+        alpha_prime = zero
+        phi_plus_psi = phi + psi
+    else:
+        # --- Einstein 00: h' (perturb_einstein :5911), synchronous flat
+        h_prime = (k2 * eta + 1.5 * a2 * delta_rho) / (0.5 * aH)
 
-    # --- Einstein 0i, trace, shear (perturb_einstein :5941-5976), flat K=0
-    eta_prime = 1.5 * a2 * rho_plus_p_theta / k2
-    h_prime_prime = -2.0 * aH * h_prime + 2.0 * k2 * eta - 9.0 * a2 * delta_p
-    alpha = (h_prime + 6.0 * eta_prime) / (2.0 * k2)
+        # --- radiation streaming values (perturb_rsa_delta_and_theta
+        # :9581-9615, synchronous, rsa_MD_with_reio)
+        rsa_delta_g = 4.0 / k2 * (aH * h_prime - k2 * eta) \
+            - 4.0 / k2 * kap * (theta_b + 0.5 * h_prime)
+        rsa_theta_g = -0.5 * h_prime + 3.0 / k2 * (
+            kapp * (theta_b + 0.5 * h_prime)
+            + kap * (-aH * theta_b + cb2 * k2 * delta_b - aH * h_prime + k2 * eta)
+        )
+        rsa_delta_ur = 4.0 / k2 * (aH * h_prime - k2 * eta)
+        rsa_theta_ur = -0.5 * h_prime
 
-    tca_shear_g_1 = 16.0 / 45.0 / kap * (theta_g + k2 * alpha)
-    rho_plus_p_shear = rho_plus_p_shear + jnp.where(tca, 4.0 / 3.0 * rho_g * tca_shear_g_1, zero)
-    alpha_prime = -2.0 * aH * alpha + eta - 4.5 * (a2 / k2) * rho_plus_p_shear
+        delta_rho = delta_rho + jnp.where(rsa, rho_g * rsa_delta_g + rho_ur * rsa_delta_ur, zero)
+        rho_plus_p_theta = rho_plus_p_theta + jnp.where(
+            rsa, 4.0 / 3.0 * rho_g * rsa_theta_g + 4.0 / 3.0 * rho_ur * rsa_theta_ur, zero)
 
-    metric_continuity = 0.5 * h_prime
-    metric_shear = k2 * alpha
-    metric_shear_prime = k2 * alpha_prime
+        # --- Einstein 0i, trace, shear (perturb_einstein :5941-5976), flat K=0
+        eta_prime = 1.5 * a2 * rho_plus_p_theta / k2
+        h_prime_prime = -2.0 * aH * h_prime + 2.0 * k2 * eta - 9.0 * a2 * delta_p
+        alpha = (h_prime + 6.0 * eta_prime) / (2.0 * k2)
+
+        tca_shear_g_1 = 16.0 / 45.0 / kap * (theta_g + k2 * alpha)
+        rho_plus_p_shear = rho_plus_p_shear + jnp.where(tca, 4.0 / 3.0 * rho_g * tca_shear_g_1, zero)
+        alpha_prime = -2.0 * aH * alpha + eta - 4.5 * (a2 / k2) * rho_plus_p_shear
+
+        metric_continuity = 0.5 * h_prime
+        metric_euler = zero
+        metric_shear = k2 * alpha
+        metric_shear_prime = k2 * alpha_prime
+        metric_ufa = 0.5 * h_prime
+        phi = eta - aH * alpha
+        psi = aH * alpha + alpha_prime
+        phi_prime = eta_prime - aH_prime * alpha - aH * alpha_prime
+        phi_plus_psi = eta + alpha_prime
 
     # --- effective delta/theta for the evolution equations under RSA
     d_g = jnp.where(rsa, rsa_delta_g, delta_g)
@@ -252,9 +297,11 @@ def rhs_full(tau, y, ctx: PertCtx):
         + k2 * (-aH * d_g / 2.0
                 + cb2 * (-theta_b - metric_continuity)
                 + (t_g + metric_continuity) / 3.0)
+        - aH * metric_euler
     )
     shear_g_tca1 = 16.0 / 45.0 * tau_c * (t_g + metric_shear)
-    theta_prime0 = (-aH * theta_b + k2 * (cb2 * delta_b + R / 4.0 * d_g)) / (1.0 + R)
+    theta_prime0 = (-aH * theta_b + k2 * (cb2 * delta_b + R / 4.0 * d_g)) / (1.0 + R) \
+        + metric_euler
     shear_g_prime1 = 16.0 / 45.0 * (tau_c * (theta_prime0 + metric_shear_prime)
                                     + dtau_c * (t_g + metric_shear))
     tca_slip = (1.0 - 2.0 * aH * F) * slip_1 + F * k2 * (
@@ -274,19 +321,21 @@ def rhs_full(tau, y, ctx: PertCtx):
     # baryons
     d_delta_b = -(theta_b + metric_continuity)
     theta_b_prime_notca = (-aH * theta_b + k2 * cb2 * delta_b
+                           + metric_euler
                            + R * kap * (t_g - theta_b))
     theta_b_prime_tca = (-aH * theta_b
                          + k2 * (cb2 * delta_b + R * (d_g / 4.0 - tca_shear_g))
-                         + R * tca_slip) / (1.0 + R)
+                         + R * tca_slip) / (1.0 + R) + metric_euler
     theta_b_prime = jnp.where(tca, theta_b_prime_tca, theta_b_prime_notca)
     dy = dy.at[idx.delta_b].set(d_delta_b)
     dy = dy.at[idx.theta_b].set(theta_b_prime)
 
     # photon velocity
     P0 = (G[0] + G[2] + 2.0 * shear_g) / 8.0
-    theta_g_prime_full = k2 * (d_g / 4.0 - shear_g) + kap * (theta_b - t_g)
+    theta_g_prime_full = k2 * (d_g / 4.0 - shear_g) + metric_euler + kap * (theta_b - t_g)
     theta_g_prime_tca = (-(theta_b_prime + aH * theta_b - k2 * cb2 * delta_b) / R
-                         + k2 * (0.25 * d_g - tca_shear_g))
+                         + k2 * (0.25 * d_g - tca_shear_g)
+                         + (1.0 + R) / R * metric_euler)
     dy = dy.at[idx.theta_g].set(
         jnp.where(rsa, zero, jnp.where(tca, theta_g_prime_tca, theta_g_prime_full)))
 
@@ -322,14 +371,19 @@ def rhs_full(tau, y, ctx: PertCtx):
     dG = dG.at[-1].set(dG_last)
     dy = jax.lax.dynamic_update_slice(dy, jnp.where(hier_on, dG, jnp.zeros_like(dG)), (idx.G_g,))
 
-    # cdm (synchronous: theta_cdm = 0)
-    dy = dy.at[idx.delta_cdm].set(-metric_continuity)
+    # cdm (synchronous: theta_cdm = 0; newtonian evolves it,
+    # perturb_derivs :8238-8248)
+    if newt:
+        dy = dy.at[idx.delta_cdm].set(-(theta_cdm + metric_continuity))
+        dy = dy.at[idx.theta_cdm].set(-aH * theta_cdm + metric_euler)
+    else:
+        dy = dy.at[idx.delta_cdm].set(-metric_continuity)
 
     # ur
     d_delta_ur = -4.0 / 3.0 * (theta_ur + metric_continuity)
-    d_theta_ur = k2 * (delta_ur / 4.0 - shear_ur)
+    d_theta_ur = k2 * (delta_ur / 4.0 - shear_ur) + metric_euler
     d_shear_ur_full = 0.5 * (8.0 / 15.0 * (theta_ur + metric_shear) - 3.0 / 5.0 * k * F_ur[0])
-    d_shear_ur_ufa = -3.0 / tau * shear_ur + 2.0 / 3.0 * (theta_ur + metric_continuity)
+    d_shear_ur_ufa = -3.0 / tau * shear_ur + 2.0 / 3.0 * (theta_ur + metric_ufa)
     ur_on = ~rsa
     dy = dy.at[idx.delta_ur].set(jnp.where(ur_on, d_delta_ur, zero))
     dy = dy.at[idx.theta_ur].set(jnp.where(ur_on, d_theta_ur, zero))
@@ -359,7 +413,8 @@ def rhs_full(tau, y, ctx: PertCtx):
             lsn * Ps_m1 - (lsn + 1.0) * Ps_p1)
         dPsi = dPsi.at[:, :, 0].set(-qk_eps * Psi[:, :, 1]
                                     + metric_continuity * dl0 / 3.0)
-        dPsi = dPsi.at[:, :, 1].set(qk_eps / 3.0 * (Psi[:, :, 0] - 2.0 * Psi[:, :, 2]))
+        dPsi = dPsi.at[:, :, 1].set(qk_eps / 3.0 * (Psi[:, :, 0] - 2.0 * Psi[:, :, 2])
+                                    - eps * metric_euler / (3.0 * nc.q[None, :] * k) * dl0)
         dPsi = dPsi.at[:, :, 2].set(qk_eps / 5.0 * (2.0 * Psi[:, :, 1] - 3.0 * Psi[:, :, 3])
                                     - metric_shear * 2.0 / 15.0 * dl0)
         dPsi = dPsi.at[:, :, -1].set(qk_eps * Psi[:, :, -2]
@@ -371,9 +426,9 @@ def rhs_full(tau, y, ctx: PertCtx):
         d_dfl = (-(1.0 + w_nc) * (t_fl + metric_continuity)
                  - 3.0 * aH * (ceff2 - w_nc) * d_fl)
         d_tfl = (-aH * (1.0 - 3.0 * ca2) * t_fl
-                 + ceff2 / (1.0 + w_nc) * k2 * d_fl - k2 * s_fl)
+                 + ceff2 / (1.0 + w_nc) * k2 * d_fl - k2 * s_fl + metric_euler)
         d_sfl = (-3.0 * (aH * (2.0 / 3.0 - ca2 - pp_nc / p_nc / 3.0) + 1.0 / tau) * s_fl
-                 + 8.0 / 3.0 * cvis2 / (1.0 + w_nc) * (t_fl + metric_continuity))
+                 + 8.0 / 3.0 * cvis2 / (1.0 + w_nc) * (t_fl + metric_ufa))
         dPsi_fl = jnp.zeros_like(dPsi)
         dPsi_fl = dPsi_fl.at[:, 0, 0].set(d_dfl)
         dPsi_fl = dPsi_fl.at[:, 0, 1].set(d_tfl)
@@ -389,26 +444,29 @@ def rhs_full(tau, y, ctx: PertCtx):
             - 9.0 * (1.0 + w_fld) * (cs2_fld - ca2_fld) * aH * aH * t_fld / k2)
         dy = dy.at[idx.theta_fld].set(
             -(1.0 - 3.0 * cs2_fld) * aH * t_fld
-            + cs2_fld * k2 / (1.0 + w_fld) * d_fld)
+            + cs2_fld * k2 / (1.0 + w_fld) * d_fld + metric_euler)
 
-    # metric
+    # metric slot: eta' (synchronous) or phi' (newtonian, :8075)
     dy = dy.at[idx.eta].set(eta_prime)
 
     # --- gauge-invariant matter variables (perturb_einstein :5986-6006).
     # Note the order: the 3aH*theta/k^2 shift uses the synchronous-gauge
     # theta_m; the alpha*k^2 shift applies to the theta_m source afterwards.
+    # (in newtonian gauge alpha == 0, so the +k2*alpha shift is a no-op and
+    # the cdm velocity enters the gauge sums directly)
     rho_m_cb = rho_b + rho_cdm
-    theta_cb_sync = (rho_b * theta_b) / rho_m_cb
-    delta_cb = (rho_b * delta_b + rho_cdm * delta_cdm) / rho_m_cb + 3.0 * aH * theta_cb_sync / k2
-    theta_cb = theta_cb_sync + k2 * alpha
+    theta_cdm_g = theta_cdm if newt else zero
+    theta_cb_gauge = (rho_b * theta_b + rho_cdm * theta_cdm_g) / rho_m_cb
+    delta_cb = (rho_b * delta_b + rho_cdm * delta_cdm) / rho_m_cb + 3.0 * aH * theta_cb_gauge / k2
+    theta_cb = theta_cb_gauge + k2 * alpha
     if idx.n_ncdm:
         rho_m = rho_m_cb + jnp.sum(rho_nc)
         rho_plus_p_m = rho_m_cb + jnp.sum(rho_plus_p_nc)
         delta_rho_m = rho_b * delta_b + rho_cdm * delta_cdm + jnp.sum(rho_delta_nc)
-        rho_plus_p_theta_m = rho_b * theta_b + jnp.sum(rpt_nc)
-        theta_m_sync = rho_plus_p_theta_m / rho_plus_p_m
-        delta_m = delta_rho_m / rho_m + 3.0 * aH * theta_m_sync / k2
-        theta_m = theta_m_sync + k2 * alpha
+        rho_plus_p_theta_m = rho_b * theta_b + rho_cdm * theta_cdm_g + jnp.sum(rpt_nc)
+        theta_m_gauge = rho_plus_p_theta_m / rho_plus_p_m
+        delta_m = delta_rho_m / rho_m + 3.0 * aH * theta_m_gauge / k2
+        theta_m = theta_m_gauge + k2 * alpha
     else:
         delta_m = delta_cb
         theta_m = theta_cb
@@ -425,6 +483,7 @@ def rhs_full(tau, y, ctx: PertCtx):
         delta_g_eff=delta_g_src, P=P,
         delta_m=delta_m, theta_m=theta_m, delta_cb=delta_cb, theta_cb=theta_cb,
         theta_b_prime=theta_b_prime, g=g_vis, dg=dg_vis, exp_m_kappa=emk, eta=eta,
+        phi=phi, psi=psi, phi_plus_psi=phi_plus_psi, phi_prime=phi_prime,
     )
     return dy, loc
 
@@ -696,11 +755,74 @@ def isocurvature_ic(kind, k, tau, ctx: PertCtx, entropy_ini=1.0):
     return y
 
 
+def _ic_to_newtonian(y, k, tau, ctx: PertCtx):
+    """Gauge-transform synchronous-gauge initial conditions to newtonian
+    (perturb_initial_conditions :5095-5250): build alpha = (h'+6 eta')/2k^2
+    from the first two Einstein equations, then shift every species."""
+    idx = ctx.idx
+    bidx = ctx.bidx
+    tau = jnp.asarray(tau, y.dtype)
+    bgv = ctx.bg_spline.eval(jnp.log(tau))
+    a = bgv[bidx["a"]]
+    aH = a * bgv[bidx["H"]]
+    rho_g = bgv[bidx["rho_g"]]
+    rho_b = bgv[bidx["rho_b"]]
+    rho_cdm = bgv[bidx["rho_cdm"]]
+    rho_ur = bgv[bidx["rho_ur"]]
+    for i in range(idx.n_ncdm):
+        rho_ur = rho_ur + bgv[bidx[f"rho_ncdm{i}"]]   # still relativistic here
+    k2 = k * k
+    rho_r = rho_g + rho_ur
+    rho_m = rho_b + rho_cdm
+    fracg = rho_g / rho_r
+    fracnu = rho_ur / rho_r
+    fracb = rho_b / rho_m
+    fraccdm = 1.0 - fracb
+    rmr = rho_m / rho_r
+
+    dg, tg = y[idx.delta_g], y[idx.theta_g]
+    db, tb = y[idx.delta_b], y[idx.theta_b]
+    dc = y[idx.delta_cdm]
+    dur, tur = y[idx.delta_ur], y[idx.theta_ur]
+    eta = y[idx.eta] + ctx.eta_off
+
+    delta_tot = (fracg * dg + fracnu * dur + rmr * (fracb * db + fraccdm * dc)) / (1.0 + rmr)
+    velocity_tot = (4.0 / 3.0 * (fracg * tg + fracnu * tur) + rmr * fracb * tb) / (1.0 + rmr)
+    alpha = (eta + 1.5 * aH * aH / k2 * (delta_tot + 3.0 * aH / k2 * velocity_tot)) / aH
+
+    y = y.at[idx.eta].set(eta - aH * alpha)           # slot now holds phi
+    y = y.at[idx.delta_g].add(-4.0 * aH * alpha)
+    y = y.at[idx.theta_g].add(k2 * alpha)
+    y = y.at[idx.delta_b].add(-3.0 * aH * alpha)
+    y = y.at[idx.theta_b].add(k2 * alpha)
+    y = y.at[idx.delta_cdm].add(-3.0 * aH * alpha)
+    y = y.at[idx.theta_cdm].set(k2 * alpha)
+    y = y.at[idx.delta_ur].add(-4.0 * aH * alpha)
+    y = y.at[idx.theta_ur].add(k2 * alpha)            # shear, l3 gauge-invariant
+    if idx.has_fld:
+        w0 = bgv[bidx["w_fld"]]
+        y = y.at[idx.delta_fld].add(3.0 * (1.0 + w0) * aH * alpha)
+        y = y.at[idx.theta_fld].add(k2 * alpha)
+    if idx.n_ncdm:
+        # re-seed Psi0/Psi1 from the transformed ur variables (:5246-5252)
+        nc = ctx.ncdm
+        ns, nq, nl = idx.n_ncdm, idx.q_size_ncdm, idx.n_l_ncdm
+        eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)
+        dl0 = jnp.broadcast_to(nc.dlnf0[None, :], (ns, nq))
+        Psi = jax.lax.dynamic_slice(y, (idx.ncdm,), (idx.n_ncdm_block,)).reshape(ns, nq, nl)
+        Psi = Psi.at[:, :, 0].set(-0.25 * y[idx.delta_ur] * dl0)
+        Psi = Psi.at[:, :, 1].set(-eps / (3.0 * nc.q[None, :] * k) * y[idx.theta_ur] * dl0)
+        y = jax.lax.dynamic_update_slice(y, Psi.reshape(-1), (idx.ncdm,))
+    return y
+
+
 def initial_conditions(kind, k, tau, ctx: PertCtx):
-    """Dispatch over the five supported initial-condition types."""
-    if kind == "ad":
-        return adiabatic_ic(k, tau, ctx)
-    return isocurvature_ic(kind, k, tau, ctx)
+    """Dispatch over the five supported initial-condition types. ICs are
+    constructed in synchronous gauge and transformed when running newtonian."""
+    y = adiabatic_ic(k, tau, ctx) if kind == "ad" else isocurvature_ic(kind, k, tau, ctx)
+    if ctx.idx.gauge == "newtonian":
+        y = _ic_to_newtonian(y, k, tau, ctx)
+    return y
 
 
 def remap_tca_off(y, tau, ctx: PertCtx):
@@ -791,19 +913,27 @@ def compute_sources(tau, y, ctx: PertCtx):
     dg = L.dg
     emk = L.exp_m_kappa
 
-    t0 = (g * (L.delta_g_eff / 4.0 + L.alpha_prime)
-          + g * (L.eta - L.alpha_prime - 2.0 * L.aH * L.alpha)
-          + emk * 2.0 * (L.eta_prime - L.aH_prime * L.alpha - L.aH * L.alpha_prime)
-          + g * (L.theta_b_prime / k2 + L.alpha_prime)
-          + dg * (y[idx.theta_b] / k2 + L.alpha))
-    t1 = emk * k * (L.alpha_prime + 2.0 * L.aH * L.alpha - L.eta)
+    if ctx.idx.gauge == "newtonian":
+        # perturb_sources :6848-6860 (newtonian efficient form)
+        t0 = (g * (L.delta_g_eff / 4.0 + L.psi)
+              + g * (L.phi - L.psi) + emk * 2.0 * L.phi_prime
+              + (g * L.theta_b_prime + dg * y[idx.theta_b]) / k2)
+        t1 = emk * k * (L.psi - L.phi)
+    else:
+        # perturb_sources :6874-6895 (synchronous efficient form)
+        t0 = (g * (L.delta_g_eff / 4.0 + L.alpha_prime)
+              + g * (L.eta - L.alpha_prime - 2.0 * L.aH * L.alpha)
+              + emk * 2.0 * (L.eta_prime - L.aH_prime * L.alpha - L.aH * L.alpha_prime)
+              + g * (L.theta_b_prime / k2 + L.alpha_prime)
+              + dg * (y[idx.theta_b] / k2 + L.alpha))
+        t1 = emk * k * (L.alpha_prime + 2.0 * L.aH * L.alpha - L.eta)
     t2 = g * L.P
     p = jnp.sqrt(6.0) * g * L.P
 
-    phi = L.eta - L.aH * L.alpha
-    psi = L.aH * L.alpha + L.alpha_prime
-    phi_plus_psi = L.eta + L.alpha_prime
-    phi_prime = L.eta_prime - L.aH_prime * L.alpha - L.aH * L.alpha_prime
+    phi = L.phi
+    psi = L.psi
+    phi_plus_psi = L.phi_plus_psi
+    phi_prime = L.phi_prime
 
     out = jnp.zeros((SrcIdx.n,), y.dtype)
     six = SrcIdx.ix

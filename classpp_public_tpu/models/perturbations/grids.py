@@ -26,16 +26,19 @@ from ..thermodynamics import ThermoResult, ThIdx
 
 def get_k_list(params: CosmoParams, pr: PrecisionParams, bg, th,
                l_scalar_max: int = 2500, k_max_for_pk: float = 10.0,
-               has_cls: bool = True, has_pk: bool = True) -> np.ndarray:
+               has_cls: bool = True, has_pk: bool = True,
+               k_max_cl_extra: float = 0.0) -> np.ndarray:
     """Scalar k grid [1/Mpc]. Reference perturb_get_k_list (:1628):
     tanh step transition around k_rec below k_max_cmb, log spacing with BAO
-    densification above."""
+    densification above. k_max_cl_extra raises the densely-sampled CMB-style
+    region for number counts (ref :1728: k up to 2.4 l_lss/(tau0-tau(z_bin)))."""
     tau0 = float(bg.tau0)
     rs_rec = float(th.rs_rec)
     k_rec = 2.0 * math.pi / rs_rec
 
     k_min = pr.k_min_tau0 / tau0
     k_max_cmb = pr.k_max_tau0_over_l_max * l_scalar_max / tau0 if has_cls else k_min
+    k_max_cmb = max(k_max_cmb, k_max_cl_extra)
     k_max = max(k_max_cmb, k_max_for_pk if has_pk else 0.0)
 
     scale2 = float(bg.H0) ** 2  # + |K|

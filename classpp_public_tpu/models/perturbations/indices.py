@@ -28,6 +28,10 @@ class PtIdx:
     q_size_ncdm: int = 16
     l_max_ncdm: int = 17
     has_fld: bool = False
+    # "synchronous" | "newtonian" (reference ppt->gauge): in newtonian gauge
+    # the state gains theta_cdm (perturbations_module.cpp:3369) and the eta
+    # slot holds the Bardeen potential phi (:3479)
+    gauge: str = "synchronous"
 
     # --- photons
     @property
@@ -71,10 +75,19 @@ class PtIdx:
     def delta_cdm(self):
         return self.theta_b + 1
 
+    @property
+    def theta_cdm(self):
+        # newtonian gauge only (synchronous fixes theta_cdm = 0)
+        return self.delta_cdm + 1
+
+    @property
+    def n_theta_cdm(self):
+        return 1 if self.gauge == "newtonian" else 0
+
     # --- massless neutrinos
     @property
     def delta_ur(self):
-        return self.delta_cdm + 1
+        return self.delta_cdm + 1 + self.n_theta_cdm
 
     @property
     def theta_ur(self):

@@ -102,7 +102,8 @@ K_ETA_SPLIT = 0.02  # 1/Mpc: below this, adiabatic lanes store eta - 1
 
 def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
              bidx, idx, rtol, atol, wa_fld, cs2_fld, ic="ad", evolver="imex"):
-    eta_off = (k < K_ETA_SPLIT).astype(k.dtype) if ic == "ad" else 0.0
+    eta_off = ((k < K_ETA_SPLIT).astype(k.dtype)
+               if (ic == "ad" and idx.gauge == "synchronous") else 0.0)
     """Shared per-k integration machinery: flag context + adaptive interval
     integrator with in-loop approximation-switch remaps.
 
@@ -277,23 +278,28 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                           bg: BackgroundResult, bidx: BgIdx, th: ThermoResult,
                           l_scalar_max: int = 2500, k_max_for_pk: float = 10.0,
                           has_cls: bool = True, has_pk: bool = True,
-                          z_max_pk: float = 5.0, ics=("ad",)) -> PerturbResult:
+                          z_max_pk: float = 5.0, ics=("ad",),
+                          gauge: str = "synchronous",
+                          k_max_cl_extra: float = 0.0) -> PerturbResult:
     """Full scalar perturbation stage: grids + schedule + batched solve."""
     ks = get_k_list(params, pr, bg, th, l_scalar_max=l_scalar_max,
-                    k_max_for_pk=k_max_for_pk, has_cls=has_cls, has_pk=has_pk)
+                    k_max_for_pk=k_max_for_pk, has_cls=has_cls, has_pk=has_pk,
+                    k_max_cl_extra=k_max_cl_extra)
     taus = get_tau_sampling(params, pr, bg, bidx, th, has_cmb=has_cls, z_max_pk=z_max_pk)
 
     n_ncdm = params.N_ncdm
 
     k_max_cmb = (pr.k_max_tau0_over_l_max * l_scalar_max / float(bg.tau0)
                  if has_cls else 0.0)
+    k_max_cmb = max(k_max_cmb, k_max_cl_extra)
     sched = get_k_schedule(ks, pr, bg, bidx, th, tau_first_sample=float(taus[0]),
                            n_ncdm=params.N_ncdm, k_max_cmb=k_max_cmb)
     k_size_cmb = int(np.searchsorted(ks, k_max_cmb, side="right")) if has_cls else 0
     k_size_cmb = min(k_size_cmb + 1, len(ks))
 
     idx = PtIdx(l_max_g=pr.l_max_g, l_max_pol_g=pr.l_max_pol_g, l_max_ur=pr.l_max_ur,
-                n_ncdm=n_ncdm, l_max_ncdm=pr.l_max_ncdm, has_fld=params.use_fld)
+                n_ncdm=n_ncdm, l_max_ncdm=pr.l_max_ncdm, has_fld=params.use_fld,
+                gauge=gauge)
     taus_j = jnp.asarray(taus)
     ncdm_ctx = make_ncdm_ctx(params, bg, idx) if n_ncdm else None
 

@@ -475,6 +475,9 @@ class ThermoResult(NamedTuple):
     tau_d: jnp.ndarray
     rs_d: jnp.ndarray
     angular_rescaling: jnp.ndarray
+    # time above which visibility is negligible (ref tau_cut_,
+    # thermodynamics_module.cpp:1219); drives transfer late-source neglect
+    tau_cut: jnp.ndarray = None
 
     def at_tau(self, tau):
         return self.lntau_spline.eval(jnp.log(tau))
@@ -509,7 +512,12 @@ def compute_thermodynamics(params: CosmoParams, pr: PrecisionParams,
 def _compute_thermodynamics_impl(params: CosmoParams, pr: PrecisionParams,
                                  bg: BackgroundResult, bidx: BgIdx) -> ThermoResult:
     ctx = make_recfast_ctx(params, pr, bg, bidx)
-    reco = compute_recombination(params, pr, ctx)
+    if getattr(params, "recombination", "recfast") == "hyrec":
+        from .hyrec import compute_recombination_hyrec
+
+        reco = compute_recombination_hyrec(params, pr, ctx, bg)
+    else:
+        reco = compute_recombination(params, pr, ctx)
     fHe = ctx.fHe
     xe_after = 1.0 + fHe
 
@@ -693,6 +701,13 @@ def _compute_thermodynamics_impl(params: CosmoParams, pr: PrecisionParams,
     ra_star = bg.tau0 - tau_star  # flat; curvature handled via conf_distance col
     ra_star = bg_star[bidx["conf_distance"]]
 
+    # tau_cut: time above which visibility falls below a fraction of its
+    # maximum (thermodynamics_module.cpp:1219-1229); used by the transfer
+    # late-source neglect heuristic
+    vis_ok = g_u > g_u[i_rec] * pr.neglect_CMB_sources_below_visibility
+    i_cut = n_rt - 1 - jnp.argmax(vis_ok[::-1])
+    tau_cut = tau_u[i_cut]
+
     # z_d: baryon drag depth = 1
     i_d = jnp.searchsorted(-taud_u, -1.0)
     t0d, t1d = taud_u[i_d - 1], taud_u[i_d]
@@ -713,4 +728,5 @@ def _compute_thermodynamics_impl(params: CosmoParams, pr: PrecisionParams,
         z_star=z_star, tau_star=tau_star, rs_star=rs_star, ra_star=ra_star,
         z_d=z_d, tau_d=tau_d, rs_d=rs_d,
         angular_rescaling=jnp.asarray(1.0),
+        tau_cut=tau_cut,
     )

@@ -119,12 +119,13 @@ from functools import lru_cache
 
 @lru_cache(maxsize=8)
 def _transfer_core(lmax_scan: int, n_l: int, n_tt: int, nq: int, ntau: int,
-                   l_switch_limber: float):
+                   l_switch_limber: float, neglect_dk: tuple, l_late: float):
     """jitted LOS core, cached on static shapes (reused across cosmologies)."""
 
-    def core(W, Sq, taus, tau0, qj, l_emit, emit_idx):
+    def core(W, Sq, taus, tau0, qj, l_emit, emit_idx, ra_rec, late_mask):
         return _transfer_scan(W, Sq, taus, tau0, qj, l_emit, emit_idx,
-                              lmax_scan, n_l, n_tt, nq, l_switch_limber)
+                              lmax_scan, n_l, n_tt, nq, l_switch_limber,
+                              neglect_dk, l_late, ra_rec, late_mask)
 
     return jax.jit(core)
 
@@ -143,14 +144,25 @@ def compute_transfer(pert, th, pr: PrecisionParams, l_max: int) -> TransferResul
     emit_idx_np = np.full(lmax_scan + 1, -1, dtype=np.int32)
     for i, lv in enumerate(ls):
         emit_idx_np[lv] = i
+    # neglect heuristics (transfer_can_be_neglected :3187 +
+    # transfer_late_source_can_be_neglected :3230)
+    neglect_dk = (pr.transfer_neglect_delta_k_S_t0, pr.transfer_neglect_delta_k_S_t1,
+                  pr.transfer_neglect_delta_k_S_t2, pr.transfer_neglect_delta_k_S_e)
+    ang = float(th.angular_rescaling)
+    ra_rec = (tau0 - float(th.tau_rec)) * ang
+    l_late = pr.transfer_neglect_late_source * ang
+    late_mask = (pert.tau <= th.tau_cut) if th.tau_cut is not None \
+        else jnp.ones_like(pert.tau, bool)
     core = _transfer_core(lmax_scan, len(ls), len(TT_TYPES), len(q), W.shape[-1],
-                          pr.l_switch_limber)
-    acc = core(W, Sq, taus, pert.tau0, qj, jnp.asarray(ls), jnp.asarray(emit_idx_np))
+                          pr.l_switch_limber, neglect_dk, l_late)
+    acc = core(W, Sq, taus, pert.tau0, qj, jnp.asarray(ls), jnp.asarray(emit_idx_np),
+               jnp.asarray(ra_rec), late_mask)
     return TransferResult(l=jnp.asarray(ls), q=qj, delta=acc, tau0=pert.tau0)
 
 
 def _transfer_scan(W, Sq, taus, tau0, qj, l_emit, emit_idx,
-                   lmax_scan, n_l, n_tt, nq, l_switch_limber):
+                   lmax_scan, n_l, n_tt, nq, l_switch_limber,
+                   neglect_dk, l_late, ra_rec, late_mask):
 
     # x grid: (nq, ntau)
     chi = tau0 - taus                                # (ntau,)
@@ -201,13 +213,24 @@ def _transfer_scan(W, Sq, taus, tau0, qj, l_emit, emit_idx,
             jpp = -2.0 * inv_x * jp_e - (1.0 - l * (l + 1.0) * inv_x * inv_x) * jl_e
             rad_t2 = 0.5 * (3.0 * jpp + jl_e)
             rad_e = e_fac[ei] * jl_e * inv_x * inv_x
+            # late-source neglect: above l_late, drop post-visibility
+            # (reionization-era) sources for t1/t2/e
+            # (transfer_late_source_can_be_neglected :3230)
+            late = jnp.where(l > l_late, late_mask.astype(x.dtype), 1.0)[None, :]
             # contractions over tau: (nq, ntau) x (ntt, nq, ntau) -> (ntt, nq)
             d_t0 = jnp.sum(W[0] * jl_e, axis=-1)
-            d_t1 = jnp.sum(W[1] * jp_e, axis=-1)
-            d_t2 = jnp.sum(W[2] * rad_t2, axis=-1)
-            d_e = jnp.sum(W[3] * rad_e, axis=-1)
+            d_t1 = jnp.sum(W[1] * late * jp_e, axis=-1)
+            d_t2 = jnp.sum(W[2] * late * rad_t2, axis=-1)
+            d_e = jnp.sum(W[3] * late * rad_e, axis=-1)
             d_l = jnp.sum(W[4] * jl_e, axis=-1)
-            row = jnp.stack([d_t0, d_t1, d_t2, d_e, d_l], axis=0)  # (ntt, nq)
+            # per-type q-neglect masks (transfer_can_be_neglected :3187):
+            # Delta ~ 0 when l is far below the Bessel peak l ~ k*ra_rec
+            keep = [l >= (qj - dk) * ra_rec for dk in neglect_dk]
+            row = jnp.stack([jnp.where(keep[0], d_t0, 0.0),
+                             jnp.where(keep[1], d_t1, 0.0),
+                             jnp.where(keep[2], d_t2, 0.0),
+                             jnp.where(keep[3], d_e, 0.0),
+                             d_l], axis=0)  # (ntt, nq)
             z32 = jnp.zeros((), ei.dtype)
             return jax.lax.dynamic_update_slice(acc, row[None], (ei, z32, z32))
 
@@ -254,9 +277,11 @@ TT_TYPES_TENSOR = ["t2", "e", "b"]
 
 
 @lru_cache(maxsize=8)
-def _transfer_tensor_core(lmax_scan: int, n_l: int, nq: int, ntau: int):
-    def core(W, taus, tau0, qj, l_emit, emit_idx):
-        return _tensor_scan(W, taus, tau0, qj, l_emit, emit_idx, lmax_scan, n_l, nq)
+def _transfer_tensor_core(lmax_scan: int, n_l: int, nq: int, ntau: int,
+                          neglect_dk: tuple):
+    def core(W, taus, tau0, qj, l_emit, emit_idx, ra_rec):
+        return _tensor_scan(W, taus, tau0, qj, l_emit, emit_idx, lmax_scan, n_l,
+                            nq, neglect_dk, ra_rec)
 
     return jax.jit(core)
 
@@ -287,13 +312,17 @@ def compute_transfer_tensor(tpert, th, pr: PrecisionParams, l_max: int) -> Trans
     emit_idx_np = np.full(lmax_scan + 1, -1, dtype=np.int32)
     for i, lv in enumerate(ls):
         emit_idx_np[lv] = i
-    core = _transfer_tensor_core(lmax_scan, len(ls), len(q), W.shape[-1])
+    neglect_dk = (pr.transfer_neglect_delta_k_T_t2, pr.transfer_neglect_delta_k_T_e,
+                  pr.transfer_neglect_delta_k_T_b)
+    ra_rec = (tau0 - float(th.tau_rec)) * float(th.angular_rescaling)
+    core = _transfer_tensor_core(lmax_scan, len(ls), len(q), W.shape[-1], neglect_dk)
     acc = core(W, taus, tpert.tau0, jnp.asarray(q), jnp.asarray(ls),
-               jnp.asarray(emit_idx_np))
+               jnp.asarray(emit_idx_np), jnp.asarray(ra_rec))
     return TransferResult(l=jnp.asarray(ls), q=jnp.asarray(q), delta=acc, tau0=tpert.tau0)
 
 
-def _tensor_scan(W, taus, tau0, qj, l_emit, emit_idx, lmax_scan, n_l, nq):
+def _tensor_scan(W, taus, tau0, qj, l_emit, emit_idx, lmax_scan, n_l, nq,
+                 neglect_dk, ra_rec):
     chi = tau0 - taus
     x = jnp.maximum(qj[:, None] * chi[None, :], 1e-12)
     inv_x = 1.0 / x
@@ -338,7 +367,10 @@ def _tensor_scan(W, taus, tau0, qj, l_emit, emit_idx, lmax_scan, n_l, nq):
             d_t2 = jnp.sum(W[0] * rad_t2, axis=-1)
             d_e = jnp.sum(W[1] * rad_e, axis=-1)
             d_b = jnp.sum(W[1] * rad_b, axis=-1)
-            row = jnp.stack([d_t2, d_e, d_b], axis=0)
+            keep = [l >= (qj - dk) * ra_rec for dk in neglect_dk]
+            row = jnp.stack([jnp.where(keep[0], d_t2, 0.0),
+                             jnp.where(keep[1], d_e, 0.0),
+                             jnp.where(keep[2], d_b, 0.0)], axis=0)
             z32 = jnp.zeros((), ei.dtype)
             return jax.lax.dynamic_update_slice(acc, row[None], (ei, z32, z32))
 

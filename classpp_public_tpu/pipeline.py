@@ -37,14 +37,29 @@ class OutputSelection:
     P_k_max: float = 10.0        # 1/Mpc
     z_pk: tuple = (0.0,)
     z_max_pk: float = 5.0
-    non_linear: str = ""        # "", "halofit"
+    non_linear: str = ""        # "", "halofit", "hmcode"
+    hm_eta0: float = 0.603      # HMcode feedback (default nl_emu_dmonly,
+    hm_cmin: float = 3.13       #  input_module.cpp:3411)
     modes: tuple = ("s",)
     l_tensor_max: int = 500
     ics: tuple = ("ad",)
+    gauge: str = "synchronous"
+    # number counts / galaxy lensing (nCl / sCl)
+    nCl: bool = False
+    sCl: bool = False
+    selection_mean: tuple = (1.0,)
+    selection_width: tuple = (0.1,)
+    selection_kind: str = "gaussian"
+    l_lss_max: int = 300
+    non_diagonal: int = 0
 
     @property
     def has_cls(self) -> bool:
         return self.tCl or self.pCl or self.lCl
+
+    @property
+    def has_nc(self) -> bool:
+        return self.nCl or self.sCl
 
     @property
     def has_pk(self) -> bool:
@@ -106,12 +121,22 @@ class Cosmology:
             from .models.perturbations import compute_perturbations
 
             bg, bidx = self.background
+            k_max_cl_extra = 0.0
+            if self.out.has_nc:
+                # ref perturbations_module.cpp:1728: resolve l_lss_max at the
+                # comoving distance of the nearest selection bin
+                from .models.background import tau_of_z
+
+                tau1 = float(tau_of_z(bg, jnp.asarray(self.out.selection_mean[0])))
+                k_max_cl_extra = self.pr.k_max_tau0_over_l_max * self.out.l_lss_max \
+                    / (float(bg.tau0) - tau1)
             self._cache["pt"] = compute_perturbations(
                 self.params, self.pr, bg, bidx, self.thermodynamics,
                 l_scalar_max=self.l_max_internal,
                 k_max_for_pk=self.out.P_k_max,
                 has_cls=self.out.has_cls, has_pk=self.out.has_pk,
-                z_max_pk=self.out.z_max_pk, ics=self.out.ics)
+                z_max_pk=self.out.z_max_pk, ics=self.out.ics,
+                gauge=self.out.gauge, k_max_cl_extra=k_max_cl_extra)
         return self._cache["pt"]
 
     @property
@@ -151,7 +176,9 @@ class Cosmology:
             bg, bidx = self.background
             self._cache["nl"] = compute_nonlinear(
                 self.perturbations, bg, bidx, self.primordial, self.pr,
-                self.params, z_pk=self.out.z_pk)
+                self.params, z_pk=self.out.z_pk,
+                method=self.out.non_linear or "halofit",
+                hm_eta0=self.out.hm_eta0, hm_cmin=self.out.hm_cmin)
         return self._cache["nl"]
 
     @property
@@ -213,6 +240,19 @@ class Cosmology:
         return self._cache["sp"]
 
     @property
+    def number_counts(self):
+        if "nc" not in self._cache:
+            from .models.numbercounts import compute_number_counts
+
+            bg, bidx = self.background
+            self._cache["nc"] = compute_number_counts(
+                self.perturbations, bg, bidx, self.primordial, self.pr,
+                self.out.selection_mean, self.out.selection_width,
+                kind=self.out.selection_kind, l_max=self.out.l_lss_max,
+                non_diag=self.out.non_diagonal)
+        return self._cache["nc"]
+
+    @property
     def lensing(self):
         if "le" not in self._cache:
             from .models.lensing import compute_lensing
@@ -227,9 +267,11 @@ class Cosmology:
         for lv in _LEVELS[: want + 1]:
             if lv == "nonlinear" and not self.out.has_pk:
                 continue
+            if lv == "spectra" and self.out.has_nc:
+                self.number_counts
             if lv in ("transfer", "spectra") and not self.out.has_cls:
                 continue
-            if lv == "lensing" and not self.out.lensing:
+            if lv == "lensing" and not (self.out.lensing and self.out.has_cls):
                 continue
             getattr(self, {"background": "background", "thermodynamics": "thermodynamics",
                            "perturbations": "perturbations", "primordial": "primordial",

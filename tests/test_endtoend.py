@@ -128,10 +128,15 @@ def test_invalid_input_raises(g1_params):
     from classpp_public_tpu import CosmoSevereError
 
     c = Class()
-    c.set({"output": "tCl,nCl"})
+    # rsd number-count contributions are not implemented yet
+    c.set({"output": "nCl", "number count contributions": "density, rsd"})
     with pytest.raises(CosmoSevereError):
         c.compute()
     c = Class()
     c.set({"output": "tCl", "modes": "s,v"})  # vector modes: not implemented
+    with pytest.raises(CosmoSevereError):
+        c.compute()
+    c = Class()
+    c.set({"output": "tCl", "made_up_parameter": 1.0})  # unknown keys refuse
     with pytest.raises(CosmoSevereError):
         c.compute()

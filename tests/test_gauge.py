@@ -1,0 +1,68 @@
+"""Gauge cross-validation: every observable computed in synchronous and
+newtonian gauge must agree (reference test strategy, python/test_class.py:
+100-107 — C_l rtol 1.5e-2, P(k) rtol 5e-2; gauge-dependent intermediate
+quantities differ, the observables must not).
+
+This is the strongest accuracy check available without the C++ binary: the
+two gauges solve different ODE systems (different state vector, different
+Einstein constraints, different source assembly) and meet only in the
+physical spectra.
+"""
+
+import numpy as np
+import pytest
+
+from classpp_public_tpu import Class
+
+BASE = {
+    "h": 0.67810, "omega_b": 0.02238280, "omega_cdm": 0.1201075,
+    "A_s": 2.100549e-09, "n_s": 0.9660499, "tau_reio": 0.05430842,
+    "output": "tCl,pCl,lCl,mPk", "lensing": "yes",
+    "l_max_scalars": 600, "P_k_max_1/Mpc": 1.0, "z_pk": "0.",
+}
+
+
+@pytest.fixture(scope="module")
+def both_gauges():
+    out = {}
+    for gauge in ("synchronous", "newtonian"):
+        c = Class()
+        c.set(dict(BASE, gauge=gauge))
+        c.compute(["lensing"])
+        out[gauge] = c
+    return out
+
+
+def test_gauge_cross_raw_cl(both_gauges):
+    cls = {g: c.raw_cl(600) for g, c in both_gauges.items()}
+    ell = cls["synchronous"]["ell"][2:]
+    for name in ("tt", "ee", "pp"):
+        a = cls["synchronous"][name][2:]
+        b = cls["newtonian"][name][2:]
+        rel = np.abs(b / a - 1)
+        assert rel.max() < 1.5e-2, (name, rel.max(), ell[rel.argmax()])
+    # te crosses zero: normalize by sqrt(tt*ee)
+    den = np.sqrt(cls["synchronous"]["tt"][2:] * cls["synchronous"]["ee"][2:])
+    rel = np.abs(cls["newtonian"]["te"][2:] - cls["synchronous"]["te"][2:]) / den
+    assert rel.max() < 1.5e-2
+
+
+def test_gauge_cross_lensed_cl(both_gauges):
+    cls = {g: c.lensed_cl(598) for g, c in both_gauges.items()}
+    for name in ("tt", "ee"):
+        a = cls["synchronous"][name][2:]
+        b = cls["newtonian"][name][2:]
+        assert np.abs(b / a - 1).max() < 1.5e-2, name
+
+
+def test_gauge_cross_pk(both_gauges):
+    ks = np.geomspace(1e-3, 0.9, 24)
+    a = np.array([both_gauges["synchronous"].pk_lin(k, 0.0) for k in ks])
+    b = np.array([both_gauges["newtonian"].pk_lin(k, 0.0) for k in ks])
+    assert np.abs(b / a - 1).max() < 5e-2
+
+
+def test_gauge_cross_sigma8(both_gauges):
+    s8_s = both_gauges["synchronous"].sigma8()
+    s8_n = both_gauges["newtonian"].sigma8()
+    assert abs(s8_n / s8_s - 1) < 1e-2
