@@ -148,13 +148,6 @@ class Class:
             kw["alpha_t"] = float(p.pop("alpha_t"))
         if "tau_reio" in kw and "z_reio" not in kw:
             kw["z_reio"] = None
-        if abs(kw.get("Omega_k", 0.0)) > 1e-12:
-            # curvature is applied to background distances only so far; the
-            # perturbation/transfer stages are flat (equations.py, transfer.py)
-            # — refuse rather than return confidently wrong spectra
-            raise CosmoSevereError(
-                "Omega_k != 0 not implemented yet (flat perturbations/transfer); "
-                "reference: hyperspherical.c, perturbations_module.cpp:4723")
         gauge = "synchronous"
         if "gauge" in p:
             gauge = str(p.pop("gauge")).strip().lower()
@@ -253,6 +246,21 @@ class Class:
                 out.hm_eta0 = 0.98 - 0.12 * out.hm_cmin
         modes = str(p.pop("modes", "s"))
         out.modes = tuple(m.strip() for m in modes.replace(",", " ").split())
+        if abs(kw.get("Omega_k", 0.0)) > 1e-12:
+            # scalar curvature is implemented (open/closed hierarchies +
+            # hyperspherical transfer); tensors and newtonian gauge with
+            # K != 0 are not yet
+            if "t" in out.modes:
+                raise CosmoSevereError(
+                    "tensor modes with Omega_k != 0 not implemented yet "
+                    "(curved tensor radial functions; transfer_module.cpp:3486)")
+            if gauge != "synchronous":
+                raise CosmoSevereError(
+                    "Omega_k != 0 implemented in synchronous gauge only")
+            if kw.get("Omega_k", 0.0) < 0.0:
+                raise CosmoSevereError(
+                    "closed models (Omega_k < 0) not implemented yet "
+                    "(discrete nu spectrum; transfer_module.cpp:930)")
         if "v" in out.modes:
             raise CosmoSevereError("vector modes not implemented")
         if "l_max_tensors" in p:

@@ -279,10 +279,12 @@ def interpolate_rates(ctx: HyrecCtx, TR, TM_TR):
                     (1.0 + f2) * f2 * (2.0 - f2) / 2.0,
                     (1.0 + f2) * f2 * (f2 - 1.0) / 6.0])
 
-    patch = jax.lax.dynamic_slice(ctx.log_alpha, (0, iTM - 1, iTR - 1), (2, 4, 4))
+    zero = jnp.zeros((), jnp.int32)
+    patch = jax.lax.dynamic_slice(ctx.log_alpha, (zero, iTM - 1, iTR - 1), (2, 4, 4))
     temp = jnp.einsum("ljk,k->lj", patch, c2)
     Alpha = jnp.exp(temp @ c1)
-    row = jax.lax.dynamic_slice(ctx.log_alpha, (0, NTM - 1, iTR - 1), (2, 1, 4))[:, 0, :]
+    row = jax.lax.dynamic_slice(
+        ctx.log_alpha, (zero, jnp.full((), NTM - 1, jnp.int32), iTR - 1), (2, 1, 4))[:, 0, :]
     Beta = jnp.exp(row @ c2)
     factor = 3.016103031869581e21 * TR * jnp.sqrt(TR) * jnp.exp(-3.399571517984581 / TR)
     Beta = Beta * jnp.array([factor, factor / 3.0])
@@ -455,6 +457,11 @@ def twophoton_dxedlna(ctx: HyrecCtx, xe, nH, H, TM, TR, ring, m):
     Aup, Adn, A2p_up, A2p_dn = _diffusion_rates(ctx, TM)
     Trr11 = Trr11 + A2p_dn + A2p_up
 
+    # the inverse lifetime Gamma_b uses the PRE-boundary-adjusted Trv rows
+    # (populateTS_2photon computes Gammab at the top of its b-loop,
+    # hydrogen.c:457, before the Ly-a-neighbor corrections below)
+    Gamma = -(Trv0 + Trv1) + Aup + Adn
+
     # off-diagonals of Tvv (zero outside the diffusion region)
     Tvv1 = jnp.zeros(NVIRT).at[1:].set(-Aup[:-1])    # T_{b,b-1}
     Tvv2 = jnp.zeros(NVIRT).at[:-1].set(-Adn[1:])    # T_{b,b+1}
@@ -468,8 +475,6 @@ def twophoton_dxedlna(ctx: HyrecCtx, xe, nH, H, TM, TR, ring, m):
     Trv1 = Trv1.at[NSUBLYA - 1].add(-Aup[NSUBLYA - 1])
     Tvr1 = Tvr1.at[NSUBLYA].add(-A2p_up)
     Trv1 = Trv1.at[NSUBLYA].add(-Adn[NSUBLYA])
-
-    Gamma = -(Trv0 + Trv1) + Aup + Adn
     Dtau = Gamma * (1.0 - xe) * (HPC / Eb) ** 3 * nH / 8.0 / math.pi / H
     thick = Dtau > 1e-30
     Dt = jnp.where(thick, Dtau, 1.0)

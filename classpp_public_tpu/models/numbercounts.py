@@ -176,8 +176,13 @@ def compute_number_counts(pert, bg, bidx, pm, pr: PrecisionParams,
     tau0 = pert.tau0
     tau_rows, W_rows = _bin_windows(bg, bidx, sel_means, sel_widths, kind, pr, tau0)
 
-    # windowed sources: density rows use delta_m, lensing rows phi+psi
-    S_d = _resample_sources(pert, "delta_m", tau_rows[:nbin])
+    # windowed sources: density rows use delta_m, lensing rows phi+psi.
+    # Sign: our source normalization has delta_m of the opposite sign
+    # relative to (phi+psi) compared to the reference's (their matter
+    # transfer functions are negative w.r.t. curvature_ini, ours positive);
+    # flip the density rows so the dens x lens cross-spectra match the
+    # reference convention (validated against the g7 golden).
+    S_d = -_resample_sources(pert, "delta_m", tau_rows[:nbin])
     S_l = _resample_sources(pert, "phi_plus_psi", tau_rows[nbin:])
     S = jnp.concatenate([S_d, S_l], axis=0)       # (2*nbin, nk, ntau)
     WS = S * W_rows[:, None, :]

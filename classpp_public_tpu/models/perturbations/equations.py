@@ -69,6 +69,9 @@ class PertCtx(NamedTuple):
     # eta decays far below 1 (critical for the f32 state path; exact no-op
     # in f64)
     eta_off: float = 0.0
+    # spatial curvature K [Mpc^-2] = -Omega_k H0^2 (reference pba->K); the
+    # flat/open/closed branch is trace-time via idx.sgnK
+    K: float = 0.0
 
 
 class Locals(NamedTuple):
@@ -131,6 +134,23 @@ def rhs_full(tau, y, ctx: PertCtx):
     emk = thv[ThIdx.ix["exp_m_kappa"]]
 
     R = 4.0 / 3.0 * rho_g / rho_b
+
+    # --- curvature factors (perturb_workspace :2532 s_l, :7966 cotKgen,
+    # :5856 s2_squared). Flat: s_l = 1, s2 = 1, cotKgen = 1/(k tau).
+    K = ctx.K
+    s2 = 1.0 - 3.0 * K / k2                      # s_l[2]^2
+
+    def s_of_l(lv):
+        return jnp.sqrt(jnp.maximum(1.0 - K * (lv * lv - 1.0) / k2, 0.0))
+
+    s_l2 = jnp.sqrt(jnp.maximum(s2, 0.0))
+    s_l3 = s_of_l(3.0)
+    if ctx.idx.sgnK == 0:
+        cotKgen = 1.0 / (k * tau)
+    else:
+        sqrt_absK = jnp.sqrt(jnp.abs(K))
+        tanK = jnp.tan(sqrt_absK * tau) if ctx.idx.sgnK > 0 else jnp.tanh(sqrt_absK * tau)
+        cotKgen = sqrt_absK / (k * tanK)
 
     tca = ctx.tca_on
     rsa = ctx.rsa_on
@@ -246,8 +266,8 @@ def rhs_full(tau, y, ctx: PertCtx):
         alpha_prime = zero
         phi_plus_psi = phi + psi
     else:
-        # --- Einstein 00: h' (perturb_einstein :5911), synchronous flat
-        h_prime = (k2 * eta + 1.5 * a2 * delta_rho) / (0.5 * aH)
+        # --- Einstein 00: h' (perturb_einstein :5911), synchronous
+        h_prime = (k2 * s2 * eta + 1.5 * a2 * delta_rho) / (0.5 * aH)
 
         # --- radiation streaming values (perturb_rsa_delta_and_theta
         # :9581-9615, synchronous, rsa_MD_with_reio)
@@ -264,9 +284,8 @@ def rhs_full(tau, y, ctx: PertCtx):
         rho_plus_p_theta = rho_plus_p_theta + jnp.where(
             rsa, 4.0 / 3.0 * rho_g * rsa_theta_g + 4.0 / 3.0 * rho_ur * rsa_theta_ur, zero)
 
-        # --- Einstein 0i, trace, shear (perturb_einstein :5941-5976), flat K=0
-        eta_prime = 1.5 * a2 * rho_plus_p_theta / k2
-        h_prime_prime = -2.0 * aH * h_prime + 2.0 * k2 * eta - 9.0 * a2 * delta_p
+        # --- Einstein 0i, trace, shear (perturb_einstein :5941-5976)
+        eta_prime = (1.5 * a2 * rho_plus_p_theta + 0.5 * K * h_prime) / (k2 * s2)
         alpha = (h_prime + 6.0 * eta_prime) / (2.0 * k2)
 
         tca_shear_g_1 = 16.0 / 45.0 / kap * (theta_g + k2 * alpha)
@@ -305,7 +324,7 @@ def rhs_full(tau, y, ctx: PertCtx):
     shear_g_prime1 = 16.0 / 45.0 * (tau_c * (theta_prime0 + metric_shear_prime)
                                     + dtau_c * (t_g + metric_shear))
     tca_slip = (1.0 - 2.0 * aH * F) * slip_1 + F * k2 * (
-        2.0 * aH * shear_g_tca1 + shear_g_prime1
+        2.0 * aH * s2 * shear_g_tca1 + s2 * shear_g_prime1
         - (1.0 / 3.0 - cb2) * (F * theta_prime0 + 2.0 * F_prime * theta_b)
     )
     tca_shear_g = (1.0 - 11.0 / 6.0 * dtau_c) * shear_g_tca1 \
@@ -324,50 +343,56 @@ def rhs_full(tau, y, ctx: PertCtx):
                            + metric_euler
                            + R * kap * (t_g - theta_b))
     theta_b_prime_tca = (-aH * theta_b
-                         + k2 * (cb2 * delta_b + R * (d_g / 4.0 - tca_shear_g))
+                         + k2 * (cb2 * delta_b + R * (d_g / 4.0 - s2 * tca_shear_g))
                          + R * tca_slip) / (1.0 + R) + metric_euler
     theta_b_prime = jnp.where(tca, theta_b_prime_tca, theta_b_prime_notca)
     dy = dy.at[idx.delta_b].set(d_delta_b)
     dy = dy.at[idx.theta_b].set(theta_b_prime)
 
     # photon velocity
-    P0 = (G[0] + G[2] + 2.0 * shear_g) / 8.0
-    theta_g_prime_full = k2 * (d_g / 4.0 - shear_g) + metric_euler + kap * (theta_b - t_g)
+    P0 = (G[0] + G[2] + 2.0 * s_l2 * shear_g) / 8.0
+    theta_g_prime_full = k2 * (d_g / 4.0 - s2 * shear_g) + metric_euler + kap * (theta_b - t_g)
     theta_g_prime_tca = (-(theta_b_prime + aH * theta_b - k2 * cb2 * delta_b) / R
-                         + k2 * (0.25 * d_g - tca_shear_g)
+                         + k2 * (0.25 * d_g - s2 * tca_shear_g)
                          + (1.0 + R) / R * metric_euler)
     dy = dy.at[idx.theta_g].set(
         jnp.where(rsa, zero, jnp.where(tca, theta_g_prime_tca, theta_g_prime_full)))
 
     hier_on = ~(tca | rsa)
 
-    # photon shear and higher moments (flat: s_l = 1, cotKgen = 1/(k tau))
-    cotk = 1.0 / (k * tau)
+    # photon shear and higher moments (perturb_derivs :8152-8215; the l
+    # couplings carry the curvature free-streaming coefficients s_l)
     d_shear_g = 0.5 * (8.0 / 15.0 * (theta_g + metric_shear)
-                       - 3.0 / 5.0 * k * F_g[0]
-                       - kap * (2.0 * shear_g - 4.0 / 5.0 * P0))
+                       - 3.0 / 5.0 * k * s_l3 / s_l2 * F_g[0]
+                       - kap * (2.0 * shear_g - 4.0 / 5.0 / s_l2 * P0))
     dy = dy.at[idx.shear_g].set(jnp.where(hier_on, d_shear_g, zero))
 
-    # F_g l=3..lmax: build the (lmax-2,) derivative vector
+    # F_g l=3..lmax: build the (lmax-2,) derivative vector. F_2 enters the
+    # l=3 equation as 2 s_l[2] shear_g (:8160)
     lmax_g = idx.l_max_g
     ls = jnp.arange(3, lmax_g + 1, dtype=y.dtype)
-    F_lm1 = jnp.concatenate([2.0 * shear_g[None], F_g[:-1]])
+    sl_g = s_of_l(ls)                       # s_l[l],  l = 3..lmax
+    sl_g_p1 = s_of_l(ls + 1.0)              # s_l[l+1]
+    F_lm1 = jnp.concatenate([2.0 * s_l2 * shear_g[None], F_g[:-1]])
     F_lp1 = jnp.concatenate([F_g[1:], jnp.zeros((1,), y.dtype)])
-    dF = k / (2.0 * ls + 1.0) * (ls * F_lm1 - (ls + 1.0) * F_lp1) - kap * F_g
-    # lmax closure: F'_lmax = k(F_{lmax-1} - (lmax+1) cotk F_lmax) - kap F_lmax
-    dF_last = k * (F_g[-2] - (lmax_g + 1.0) * cotk * F_g[-1]) - kap * F_g[-1]
+    dF = k / (2.0 * ls + 1.0) * (ls * sl_g * F_lm1 - (ls + 1.0) * sl_g_p1 * F_lp1) - kap * F_g
+    # lmax closure: F'_lmax = k(s_l F_{lmax-1} - (lmax+1) cotKgen F_lmax) - kap F_lmax
+    dF_last = k * (sl_g[-1] * F_g[-2] - (lmax_g + 1.0) * cotKgen * F_g[-1]) - kap * F_g[-1]
     dF = dF.at[-1].set(dF_last)
     dy = jax.lax.dynamic_update_slice(dy, jnp.where(hier_on, dF, jnp.zeros_like(dF)), (idx.F_g,))
 
-    # polarization l=0..lmax_pol
+    # polarization l=0..lmax_pol (:8180-8213)
     lmax_p = idx.l_max_pol_g
     lp = jnp.arange(0, lmax_p + 1, dtype=y.dtype)
+    sl_p = s_of_l(lp)
+    sl_p_p1 = s_of_l(lp + 1.0)
     G_lm1 = jnp.concatenate([jnp.zeros((1,), y.dtype), G[:-1]])
     G_lp1 = jnp.concatenate([G[1:], jnp.zeros((1,), y.dtype)])
-    dG = k / (2.0 * lp + 1.0) * (lp * G_lm1 - (lp + 1.0) * G_lp1) - kap * G
+    dG = k / (2.0 * lp + 1.0) * (lp * sl_p * G_lm1 - (lp + 1.0) * sl_p_p1 * G_lp1) - kap * G
     dG = dG.at[0].set(-k * G[1] - kap * (G[0] - 4.0 * P0))
-    dG = dG.at[2].set(k / 5.0 * (2.0 * G[1] - 3.0 * G[3]) - kap * (G[2] - 4.0 / 5.0 * P0))
-    dG_last = k * (G[-2] - (lmax_p + 1.0) * cotk * G[-1]) - kap * G[-1]
+    dG = dG.at[2].set(k / 5.0 * (2.0 * s_l2 * G[1] - 3.0 * s_l3 * G[3])
+                      - kap * (G[2] - 4.0 / 5.0 * P0))
+    dG_last = k * (sl_p[-1] * G[-2] - (lmax_p + 1.0) * cotKgen * G[-1]) - kap * G[-1]
     dG = dG.at[-1].set(dG_last)
     dy = jax.lax.dynamic_update_slice(dy, jnp.where(hier_on, dG, jnp.zeros_like(dG)), (idx.G_g,))
 
@@ -379,10 +404,11 @@ def rhs_full(tau, y, ctx: PertCtx):
     else:
         dy = dy.at[idx.delta_cdm].set(-metric_continuity)
 
-    # ur
+    # ur (perturb_derivs :8630-8672)
     d_delta_ur = -4.0 / 3.0 * (theta_ur + metric_continuity)
-    d_theta_ur = k2 * (delta_ur / 4.0 - shear_ur) + metric_euler
-    d_shear_ur_full = 0.5 * (8.0 / 15.0 * (theta_ur + metric_shear) - 3.0 / 5.0 * k * F_ur[0])
+    d_theta_ur = k2 * (delta_ur / 4.0 - s2 * shear_ur) + metric_euler
+    d_shear_ur_full = 0.5 * (8.0 / 15.0 * (theta_ur + metric_shear)
+                             - 3.0 / 5.0 * k * s_l3 / s_l2 * F_ur[0])
     d_shear_ur_ufa = -3.0 / tau * shear_ur + 2.0 / 3.0 * (theta_ur + metric_ufa)
     ur_on = ~rsa
     dy = dy.at[idx.delta_ur].set(jnp.where(ur_on, d_delta_ur, zero))
@@ -392,10 +418,12 @@ def rhs_full(tau, y, ctx: PertCtx):
 
     lmax_u = idx.l_max_ur
     lu = jnp.arange(3, lmax_u + 1, dtype=y.dtype)
-    Fu_lm1 = jnp.concatenate([2.0 * shear_ur[None], F_ur[:-1]])
+    sl_u = s_of_l(lu)
+    sl_u_p1 = s_of_l(lu + 1.0)
+    Fu_lm1 = jnp.concatenate([2.0 * s_l2 * shear_ur[None], F_ur[:-1]])
     Fu_lp1 = jnp.concatenate([F_ur[1:], jnp.zeros((1,), y.dtype)])
-    dFu = k / (2.0 * lu + 1.0) * (lu * Fu_lm1 - (lu + 1.0) * Fu_lp1)
-    dFu_last = k * (F_ur[-2] - (lmax_u + 1.0) * cotk * F_ur[-1])
+    dFu = k / (2.0 * lu + 1.0) * (lu * sl_u * Fu_lm1 - (lu + 1.0) * sl_u_p1 * Fu_lp1)
+    dFu_last = k * (sl_u[-1] * F_ur[-2] - (lmax_u + 1.0) * cotKgen * F_ur[-1])
     dFu = dFu.at[-1].set(dFu_last)
     ur_hier_on = ur_on & (~ufa)
     dy = jax.lax.dynamic_update_slice(
@@ -407,18 +435,21 @@ def rhs_full(tau, y, ctx: PertCtx):
         dl0 = nc.dlnf0[None, :]
         # exact Boltzmann hierarchy on the momentum grid
         lsn = jnp.arange(0, nl, dtype=y.dtype)                # l values
+        sl_n = s_of_l(lsn)
+        sl_n_p1 = s_of_l(lsn + 1.0)
         Ps_m1 = jnp.concatenate([jnp.zeros((ns, nq, 1), y.dtype), Psi[:, :, :-1]], axis=2)
         Ps_p1 = jnp.concatenate([Psi[:, :, 1:], jnp.zeros((ns, nq, 1), y.dtype)], axis=2)
         dPsi = qk_eps[:, :, None] / (2.0 * lsn + 1.0) * (
-            lsn * Ps_m1 - (lsn + 1.0) * Ps_p1)
+            lsn * sl_n * Ps_m1 - (lsn + 1.0) * sl_n_p1 * Ps_p1)
         dPsi = dPsi.at[:, :, 0].set(-qk_eps * Psi[:, :, 1]
                                     + metric_continuity * dl0 / 3.0)
-        dPsi = dPsi.at[:, :, 1].set(qk_eps / 3.0 * (Psi[:, :, 0] - 2.0 * Psi[:, :, 2])
+        dPsi = dPsi.at[:, :, 1].set(qk_eps / 3.0 * (Psi[:, :, 0] - 2.0 * s_l2 * Psi[:, :, 2])
                                     - eps * metric_euler / (3.0 * nc.q[None, :] * k) * dl0)
-        dPsi = dPsi.at[:, :, 2].set(qk_eps / 5.0 * (2.0 * Psi[:, :, 1] - 3.0 * Psi[:, :, 3])
-                                    - metric_shear * 2.0 / 15.0 * dl0)
+        dPsi = dPsi.at[:, :, 2].set(qk_eps / 5.0 * (2.0 * s_l2 * Psi[:, :, 1]
+                                                    - 3.0 * s_l3 * Psi[:, :, 3])
+                                    - s_l2 * metric_shear * 2.0 / 15.0 * dl0)
         dPsi = dPsi.at[:, :, -1].set(qk_eps * Psi[:, :, -2]
-                                     - (1.0 + (nl - 1.0)) / tau * Psi[:, :, -1])
+                                     - (1.0 + (nl - 1.0)) * k * cotKgen * Psi[:, :, -1])
         # fluid approximation (ncdmfa_CLASS, :8770-8790)
         ca2 = w_nc / 3.0 / (1.0 + w_nc) * (5.0 - pp_nc / p_nc)
         ceff2 = ca2
@@ -428,7 +459,7 @@ def rhs_full(tau, y, ctx: PertCtx):
         d_tfl = (-aH * (1.0 - 3.0 * ca2) * t_fl
                  + ceff2 / (1.0 + w_nc) * k2 * d_fl - k2 * s_fl + metric_euler)
         d_sfl = (-3.0 * (aH * (2.0 / 3.0 - ca2 - pp_nc / p_nc / 3.0) + 1.0 / tau) * s_fl
-                 + 8.0 / 3.0 * cvis2 / (1.0 + w_nc) * (t_fl + metric_ufa))
+                 + 8.0 / 3.0 * cvis2 / (1.0 + w_nc) * s_l2 * (t_fl + metric_ufa))
         dPsi_fl = jnp.zeros_like(dPsi)
         dPsi_fl = dPsi_fl.at[:, 0, 0].set(d_dfl)
         dPsi_fl = dPsi_fl.at[:, 0, 1].set(d_tfl)
@@ -473,8 +504,8 @@ def rhs_full(tau, y, ctx: PertCtx):
 
     # polarization source combo P (perturb_sources :6800-6809)
     P = jnp.where(rsa, zero,
-                  jnp.where(tca, 5.0 * tca_shear_g / 8.0,
-                            (G[0] + G[2] + 2.0 * shear_g) / 8.0))
+                  jnp.where(tca, 5.0 * s_l2 * tca_shear_g / 8.0,
+                            (G[0] + G[2] + 2.0 * s_l2 * shear_g) / 8.0))
     delta_g_src = jnp.where(rsa, rsa_delta_g, delta_g)
 
     loc = Locals(
@@ -522,21 +553,27 @@ def _stiff_kappa(tau, y_dtype, ctx: PertCtx):
     return jnp.where(on, kap, jnp.zeros_like(kap)), R
 
 
+def _s_l2(ctx, dtype):
+    k2 = ctx.k * ctx.k
+    return jnp.sqrt(jnp.maximum(jnp.asarray(1.0 - 3.0 * ctx.K / k2, dtype), 0.0))
+
+
 def stiff_apply(tau, y, ctx: PertCtx):
     """J_s(tau) · y — exactly the kappa'-proportional terms of rhs()."""
     idx = ctx.idx
     kap, R = _stiff_kappa(tau, y.dtype, ctx)
+    sl2 = _s_l2(ctx, y.dtype)
     theta_g = y[idx.theta_g]
     theta_b = y[idx.theta_b]
     shear_g = y[idx.shear_g]
     F_g = jax.lax.dynamic_slice(y, (idx.F_g,), (idx.n_F_g,))
     G = jax.lax.dynamic_slice(y, (idx.G_g,), (idx.n_G_g,))
-    P0 = (G[0] + G[2] + 2.0 * shear_g) / 8.0
+    P0 = (G[0] + G[2] + 2.0 * sl2 * shear_g) / 8.0
 
     out = jnp.zeros_like(y)
     out = out.at[idx.theta_g].set(kap * (theta_b - theta_g))
     out = out.at[idx.theta_b].set(R * kap * (theta_g - theta_b))
-    out = out.at[idx.shear_g].set(kap * (0.4 * P0 - shear_g))
+    out = out.at[idx.shear_g].set(kap * (0.4 / sl2 * P0 - shear_g))
     out = jax.lax.dynamic_update_slice(out, -kap * F_g, (idx.F_g,))
     outG = -kap * G
     outG = outG.at[0].add(kap * 4.0 * P0)
@@ -558,10 +595,12 @@ def stiff_solve(tau, gh, r, ctx: PertCtx):
     x = jax.lax.dynamic_update_slice(x, F_r / (1.0 + a), (idx.F_g,))
     x = jax.lax.dynamic_update_slice(x, G_r / (1.0 + a), (idx.G_g,))
 
-    # 3x3 {shear_g, G0, G2}: M = (1+a) I - a u v^T (Sherman-Morrison)
+    # 3x3 {shear_g, G0, G2}: M = (1+a) I - a u v^T (Sherman-Morrison);
+    # curvature: u = (0.05/s_l2, 0.5, 0.1), v = (2 s_l2, 1, 1), v.u = 0.7
+    sl2 = _s_l2(ctx, r.dtype)
     r3 = jnp.stack([r[idx.shear_g], G_r[0], G_r[2]])
-    u = jnp.asarray(_SM_U, r.dtype)
-    vr = 2.0 * r3[0] + r3[1] + r3[2]
+    u = jnp.asarray(_SM_U, r.dtype).at[0].divide(sl2)
+    vr = 2.0 * sl2 * r3[0] + r3[1] + r3[2]
     x3 = r3 / (1.0 + a) + a * u * vr / ((1.0 + a) * (1.0 + (1.0 - _SM_VU) * a))
     x = x.at[idx.shear_g].set(x3[0])
     x = x.at[idx.G_g + 0].set(x3[1])
@@ -579,8 +618,8 @@ def stiff_solve(tau, gh, r, ctx: PertCtx):
 
 
 def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
-    """Adiabatic initial conditions, synchronous gauge, flat
-    (perturb_initial_conditions :4825-4935)."""
+    """Adiabatic initial conditions, synchronous gauge
+    (perturb_initial_conditions :4825-4935, curvature factors s2)."""
     tau = jnp.asarray(tau, jnp.result_type(k))
     idx = ctx.idx
     bidx = ctx.bidx
@@ -600,22 +639,23 @@ def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
 
     ktau2 = (k * tau) ** 2
     ktau3 = (k * tau) ** 3
+    s2 = 1.0 - 3.0 * ctx.K / (k * k)
 
-    delta_g = -ktau2 / 3.0 * (1.0 - om * tau / 5.0) * curvature_ini
+    delta_g = -ktau2 / 3.0 * (1.0 - om * tau / 5.0) * curvature_ini * s2
     theta_g = -k * ktau3 / 36.0 * (1.0 - 3.0 * (1.0 + 5.0 * fracb - fracnu)
-                                   / 20.0 / (1.0 - fracnu) * om * tau) * curvature_ini
+                                   / 20.0 / (1.0 - fracnu) * om * tau) * curvature_ini * s2
     delta_ur = delta_g
     theta_ur = -k * ktau3 / 36.0 / (4.0 * fracnu + 15.0) * (
-        4.0 * fracnu + 23.0
+        4.0 * fracnu + 11.0 + 12.0 * s2
         - 3.0 * (8.0 * fracnu * fracnu + 50.0 * fracnu + 275.0) / 20.0 / (2.0 * fracnu + 15.0) * tau * om
-    ) * curvature_ini
-    shear_ur = ktau2 / (45.0 + 12.0 * fracnu) * 2.0 * (
+    ) * curvature_ini * s2
+    shear_ur = ktau2 / (45.0 + 12.0 * fracnu) * (3.0 * s2 - 1.0) * (
         1.0 + (4.0 * fracnu - 5.0) / 4.0 / (2.0 * fracnu + 15.0) * tau * om) * curvature_ini
     l3_ur = ktau3 * 2.0 / 7.0 / (12.0 * fracnu + 45.0) * curvature_ini
     # deviation from curvature_ini computed directly (never form 1 - small),
     # then shifted by the lane's eta_off (see PertCtx.eta_off)
     eta_hat = -curvature_ini * ktau2 / 12.0 / (15.0 + 4.0 * fracnu) * (
-        5.0 + 4.0 * fracnu
+        5.0 + 4.0 * s2 * fracnu
         - (16.0 * fracnu**2 + 280.0 * fracnu + 325.0) / 10.0 / (2.0 * fracnu + 15.0) * tau * om)
     eta_hat = eta_hat + (curvature_ini - ctx.eta_off)
 
@@ -635,9 +675,9 @@ def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
         w0 = ctx.bg_spline.eval(jnp.log(tau))[ctx.bidx["w_fld"]]
         cs2 = ctx.cs2_fld
         y = y.at[idx.delta_fld].set(-ktau2 / 4.0 * (1.0 + w0) * (4.0 - 3.0 * cs2)
-                                    / (4.0 - 6.0 * w0 + 3.0 * cs2) * curvature_ini)
+                                    / (4.0 - 6.0 * w0 + 3.0 * cs2) * curvature_ini * s2)
         y = y.at[idx.theta_fld].set(-k * ktau3 / 4.0 * cs2
-                                    / (4.0 - 6.0 * w0 + 3.0 * cs2) * curvature_ini)
+                                    / (4.0 - 6.0 * w0 + 3.0 * cs2) * curvature_ini * s2)
     if idx.n_ncdm:
         # relativistic ncdm ICs (perturb_initial_conditions :5249-5252):
         # Psi_l = (ur multipole) * coefficient * dlnf0/dlnq
@@ -836,14 +876,19 @@ def remap_tca_off(y, tau, ctx: PertCtx):
     thv = ctx.th_spline.eval(jnp.log(tau))
     kap = thv[ThIdx.ix["dkappa"]]
     k = ctx.k
-    # recompute tca shear at switch time
-    shear_g = 8.0 / 5.0 * loc.P  # P = 5 shear/8 under TCA
+    # recompute tca shear at switch time; curvature factors per
+    # perturb_vector_init :3905-3917
+    K = ctx.K
+    k2 = k * k
+    s_l2 = jnp.sqrt(jnp.maximum(1.0 - 3.0 * K / k2, 0.0))
+    s_l3 = jnp.sqrt(jnp.maximum(1.0 - 8.0 * K / k2, 0.0))
+    shear_g = 8.0 / 5.0 * loc.P / s_l2  # P = 5 s_l2 shear/8 under TCA
     y = y.at[idx.shear_g].set(shear_g)
-    y = y.at[idx.F_g].set(6.0 / 7.0 * k / kap * shear_g)                 # l=3
+    y = y.at[idx.F_g].set(6.0 / 7.0 * k / kap * s_l3 * shear_g)          # l=3
     y = y.at[idx.G_g + 0].set(2.5 * shear_g)
-    y = y.at[idx.G_g + 1].set(k / kap * 0.5 * shear_g)                   # (5-2 s2)/6 = 1/2 flat
+    y = y.at[idx.G_g + 1].set(k / kap * (5.0 - 2.0 * s_l2) / 6.0 * shear_g)
     y = y.at[idx.G_g + 2].set(0.5 * shear_g)
-    y = y.at[idx.G_g + 3].set(k / kap * 3.0 / 14.0 * shear_g)
+    y = y.at[idx.G_g + 3].set(k / kap * 3.0 * s_l3 / 14.0 * shear_g)
     return y
 
 

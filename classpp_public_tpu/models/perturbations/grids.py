@@ -36,12 +36,20 @@ def get_k_list(params: CosmoParams, pr: PrecisionParams, bg, th,
     rs_rec = float(th.rs_rec)
     k_rec = 2.0 * math.pi / rs_rec
 
-    k_min = pr.k_min_tau0 / tau0
-    k_max_cmb = pr.k_max_tau0_over_l_max * l_scalar_max / tau0 if has_cls else k_min
+    # curvature: open models have k >= sqrt(-K) (q = sqrt(k^2+K) real;
+    # perturb_get_k_list :1682), and the angular rescaling shrinks the flat
+    # k_min/k_max mapping
+    K = -params.Omega_k * float(bg.H0) ** 2
+    ang = float(th.angular_rescaling)
+    if K < 0.0:
+        k_min = math.sqrt(-K + (pr.k_min_tau0 / tau0 / ang) ** 2)
+    else:
+        k_min = pr.k_min_tau0 / tau0
+    k_max_cmb = pr.k_max_tau0_over_l_max * l_scalar_max / tau0 / ang if has_cls else k_min
     k_max_cmb = max(k_max_cmb, k_max_cl_extra)
     k_max = max(k_max_cmb, k_max_for_pk if has_pk else 0.0)
 
-    scale2 = float(bg.H0) ** 2  # + |K|
+    scale2 = float(bg.H0) ** 2 + abs(K)
 
     ks = [k_min]
     k = k_min

@@ -32,6 +32,9 @@ class PtIdx:
     # the state gains theta_cdm (perturbations_module.cpp:3369) and the eta
     # slot holds the Bardeen potential phi (:3479)
     gauge: str = "synchronous"
+    # sign of the spatial curvature (reference pba->sgnK): 0 flat, -1 open,
+    # +1 closed; static so the trig/hyperbolic branch is resolved at trace time
+    sgnK: int = 0
 
     # --- photons
     @property

@@ -38,7 +38,9 @@ class SpectraResult(NamedTuple):
 
 def compute_spectra(tr: TransferResult, pm: PrimordialResult, l_max: int,
                     tr_tensor: TransferResult = None, tr_iso: dict = None) -> SpectraResult:
-    q = tr.q
+    # curved case: quadrature over k(q) with the primordial spectrum at k
+    # (spectra_compute_cl :958: cl_integrand column 0 is k, P at k)
+    q = tr.k if tr.k is not None else tr.q
     w = trapz_weights(q)
     pk = pm.scalar_pk(q)
     meas = 4.0 * jnp.pi / q * pk * w        # (nq,)

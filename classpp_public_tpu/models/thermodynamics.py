@@ -698,8 +698,18 @@ def _compute_thermodynamics_impl(params: CosmoParams, pr: PrecisionParams,
     bg_star = bg.lntau_spline.eval(lntau_star)
     z_star = 1.0 / bg_star[bidx["a"]] - 1.0
     rs_star = bg_star[bidx["rs"]]
-    ra_star = bg.tau0 - tau_star  # flat; curvature handled via conf_distance col
-    ra_star = bg_star[bidx["conf_distance"]]
+    def _comoving_ang(chi):
+        """Comoving angular diameter distance r(chi) per curvature."""
+        K = -params.Omega_k * float(bg.H0) ** 2
+        if params.Omega_k > 1e-12:      # open, K < 0
+            sab = jnp.sqrt(-K)
+            return jnp.sinh(sab * chi) / sab
+        if params.Omega_k < -1e-12:     # closed, K > 0
+            sab = jnp.sqrt(K)
+            return jnp.sin(sab * chi) / sab
+        return chi
+
+    ra_star = _comoving_ang(bg.tau0 - tau_star)
 
     # tau_cut: time above which visibility falls below a fraction of its
     # maximum (thermodynamics_module.cpp:1219-1229); used by the transfer
@@ -727,6 +737,7 @@ def _compute_thermodynamics_impl(params: CosmoParams, pr: PrecisionParams,
         z_rec=z_rec, tau_rec=tau_rec, rs_rec=rs_rec,
         z_star=z_star, tau_star=tau_star, rs_star=rs_star, ra_star=ra_star,
         z_d=z_d, tau_d=tau_d, rs_d=rs_d,
-        angular_rescaling=jnp.asarray(1.0),
+        # ra_rec/(tau0 - tau_rec): 1 when flat (thermodynamics_module.cpp:1048)
+        angular_rescaling=_comoving_ang(bg.tau0 - tau_rec) / (bg.tau0 - tau_rec),
         tau_cut=tau_cut,
     )

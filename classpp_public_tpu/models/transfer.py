@@ -69,12 +69,13 @@ def get_q_list(pr: PrecisionParams, k_min: float, k_max: float,
 
 class TransferResult(NamedTuple):
     l: jnp.ndarray          # (nl,) multipoles
-    q: jnp.ndarray          # (nq,)
+    q: jnp.ndarray          # (nq,) generalized wavenumber
     delta: jnp.ndarray      # (nl, ntt, nq) transfer functions, TT_TYPES order
     tau0: jnp.ndarray
+    k: jnp.ndarray = None   # (nq,) k(q) = sqrt(q^2 - K); equals q when flat
 
 
-def _weighted_sources(pert, th, pr, q: np.ndarray):
+def _weighted_sources(pert, th, pr, q: np.ndarray, k_of_q=None, K=0.0, sgnK=0):
     """Interpolate CMB sources k->q (spline over k; reference
     transfer_interpolate_sources :1767) and fold in the trapezoidal tau
     weights and per-type rescalings (transfer_sources :1845)."""
@@ -83,6 +84,8 @@ def _weighted_sources(pert, th, pr, q: np.ndarray):
     k = pert.k[: pert.k_size_cmb]
     S = pert.sources[: pert.k_size_cmb]          # (nk, ntau, nsrc)
     six = SrcIdx.ix
+    if k_of_q is None:
+        k_of_q = np.asarray(q)
 
     # trapezoidal weights over tau
     dt = jnp.diff(taus)
@@ -90,8 +93,15 @@ def _weighted_sources(pert, th, pr, q: np.ndarray):
     w_tau = jnp.concatenate([dt / 2, z]) + jnp.concatenate([z, dt / 2])
 
     # lcmb source: -W(tau)(phi+psi)Theta(tau - tau_rec), W per :1920-1950
+    # with the curved sinK generalization (:1933-1950)
     tau_rec = th.tau_rec
-    resc = (tau_rec - taus) / (tau0 - taus) / (tau0 - tau_rec)
+    if sgnK == 0:
+        resc = (tau_rec - taus) / (tau0 - taus) / (tau0 - tau_rec)
+    else:
+        sab = jnp.sqrt(jnp.abs(K))
+        sinK = jnp.sin if sgnK > 0 else jnp.sinh
+        resc = sab * sinK(sab * (tau_rec - taus)) \
+            / sinK(sab * (tau0 - taus)) / sinK(sab * (tau0 - tau_rec))
     resc = jnp.where(taus > tau_rec, resc, 0.0)
     resc = resc.at[-1].set(0.0)
 
@@ -103,11 +113,11 @@ def _weighted_sources(pert, th, pr, q: np.ndarray):
         S[:, :, six["phi_plus_psi"]] * resc[None, :],
     ], axis=0)                                   # (ntt, nk, ntau)
 
-    # spline along k, evaluate at q
+    # spline along k, evaluate at k(q)
     lnk = jnp.log(k)
     y = src_cols.transpose(1, 0, 2).reshape(S.shape[0], -1)          # (nk, ntt*ntau)
     d2 = spline_d2(lnk, y)
-    yq = spline_eval(lnk, y, d2, jnp.log(jnp.asarray(q)))            # (nq, ntt*ntau)
+    yq = spline_eval(lnk, y, d2, jnp.log(jnp.asarray(k_of_q)))       # (nq, ntt*ntau)
     Sq = yq.reshape(len(q), len(TT_TYPES), S.shape[1]).transpose(1, 0, 2)  # (ntt, nq, ntau)
 
     W = Sq * w_tau[None, None, :]
@@ -119,25 +129,38 @@ from functools import lru_cache
 
 @lru_cache(maxsize=8)
 def _transfer_core(lmax_scan: int, n_l: int, n_tt: int, nq: int, ntau: int,
-                   l_switch_limber: float, neglect_dk: tuple, l_late: float):
+                   l_switch_limber: float, neglect_dk: tuple, l_late: float,
+                   sgnK: int = 0):
     """jitted LOS core, cached on static shapes (reused across cosmologies)."""
 
-    def core(W, Sq, taus, tau0, qj, l_emit, emit_idx, ra_rec, late_mask):
+    def core(W, Sq, taus, tau0, qj, l_emit, emit_idx, ra_rec, late_mask, K, kq):
         return _transfer_scan(W, Sq, taus, tau0, qj, l_emit, emit_idx,
                               lmax_scan, n_l, n_tt, nq, l_switch_limber,
-                              neglect_dk, l_late, ra_rec, late_mask)
+                              neglect_dk, l_late, ra_rec, late_mask, sgnK, K, kq)
 
     return jax.jit(core)
 
 
-def compute_transfer(pert, th, pr: PrecisionParams, l_max: int) -> TransferResult:
-    """Delta_l^X(q) for X in TT_TYPES via the Bessel-recurrence scan."""
+def compute_transfer(pert, th, pr: PrecisionParams, l_max: int,
+                     K: float = 0.0, sgnK: int = 0) -> TransferResult:
+    """Delta_l^X(q) for X in TT_TYPES via the Bessel-recurrence scan.
+    For K != 0 the scan advances hyperspherical Phi_l^nu by the curved
+    three-term recurrence (tools/hyperspherical.c:472) instead of j_l."""
     tau0 = float(pert.tau0)
     ls = get_l_list(pr, l_max)
     k = np.asarray(pert.k[: pert.k_size_cmb])
-    q = get_q_list(pr, float(k[0]), float(k[-1]), tau0, float(th.tau_rec))
+    # open case: q = sqrt(k^2 + K) (transfer_get_q_list :911-925); the grid
+    # generator runs in q with the same stepping
+    if sgnK == 0:
+        q = get_q_list(pr, float(k[0]), float(k[-1]), tau0, float(th.tau_rec))
+        k_of_q = q
+    else:
+        q_min = math.sqrt(max(float(k[0]) ** 2 + K, 1e-12 * float(k[0]) ** 2))
+        q_max = math.sqrt(float(k[-1]) ** 2 + K)
+        q = get_q_list(pr, q_min, q_max, tau0, float(th.tau_rec))
+        k_of_q = np.sqrt(np.maximum(q * q - K, float(k[0]) ** 2))
 
-    W, Sq, taus = _weighted_sources(pert, th, pr, q)   # (ntt, nq, ntau)
+    W, Sq, taus = _weighted_sources(pert, th, pr, q, k_of_q=k_of_q, K=K, sgnK=sgnK)
     qj = jnp.asarray(q)
 
     lmax_scan = int(ls[-1])
@@ -154,16 +177,22 @@ def compute_transfer(pert, th, pr: PrecisionParams, l_max: int) -> TransferResul
     late_mask = (pert.tau <= th.tau_cut) if th.tau_cut is not None \
         else jnp.ones_like(pert.tau, bool)
     core = _transfer_core(lmax_scan, len(ls), len(TT_TYPES), len(q), W.shape[-1],
-                          pr.l_switch_limber, neglect_dk, l_late)
+                          pr.l_switch_limber, neglect_dk, l_late, sgnK)
     acc = core(W, Sq, taus, pert.tau0, qj, jnp.asarray(ls), jnp.asarray(emit_idx_np),
-               jnp.asarray(ra_rec), late_mask)
-    return TransferResult(l=jnp.asarray(ls), q=qj, delta=acc, tau0=pert.tau0)
+               jnp.asarray(ra_rec), late_mask, jnp.asarray(K), jnp.asarray(k_of_q))
+    return TransferResult(l=jnp.asarray(ls), q=qj, delta=acc, tau0=pert.tau0,
+                          k=jnp.asarray(k_of_q))
 
 
 def _transfer_scan(W, Sq, taus, tau0, qj, l_emit, emit_idx,
                    lmax_scan, n_l, n_tt, nq, l_switch_limber,
-                   neglect_dk, l_late, ra_rec, late_mask):
+                   neglect_dk, l_late, ra_rec, late_mask, sgnK=0, K=None, kq=None):
 
+    if sgnK != 0:
+        return _transfer_scan_curved(W, Sq, taus, tau0, qj, l_emit, emit_idx,
+                                     lmax_scan, n_l, n_tt, nq, l_switch_limber,
+                                     neglect_dk, l_late, ra_rec, late_mask,
+                                     sgnK, K, kq)
     # x grid: (nq, ntau)
     chi = tau0 - taus                                # (ntau,)
     x = jnp.maximum(qj[:, None] * chi[None, :], 1e-12)
@@ -266,6 +295,147 @@ def _transfer_scan(W, Sq, taus, tau0, qj, l_emit, emit_idx,
     use_limber = (lf > l_switch_limber)[:, None]
     acc = acc.at[:, 4, :].set(jnp.where(use_limber, d_limber, acc[:, 4, :]))
 
+    return acc
+
+
+def _transfer_scan_curved(W, Sq, taus, tau0, qj, l_emit, emit_idx,
+                          lmax_scan, n_l, n_tt, nq, l_switch_limber,
+                          neglect_dk, l_late, ra_rec, late_mask, sgnK, K, kq):
+    """Curved-sky LOS scan: hyperspherical Phi_l^nu(x) advanced by the
+    three-term recurrence in l (tools/hyperspherical.c:472-485), with the
+    forbidden region masked and the small-argument series seeded through a
+    running log-prefactor; radial combinations per transfer_radial_function
+    (:3413-3445). x = sqrt|K| chi, beta = q/sqrt|K|."""
+    sab = jnp.sqrt(jnp.abs(K))
+    chi = tau0 - taus                                 # (ntau,)
+    x = jnp.maximum(sab * chi, 1e-12)[None, :]        # (1, ntau)
+    beta = (qj / sab)[:, None]                        # (nq, 1)
+    if sgnK > 0:
+        sinK = jnp.sin(x)
+        cotK = jnp.cos(x) / sinK
+        Ktilde = 1.0
+    else:
+        sinK = jnp.sinh(x)
+        cotK = jnp.cosh(x) / sinK
+        Ktilde = -1.0
+    beta2 = beta * beta
+
+    def sqK(lv):
+        return jnp.sqrt(jnp.maximum(beta2 - Ktilde * lv * lv, 1e-30))
+
+    bx = jnp.maximum(beta * x, 1e-12)                 # flat-equivalent argument
+    inv_bx = 1.0 / bx
+    small = bx < 0.3
+    bx2 = bx * bx
+    # seeds Phi_0, Phi_1 (hyperspherical.c:482-483) with series protection:
+    # Phi_0 = sin(beta x)/(beta sinK); as x->0 this is j_0(beta x) * x/sinK
+    x_over_sinK = x / sinK
+    j0f = jnp.where(small, 1.0 - bx2 / 6.0 * (1.0 - bx2 / 20.0 * (1.0 - bx2 / 42.0)),
+                    jnp.sin(bx) * inv_bx)
+    Phi0 = j0f * x_over_sinK
+    # Phi_1 = Phi_0 (cotK - beta/tan(beta x)) / sqrtK[1]
+    tan_bx = jnp.tan(bx)
+    Phi1 = Phi0 * (cotK - beta / tan_bx) / sqK(1.0)
+
+    e_fac = jnp.sqrt(3.0 / 8.0 * (l_emit + 2.0) * (l_emit + 1.0) * l_emit * (l_emit - 1.0))
+    k2 = (kq * kq)[:, None]
+    s_l2 = jnp.sqrt(1.0 - 3.0 * K / k2)                # (nq, 1)
+    absK_over_k2 = jnp.abs(K) / k2
+    csc2 = jnp.abs(K) / (k2 * sinK * sinK)             # cscKgen^2
+    sab_over_k = sab / kq[:, None]
+
+    def body(carry, l_int):
+        pm1, pm2, lnC, acc = carry     # Phi_{l-1}, Phi_{l-2}, (nq,1), acc
+        l = l_int.astype(x.dtype)
+        sq_l = sqK(l)
+        sq_lm1 = sqK(l - 1.0)
+        pl = ((2.0 * l - 1.0) * cotK * pm1 - sq_lm1 * pm2) / sq_l
+        # forbidden-region mask in the flat-equivalent variable beta sinK
+        xf = beta * sinK
+        mask = l <= xf + 6.0 * jnp.cbrt(xf) + 2.0
+        pl = jnp.where(mask, pl, 0.0)
+        # series prefactor ln prod_{n<=l} (sqrtK[n]/beta)
+        lnC_new = lnC + 0.5 * jnp.log1p(-Ktilde * l * l / beta2)
+        ei = emit_idx[l_int]
+
+        def do_emit(acc):
+            # small-argument series: Phi_l ~ C_l * j_l(beta x)
+            lnx = jnp.log(bx)
+            ln2 = math.log(2.0)
+            lndf = gammaln(2.0 * l + 2.0) - l * ln2 - gammaln(l + 1.0)
+            lndf1 = gammaln(2.0 * l + 4.0) - (l + 1.0) * ln2 - gammaln(l + 2.0)
+            c1 = 2.0 * l + 3.0
+            corr = 1.0 - bx2 / (2.0 * c1) * (1.0 - bx2 / (4.0 * (c1 + 2.0))
+                                             * (1.0 - bx2 / (6.0 * (c1 + 4.0))))
+            c1b = 2.0 * l + 5.0
+            corr1 = 1.0 - bx2 / (2.0 * c1b) * (1.0 - bx2 / (4.0 * (c1b + 2.0))
+                                               * (1.0 - bx2 / (6.0 * (c1b + 4.0))))
+            js = jnp.exp(l * lnx - lndf + lnC_new) * corr
+            js1 = jnp.exp((l + 1.0) * lnx - lndf1 + lnC_new) * corr1
+            use_series = bx < 1.0
+            pl_e = jnp.where(use_series, js, pl)
+            # dPhi/dx: recurrence sqrtK[l] Phi_{l-1} - (l+1) cotK Phi_l;
+            # series: beta * d j_l(bx)/d(bx)
+            dp_rec = sq_l * pm1 - (l + 1.0) * cotK * pl
+            dp_ser = beta * (l * inv_bx * js - js1)
+            dp_e = jnp.where(use_series, dp_ser, dp_rec)
+            # d2Phi/dx2 from the hyperspherical ODE (hyperspherical.c:389)
+            d2p = -2.0 * dp_e * cotK + pl_e * (l * (l + 1.0) / (sinK * sinK)
+                                               - beta2 + Ktilde)
+            rad_t0 = pl_e
+            rad_t1 = sab_over_k * dp_e
+            rad_t2 = (3.0 * absK_over_k2 * d2p + pl_e) / (2.0 * s_l2)
+            rad_e = (e_fac[ei] / s_l2) * csc2 * pl_e
+            late = jnp.where(l > l_late, late_mask.astype(x.dtype), 1.0)[None, :]
+            d_t0 = jnp.sum(W[0] * rad_t0, axis=-1)
+            d_t1 = jnp.sum(W[1] * late * rad_t1, axis=-1)
+            d_t2 = jnp.sum(W[2] * late * rad_t2, axis=-1)
+            d_e = jnp.sum(W[3] * late * rad_e, axis=-1)
+            d_l = jnp.sum(W[4] * rad_t0, axis=-1)
+            keep = [l >= (kq - dk) * ra_rec for dk in neglect_dk]
+            row = jnp.stack([jnp.where(keep[0], d_t0, 0.0),
+                             jnp.where(keep[1], d_t1, 0.0),
+                             jnp.where(keep[2], d_t2, 0.0),
+                             jnp.where(keep[3], d_e, 0.0),
+                             d_l], axis=0)
+            z32 = jnp.zeros((), ei.dtype)
+            return jax.lax.dynamic_update_slice(acc, row[None], (ei, z32, z32))
+
+        acc = jax.lax.cond(ei >= 0, do_emit, lambda a: a, acc)
+        return (pl, pm1, lnC_new, acc), None
+
+    acc0 = jnp.zeros((n_l, n_tt, nq))
+    lnC1 = 0.5 * jnp.log1p(-Ktilde * 1.0 / beta2)      # ln(sqrtK[1]/beta)
+    (_, _, _, acc), _ = jax.lax.scan(
+        body, (Phi1, Phi0, lnC1, acc0), jnp.arange(2, lmax_scan + 1))
+
+    # Limber for the lensing potential (transfer_limber :2926-2970 curved):
+    # flat formula evaluated at the curved tau*(l, q), times (1-K l^2/q^2)^-1/4
+    lf = l_emit.astype(jnp.float64)
+    ipg = jnp.sqrt(math.pi / (2.0 * lf)) * (1.0 - 0.25 / lf + 1.0 / (32.0 * lf * lf))
+    if sgnK > 0:
+        x_lim = jnp.arcsin(jnp.clip(jnp.sqrt(lf[:, None] * (lf[:, None] + 1.0))
+                                    / qj[None, :] * sab, 0.0, 1.0))
+    else:
+        x_lim = jnp.arcsinh((lf[:, None] + 0.5) / qj[None, :] * sab)
+    tau_lim = tau0 - x_lim / sab                       # (nl, nq)
+    S_lcmb = Sq[4]
+    idx_t = jnp.clip(jnp.searchsorted(taus, tau_lim, side="right") - 1, 0, len(taus) - 2)
+    t_lo = taus[idx_t]
+    t_hi = taus[idx_t + 1]
+    wt = (tau_lim - t_lo) / (t_hi - t_lo)
+
+    def gather_row(ilq):
+        return S_lcmb[jnp.arange(nq), ilq]
+
+    S_lo = jax.vmap(gather_row)(idx_t)
+    S_hi = jax.vmap(gather_row)(idx_t + 1)
+    S_at = (1.0 - wt) * S_lo + wt * S_hi
+    inside = (tau_lim > taus[0]) & (tau_lim < taus[-1])
+    curv_fac = (1.0 - K * lf[:, None] ** 2 / qj[None, :] ** 2) ** (-0.25)
+    d_limber = jnp.where(inside, ipg[:, None] * curv_fac * S_at / qj[None, :], 0.0)
+    use_limber = (lf > l_switch_limber)[:, None]
+    acc = acc.at[:, 4, :].set(jnp.where(use_limber, d_limber, acc[:, 4, :]))
     return acc
 
 

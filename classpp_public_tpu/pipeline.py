@@ -136,7 +136,8 @@ class Cosmology:
                 k_max_for_pk=self.out.P_k_max,
                 has_cls=self.out.has_cls, has_pk=self.out.has_pk,
                 z_max_pk=self.out.z_max_pk, ics=self.out.ics,
-                gauge=self.out.gauge, k_max_cl_extra=k_max_cl_extra)
+                gauge=self.out.gauge, k_max_cl_extra=k_max_cl_extra,
+                has_nc=self.out.has_nc)
         return self._cache["pt"]
 
     @property
@@ -203,13 +204,25 @@ class Cosmology:
         return self._cache["ttr"]
 
     @property
+    def curvature_K(self) -> float:
+        """K = -Omega_k H0^2 [Mpc^-2] (reference pba->K)."""
+        bg, _ = self.background
+        return float(-self.params.Omega_k * float(bg.H0) ** 2)
+
+    @property
+    def sgnK(self) -> int:
+        if self.params.Omega_k == 0.0:
+            return 0
+        return 1 if self.curvature_K > 0 else -1
+
+    @property
     def transfer(self):
         if "tr" not in self._cache:
             from .models.transfer import compute_transfer
 
             self._cache["tr"] = compute_transfer(
                 self.perturbations, self.thermodynamics, self.pr,
-                l_max=self.l_max_internal)
+                l_max=self.l_max_internal, K=self.curvature_K, sgnK=self.sgnK)
         return self._cache["tr"]
 
     @property

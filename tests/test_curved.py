@@ -1,0 +1,98 @@
+"""Open-universe (Omega_k > 0) golden acceptance vs the reference build
+(tests/golden/gen/g8s_curved_scalar.ini): scalar lensed TT/TE/EE + P(k)
+with Omega_k = 0.01.
+
+Exercises the curved perturbation hierarchies (s_l coefficients, curved
+Einstein constraints, curvature-corrected ICs) and the hyperspherical
+transfer scan (curved Phi_l^nu recurrence + radial functions + q(k) map).
+Contract: the usual C_l rtol 3e-3, P(k) 1e-2.
+"""
+
+import numpy as np
+import pytest
+
+from classpp_public_tpu import Class
+from tests.conftest import GOLDEN_DIR, Golden
+
+PARAMS = {
+    "h": 0.67810, "omega_b": 0.02238280, "omega_cdm": 0.1201075,
+    "N_ur": 3.046, "A_s": 2.100549e-09, "n_s": 0.9660499,
+    "tau_reio": 0.05430842, "Omega_k": 0.01,
+    "output": "tCl,pCl,lCl,mPk", "lensing": "yes",
+    "l_max_scalars": 2500, "P_k_max_1/Mpc": 1.0, "z_pk": "0.",
+}
+
+
+@pytest.fixture(scope="module")
+def g8s():
+    return Golden(GOLDEN_DIR / "g8s_curved.npz")
+
+
+@pytest.fixture(scope="module")
+def computed():
+    c = Class()
+    c.set(dict(PARAMS))
+    c.compute(["lensing"])
+    return c
+
+
+def test_raw_cl_vs_golden(computed, g8s):
+    cols = [str(c) for c in g8s.cols("cl")]
+    T = g8s.table("cl")
+    lr = T[:, 0]
+    cl = computed.raw_cl(2500)
+    ell = cl["ell"][2:]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    for name, col, tol in [("tt", "TT", 3e-3), ("ee", "EE", 3e-3), ("pp", "phiphi", 1e-2)]:
+        mine = fac * cl[name][2:]
+        ref = np.interp(ell, lr, T[:, cols.index(col)])
+        rel = np.abs(mine / ref - 1)
+        assert rel.max() < tol, (name, rel.max(), ell[rel.argmax()])
+    mine = fac * cl["te"][2:]
+    ref = np.interp(ell, lr, T[:, cols.index("TE")])
+    den = np.sqrt(np.interp(ell, lr, T[:, cols.index("TT")])
+                  * np.interp(ell, lr, T[:, cols.index("EE")]))
+    assert np.max(np.abs(mine - ref) / den) < 3e-3
+
+
+def test_lensed_cl_vs_golden(computed, g8s):
+    cols = [str(c) for c in g8s.cols("cl_lensed")]
+    T = g8s.table("cl_lensed")
+    lr = T[:, 0]
+    cl = computed.lensed_cl(2400)
+    ell = cl["ell"][2:]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    for name, col in [("tt", "TT"), ("ee", "EE")]:
+        mine = fac * cl[name][2:]
+        ref = np.interp(ell, lr, T[:, cols.index(col)])
+        rel = np.abs(mine / ref - 1)
+        assert rel.max() < 3e-3, (name, rel.max(), ell[rel.argmax()])
+
+
+def test_pk_vs_golden(computed, g8s):
+    h = computed.h()
+    T = g8s.table("pk")
+    ks = T[:, 0] * h
+    sel = (ks > 1e-3) & (ks < 0.9)
+    mine = np.array([computed.pk_lin(kk, 0.0) for kk in ks[sel][::5]])
+    ref = T[sel, 1][::5] / h**3
+    rel = np.abs(mine / ref - 1)
+    assert rel.max() < 1e-2, (rel.max(), ks[sel][::5][rel.argmax()])
+
+
+def test_closed_raises():
+    from classpp_public_tpu import CosmoSevereError
+
+    c = Class()
+    c.set(dict(PARAMS, Omega_k=-0.01))
+    with pytest.raises(CosmoSevereError):
+        c.compute()
+
+
+def test_curved_tensor_raises():
+    from classpp_public_tpu import CosmoSevereError
+
+    c = Class()
+    c.set(dict(PARAMS, modes="s,t", r=0.1))
+    with pytest.raises(CosmoSevereError):
+        c.compute()
