@@ -331,8 +331,9 @@ class Class:
                                                    "write background", "write thermodynamics",
                                                    "write primordial", "write parameters",
                                                    "write warnings", "overwrite_root",
-                                                   "k_output_values"):
+                                                   "write perturbations"):
                 p.pop(key)
+        self._k_output_values = tuple(_parse_list(p.pop("k_output_values", "")) or ())
         if p:
             # refuse unknown / unimplemented parameters loudly instead of
             # computing a confidently-wrong cosmology (classy raises
@@ -728,18 +729,60 @@ class Class:
         return {"k [1/Mpc]": k, "P_scalar(k)": np.asarray(pm.scalar_pk(pert.k))}
 
     def get_transfer(self, z=0.0, output_format="class"):
-        """Density/velocity transfer functions at z (classy.pyx get_transfer)."""
+        """Density/velocity transfer functions at z, class format
+        (classy.pyx get_transfer -> perturb_output_titles class format:
+        per-species d_*/t_* plus metric potentials)."""
         from .models.perturbations.indices import SrcIdx
         from .models.nonlinear import _interp_sources_at_z
 
+        if output_format not in ("class",):
+            raise CosmoSevereError("only output_format='class' transfer tables "
+                                  "are implemented (no camb format yet)")
         bg, _ = self._bg()
         pert = self.cosmo.perturbations
         out = {"k (h/Mpc)": np.asarray(pert.k) / self.cosmo.params.h}
-        for name, col in [("d_m", "delta_m"), ("d_cdm", "delta_cb"),
-                          ("phi", "phi"), ("psi", "psi"),
-                          ("t_m", "theta_m"), ("h_prime", "h_prime")]:
+        cols = [("d_g", "delta_g"), ("d_b", "delta_b"), ("d_cdm", "delta_cdm"),
+                ("d_ur", "delta_ur"), ("d_ncdm[0]", "delta_ncdm"),
+                ("d_m", "delta_m"), ("d_cb", "delta_cb"), ("d_tot", "delta_tot"),
+                ("phi", "phi"), ("psi", "psi"),
+                ("h_prime", "h_prime"), ("eta", "eta_src"),
+                ("t_g", "theta_g"), ("t_b", "theta_b"), ("t_cdm", "theta_cdm"),
+                ("t_ur", "theta_ur"), ("t_ncdm[0]", "theta_ncdm"),
+                ("t_m", "theta_m"), ("t_cb", "theta_cb")]
+        for name, col in cols:
             out[name] = np.asarray(_interp_sources_at_z(pert, bg, z, SrcIdx.ix[col]))
         return out
+
+    def get_perturbations(self):
+        """Evolution of perturbed quantities at the k_output_values
+        (classy.pyx get_perturbations / perturbations_module.cpp:2797):
+        returns {'scalar': [dict per k]} with tau tables of the per-species
+        transfer quantities, taken from the source table at the nearest
+        computed k-lane."""
+        if not self._k_output_values:
+            raise CosmoSevereError(
+                "no k_output_values were requested before compute()")
+        from .models.perturbations.indices import SrcIdx
+
+        pert = self.cosmo.perturbations
+        karr = np.asarray(pert.k)
+        out = []
+        cols = [("delta_g", "delta_g"), ("theta_g", "theta_g"),
+                ("delta_b", "delta_b"), ("theta_b", "theta_b"),
+                ("delta_cdm", "delta_cdm"), ("theta_cdm", "theta_cdm"),
+                ("delta_ur", "delta_ur"), ("theta_ur", "theta_ur"),
+                ("delta_ncdm[0]", "delta_ncdm"),
+                ("delta_m", "delta_m"), ("delta_tot", "delta_tot"),
+                ("phi", "phi"), ("psi", "psi"), ("eta", "eta_src"),
+                ("h_prime", "h_prime")]
+        S = np.asarray(pert.sources)
+        for kv in self._k_output_values:
+            i = int(np.argmin(np.abs(karr - kv)))
+            d = {"k (1/Mpc)": karr[i], "tau [Mpc]": np.asarray(pert.tau)}
+            for name, col in cols:
+                d[name] = S[i, :, SrcIdx.ix[col]]
+            out.append(d)
+        return {"scalar": out}
 
     def get_current_derived_parameters(self, names: Iterable[str]):
         th = self.cosmo.thermodynamics

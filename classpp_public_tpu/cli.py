@@ -37,6 +37,8 @@ def main(argv=None):
     if c.out.has_pk:
         c.nonlinear
         om.output_pk(c, root)
+    if c.out.dTk or c.out.vTk:
+        om.output_tk(c, root)
     if pars.get("write background", "no").lower() in ("yes", "y", "true"):
         om.output_background(c, root)
     if pars.get("write thermodynamics", "no").lower() in ("yes", "y", "true"):

@@ -311,14 +311,19 @@ def hmla_dxedlna(ctx: HyrecCtx, xe, nH, H, TM, TR):
     return (x1s_db * (L2S1S + 3.0 * RLya) - x2s * L2S1S - x2p * RLya) / H
 
 
-def peebles_dxedlna(xe, nH, H, TM, TR):
-    """Peebles effective 3-level rate (hydrogen.c:45). nH cm^-3, T in eV."""
+def peebles_dxedlna(xe, nH, H, TM, TR, fudge=1.0):
+    """Peebles effective 3-level rate (hydrogen.c:45); with fudge=1.14 this
+    is rec_HRecFast_dxedlna (hydrogen.c:72). nH cm^-3, T in eV."""
     t4 = TM / KBOLTZ / 1e4
-    alphaB = 4.309e-13 * t4 ** (-0.6166) / (1.0 + 0.6703 * t4**0.5300)
+    alphaB = fudge * 4.309e-13 * t4 ** (-0.6166) / (1.0 + 0.6703 * t4**0.5300)
     RLya = 4.662899067555897e15 * H / nH / (1.0 - xe)
     four_betaB = 3.016103031869581e21 * TR * jnp.sqrt(TR) * jnp.exp(-0.25 * EI / TR) * alphaB
     C = (3.0 * RLya + L2S1S) / (3.0 * RLya + L2S1S + four_betaB)
     return (-nH * xe * xe * alphaB + four_betaB * (1.0 - xe) * jnp.exp(-E21 / TR)) * C / H
+
+
+def recfast_dxedlna(xe, nH, H, TM, TR):
+    return peebles_dxedlna(xe, nH, H, TM, TR, fudge=1.14)
 
 
 # --- the two-photon radiative-transfer core --------------------------------
@@ -527,9 +532,15 @@ def twophoton_dxedlna(ctx: HyrecCtx, xe, nH, H, TM, TR, ring, m):
 # --- the staged history as one scan ----------------------------------------
 
 
-def build_history(ctx: HyrecCtx, zstart: float):
+def build_history(ctx: HyrecCtx, zstart: float, model: str = "recfast"):
     """xe(lna), Tm(lna) on the uniform dlna grid (rec_build_history,
-    history.c:242). Returns (z_grid_desc, xe, Tm) as arrays of length nz."""
+    history.c:242). Returns (z_grid_desc, xe, Tm) as arrays of length nz.
+
+    model: the hydrogen rate model (history.h:20 '#define MODEL'):
+    'recfast' = effective 3-level atom with fudge 1.14 — this is what the
+    reference fork actually compiles HyRec with (history.h sets MODEL
+    RECFAST), so it is the default; 'full' = the complete EMLA +
+    two-photon/diffusion radiative transfer (upstream HyRec default)."""
     nz = int(np.floor(2 + np.log(1.0 + zstart) / DLNA))
     z_grid = (1.0 + zstart) * np.exp(-DLNA * np.arange(nz)) - 1.0
     z_arr = jnp.asarray(z_grid)
@@ -589,6 +600,19 @@ def build_history(ctx: HyrecCtx, zstart: float):
             done = jnp.logical_and(delta <= 1e-4, z <= 1650.0)
             return (xe_new, Tm_new, row, j, done, dxe, dxe_p)
 
+        def h_rate(xe_v, nH_v, H_v, TM_v, TR_v, m):
+            """Hydrogen rate per the compiled MODEL (history.c:144-177)."""
+            if model == "full":
+                return twophoton_dxedlna(ctx, xe_v, nH_v, H_v, TM_v, TR_v, ring, m)
+            return recfast_dxedlna(xe_v, nH_v, H_v, TM_v, TR_v), ring[m % RING]
+
+        def h_late_rate(xe_v, nH_v, H_v, TM_v, TR_v, kind):
+            if model == "full":
+                if kind == "hmla":
+                    return hmla_dxedlna(ctx, xe_v, nH_v, H_v, TM_v, TR_v)
+                return peebles_dxedlna(xe_v, nH_v, H_v, TM_v, TR_v)
+            return recfast_dxedlna(xe_v, nH_v, H_v, TM_v, TR_v)
+
         def h_postsaha(_):
             ai_ = 1.0 + z
             Tr = ctx.T0 * ai_
@@ -597,8 +621,8 @@ def build_history(ctx: HyrecCtx, zstart: float):
             xeS = 2.0 / (1.0 + jnp.sqrt(1.0 + 4.0 / s))
             dxeS = -(EI / Tr_eV - 1.5) / (2.0 * xeS + s) * xeS * xeS
             eps = 0.01 * (1.0 - xeS)
-            d_hi, _ = twophoton_dxedlna(ctx, xeS + eps, nH_cm, H, Tr_eV, Tr_eV, ring, j)
-            d_lo, row = twophoton_dxedlna(ctx, xeS - eps, nH_cm, H, Tr_eV, Tr_eV, ring, j)
+            d_hi, _ = h_rate(xeS + eps, nH_cm, H, Tr_eV, Tr_eV, j)
+            d_lo, row = h_rate(xeS - eps, nH_cm, H, Tr_eV, Tr_eV, j)
             dd = (d_hi - d_lo) / (2.0 * eps)
             delta = dxeS / dd
             xe_new = xeS + delta
@@ -608,16 +632,14 @@ def build_history(ctx: HyrecCtx, zstart: float):
 
         def h2g_tmss(_):
             Tmp = tm_ss(xe, Trp_K, Hp, ctx.fHe)
-            dxe, row = twophoton_dxedlna(ctx, xe, nHp_cm, Hp,
-                                         Tmp * KBOLTZ, Trp_eV, ring, j - 1)
+            dxe, row = h_rate(xe, nHp_cm, Hp, Tmp * KBOLTZ, Trp_eV, j - 1)
             xe_new = xe + DLNA * (1.25 * dxe - 0.25 * dxe_p2)
             Tm_new = tm_ss(xe_new, Tr_K, H, ctx.fHe)
             done = jnp.logical_or(1.0 - Tm_new / Tr_K >= 5e-4, z <= 700.0)
             return (xe_new, Tm_new, row, j - 1, done, dxe, dxe_p)
 
         def h2g_tm(_):
-            dxe, row = twophoton_dxedlna(ctx, xe, nHp_cm, Hp,
-                                         Tm * KBOLTZ, Trp_eV, ring, j - 1)
+            dxe, row = h_rate(xe, nHp_cm, Hp, Tm * KBOLTZ, Trp_eV, j - 1)
             dTm = dtm_dlna(xe, Tm, Trp_K, Hp, ctx.fHe)
             xe_new = xe + DLNA * (1.25 * dxe - 0.25 * dxe_p2)
             Tm_new = Tm + DLNA * (1.25 * dTm - 0.25 * dTm_p2)
@@ -625,7 +647,7 @@ def build_history(ctx: HyrecCtx, zstart: float):
             return (xe_new, Tm_new, row, j - 1, done, dxe, dxe_p, dTm, dTm_p)
 
         def hmla(_):
-            dxe = hmla_dxedlna(ctx, xe, nHp_cm, Hp, Tm * KBOLTZ, Trp_eV)
+            dxe = h_late_rate(xe, nHp_cm, Hp, Tm * KBOLTZ, Trp_eV, "hmla")
             dTm = dtm_dlna(xe, Tm, Trp_K, Hp, ctx.fHe)
             xe_new = xe + DLNA * (1.25 * dxe - 0.25 * dxe_p2)
             Tm_new = Tm + DLNA * (1.25 * dTm - 0.25 * dTm_p2)
@@ -634,7 +656,7 @@ def build_history(ctx: HyrecCtx, zstart: float):
                     dxe, dxe_p, dTm, dTm_p)
 
         def peebles(_):
-            dxe = peebles_dxedlna(xe, nHp_cm, Hp, Tm * KBOLTZ, Trp_eV)
+            dxe = h_late_rate(xe, nHp_cm, Hp, Tm * KBOLTZ, Trp_eV, "peebles")
             dTm = dtm_dlna(xe, Tm, Trp_K, Hp, ctx.fHe)
             xe_new = xe + DLNA * (1.25 * dxe - 0.25 * dxe_p2)
             Tm_new = Tm + DLNA * (1.25 * dTm - 0.25 * dTm_p2)
@@ -696,16 +718,18 @@ def _cubic_resample(ytab, x0, dx, x):
     return jnp.sum(ytab[idx] * w, axis=-1)
 
 
-def compute_recombination_hyrec(params, pr, rec_ctx, bg):
+def compute_recombination_hyrec(params, pr, rec_ctx, bg, model="recfast"):
     """RecoTable from the HyRec history, resampled to the recfast_Nz0 grid
     exactly as thermodynamics_recombination_with_hyrec
-    (thermodynamics_module.cpp:3199-3278)."""
+    (thermodynamics_module.cpp:3199-3278). model: 'recfast' matches the
+    reference fork's compiled MODEL; 'full' enables the two-photon RT."""
     from .. import constants as const
     from .thermodynamics import RecoTable
 
     zstart = pr.recfast_z_initial
     ctx = make_hyrec_ctx(params, bg, float(rec_ctx.YHe), params.N_eff)
-    z_hi, xe_hi, Tm_hi = jax.jit(build_history, static_argnums=1)(ctx, zstart)
+    z_hi, xe_hi, Tm_hi = jax.jit(build_history, static_argnums=(1, 2))(
+        ctx, zstart, model)
 
     Nz = pr.recfast_Nz0
     i = jnp.arange(Nz)

@@ -64,6 +64,25 @@ def output_pk(cosmo, root: str):
                          np.column_stack([k_h, pk]))
 
 
+def output_tk(cosmo, root: str):
+    """Write transfer functions per requested redshift, class format
+    (reference output_tk, output_module.cpp:832)."""
+    from ..classy import Class
+
+    shim = Class.__new__(Class)
+    shim._cosmo = cosmo
+    shim.parameters_changed = False
+    for iz, z in enumerate(cosmo.out.z_pk):
+        tk = Class.get_transfer(shim, z=float(z))
+        names = list(tk.keys())
+        data = np.column_stack([tk[n] for n in names])
+        _write_table(Path(f"{root}z{iz + 1}_tk.dat"),
+                     [f"Transfer functions T_i(k) at redshift z={z}",
+                      "for k in h/Mpc (class format: gauge-dependent species "
+                      "fractions + gauge-invariant d_m/d_cb)"],
+                     names, data)
+
+
 def output_background(cosmo, root: str):
     bg, bidx = cosmo.background
     t = np.asarray(bg.table)

@@ -101,6 +101,14 @@ class Locals(NamedTuple):
     psi: jnp.ndarray = None
     phi_plus_psi: jnp.ndarray = None
     phi_prime: jnp.ndarray = None
+    # per-species effective (approximation-aware) values for the transfer-
+    # function outputs (perturb_output_data, class format)
+    theta_g_eff: jnp.ndarray = None
+    delta_ur_eff: jnp.ndarray = None
+    theta_ur_eff: jnp.ndarray = None
+    delta_nc: jnp.ndarray = None
+    theta_nc: jnp.ndarray = None
+    delta_tot: jnp.ndarray = None
 
 
 def rhs_full(tau, y, ctx: PertCtx):
@@ -508,6 +516,21 @@ def rhs_full(tau, y, ctx: PertCtx):
                             (G[0] + G[2] + 2.0 * s_l2 * shear_g) / 8.0))
     delta_g_src = jnp.where(rsa, rsa_delta_g, delta_g)
 
+    # per-species effective values + total density perturbation
+    d_ur_eff = jnp.where(rsa, rsa_delta_ur, delta_ur)
+    t_ur_eff = jnp.where(rsa, rsa_theta_ur, theta_ur)
+    rho_tot = rho_g + rho_b + rho_cdm + rho_ur
+    if idx.n_ncdm:
+        delta_nc_tot = jnp.sum(rho_delta_nc) / jnp.sum(rho_nc)
+        theta_nc_tot = jnp.sum(rpt_nc) / jnp.sum(rho_plus_p_nc)
+        rho_tot = rho_tot + jnp.sum(rho_nc)
+    else:
+        delta_nc_tot = zero
+        theta_nc_tot = zero
+    if idx.has_fld:
+        rho_tot = rho_tot + rho_fld
+    delta_tot = delta_rho / rho_tot
+
     loc = Locals(
         a=a, aH=aH, app_a=app_a, aH_prime=aH_prime,
         h_prime=h_prime, eta_prime=eta_prime, alpha=alpha, alpha_prime=alpha_prime,
@@ -515,6 +538,8 @@ def rhs_full(tau, y, ctx: PertCtx):
         delta_m=delta_m, theta_m=theta_m, delta_cb=delta_cb, theta_cb=theta_cb,
         theta_b_prime=theta_b_prime, g=g_vis, dg=dg_vis, exp_m_kappa=emk, eta=eta,
         phi=phi, psi=psi, phi_plus_psi=phi_plus_psi, phi_prime=phi_prime,
+        theta_g_eff=t_g, delta_ur_eff=d_ur_eff, theta_ur_eff=t_ur_eff,
+        delta_nc=delta_nc_tot, theta_nc=theta_nc_tot, delta_tot=delta_tot,
     )
     return dy, loc
 
@@ -996,4 +1021,18 @@ def compute_sources(tau, y, ctx: PertCtx):
     out = out.at[six["theta_cb"]].set(L.theta_cb)
     out = out.at[six["h_prime"]].set(L.h_prime)
     out = out.at[six["eta_src"]].set(L.eta)
+    # per-species transfer functions (perturb_output_data class format,
+    # perturbations_module.cpp:2797+): effective (approximation-aware) values
+    out = out.at[six["delta_g"]].set(L.delta_g_eff)
+    out = out.at[six["theta_g"]].set(L.theta_g_eff)
+    out = out.at[six["delta_b"]].set(y[idx.delta_b])
+    out = out.at[six["theta_b"]].set(y[idx.theta_b])
+    out = out.at[six["delta_cdm"]].set(y[idx.delta_cdm])
+    theta_cdm_v = y[idx.theta_cdm] if idx.gauge == "newtonian" else jnp.zeros_like(t0)
+    out = out.at[six["theta_cdm"]].set(theta_cdm_v)
+    out = out.at[six["delta_ur"]].set(L.delta_ur_eff)
+    out = out.at[six["theta_ur"]].set(L.theta_ur_eff)
+    out = out.at[six["delta_ncdm"]].set(L.delta_nc)
+    out = out.at[six["theta_ncdm"]].set(L.theta_nc)
+    out = out.at[six["delta_tot"]].set(L.delta_tot)
     return out

@@ -149,6 +149,10 @@ class SrcIdx:
     """Source-type columns (analog of index_tp_*, perturbations_module.h)."""
 
     names = ["t0", "t1", "t2", "p", "phi", "psi", "phi_plus_psi", "phi_prime",
-             "delta_m", "theta_m", "delta_cb", "theta_cb", "h_prime", "eta_src"]
+             "delta_m", "theta_m", "delta_cb", "theta_cb", "h_prime", "eta_src",
+             # per-species transfer functions (tk outputs / get_transfer)
+             "delta_g", "theta_g", "delta_b", "theta_b", "delta_cdm",
+             "theta_cdm", "delta_ur", "theta_ur", "delta_ncdm", "theta_ncdm",
+             "delta_tot"]
     ix = {n: i for i, n in enumerate(names)}
     n = len(names)

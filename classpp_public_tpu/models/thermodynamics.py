@@ -512,10 +512,13 @@ def compute_thermodynamics(params: CosmoParams, pr: PrecisionParams,
 def _compute_thermodynamics_impl(params: CosmoParams, pr: PrecisionParams,
                                  bg: BackgroundResult, bidx: BgIdx) -> ThermoResult:
     ctx = make_recfast_ctx(params, pr, bg, bidx)
-    if getattr(params, "recombination", "recfast") == "hyrec":
+    reco_opt = getattr(params, "recombination", "recfast")
+    if reco_opt in ("hyrec", "hyrec_full"):
         from .hyrec import compute_recombination_hyrec
 
-        reco = compute_recombination_hyrec(params, pr, ctx, bg)
+        reco = compute_recombination_hyrec(
+            params, pr, ctx, bg,
+            model="full" if reco_opt == "hyrec_full" else "recfast")
     else:
         reco = compute_recombination(params, pr, ctx)
     fHe = ctx.fHe
