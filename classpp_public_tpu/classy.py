@@ -51,9 +51,8 @@ _UNIMPLEMENTED_PARAMS = frozenset({
     # scalar-field dark energy (background_module.cpp:2065)
     "Omega_scf", "scf_parameters", "scf_tuning_index", "attractor_ic_scf",
     "scf_lambda", "scf_alpha", "scf_A", "scf_B",
-    # decaying dark matter -> dark radiation (tools/dark_radiation.cpp)
-    "Omega_dcdmdr", "omega_dcdmdr", "Omega_ini_dcdm", "omega_ini_dcdm",
-    "Gamma_dcdm", "tau_dcdm",
+    # decaying dark matter (only tau_dcdm parametrization unimplemented)
+    "tau_dcdm",
     # interacting dark matter / dark radiation (perturbations :8600s)
     "N_idr", "xi_idr", "a_idm_dr", "Omega_idm_dr", "omega_idm_dr",
     "f_idm_dr", "stat_f_idr", "nindex_idm_dr", "m_idm",
@@ -173,6 +172,22 @@ class Class:
                 kw["T_ncdm"] = tuple(_parse_list(p.pop("T_ncdm")))
             if "deg_ncdm" in p:
                 kw["deg_ncdm"] = tuple(_parse_list(p.pop("deg_ncdm")))
+        # decaying dark matter -> dark radiation
+        if any(x in p for x in ("Omega_dcdmdr", "omega_dcdmdr", "Omega_ini_dcdm",
+                                "omega_ini_dcdm", "Gamma_dcdm")):
+            if "Gamma_dcdm" not in p:
+                raise CosmoSevereError("dcdm requested without Gamma_dcdm")
+            kw["Gamma_dcdm"] = float(p.pop("Gamma_dcdm"))
+            if "Omega_ini_dcdm" in p or "omega_ini_dcdm" in p:
+                v = float(p.pop("Omega_ini_dcdm", 0.0)) or \
+                    float(p.pop("omega_ini_dcdm", 0.0)) / (h * h)
+                p.pop("omega_ini_dcdm", None)
+                kw["Omega_ini_dcdm"] = v
+            else:
+                v = float(p.pop("Omega_dcdmdr", 0.0)) or \
+                    float(p.pop("omega_dcdmdr", 0.0)) / (h * h)
+                p.pop("omega_dcdmdr", None)
+                kw["Omega_dcdmdr"] = v
         if "Omega_Lambda" in p and float(p["Omega_Lambda"]) == 0.0:
             p.pop("Omega_Lambda")
             kw["use_fld"] = True
@@ -247,13 +262,9 @@ class Class:
         modes = str(p.pop("modes", "s"))
         out.modes = tuple(m.strip() for m in modes.replace(",", " ").split())
         if abs(kw.get("Omega_k", 0.0)) > 1e-12:
-            # scalar curvature is implemented (open/closed hierarchies +
-            # hyperspherical transfer); tensors and newtonian gauge with
-            # K != 0 are not yet
-            if "t" in out.modes:
-                raise CosmoSevereError(
-                    "tensor modes with Omega_k != 0 not implemented yet "
-                    "(curved tensor radial functions; transfer_module.cpp:3486)")
+            # open-universe scalars + tensors are implemented (curved
+            # hierarchies + hyperspherical transfer); newtonian gauge with
+            # K != 0 is not yet
             if gauge != "synchronous":
                 raise CosmoSevereError(
                     "Omega_k != 0 implemented in synchronous gauge only")
@@ -408,8 +419,11 @@ class Class:
 
     @property
     def cosmo(self) -> Cosmology:
-        if self._cosmo is None:
-            raise CosmoSevereError("call compute() first")
+        if self._cosmo is None or self.parameters_changed:
+            # build the lazy pipeline object (no stage computed yet) so the
+            # stage DAG can be driven directly (bench.py per-stage timing)
+            self._cosmo = self._build()
+            self.parameters_changed = False
         return self._cosmo
 
     # --- Cl accessors ----------------------------------------------------------

@@ -65,6 +65,14 @@ class CosmoParams:
     m_ncdm: Tuple[float, ...] = ()   # masses in eV (one per species)
     deg_ncdm: Tuple[float, ...] = () # degeneracy per species (default 1)
     T_ncdm: Tuple[float, ...] = ()   # per-species T_ncdm/T_cmb (default 0.71611)
+    # decaying cold dark matter -> dark radiation (reference
+    # background_module.cpp dcdm block + tools/dark_radiation.cpp).
+    # Either Omega_ini_dcdm ("would-be" Omega today without decay) or
+    # Omega_dcdmdr (today's Omega_dcdm + Omega_dr) fixes the initial density;
+    # Gamma_dcdm is the decay rate in km/s/Mpc (input_module.cpp:860-910)
+    Omega_ini_dcdm: float = 0.0
+    Omega_dcdmdr: float = 0.0
+    Gamma_dcdm: float = 0.0
 
     # primordial (analytic power law)
     A_s: float = 2.100549e-09

@@ -92,6 +92,7 @@ class PrecisionParams:
     l_max_pol_g: int = 10
     l_max_ur: int = 17
     l_max_ncdm: int = 17
+    l_max_dr: int = 17
     l_max_g_ten: int = 5
     l_max_pol_g_ten: int = 5
 

@@ -37,11 +37,13 @@ class BgIdx:
     """Column indices of the background runtime table (analog of index_bg_*,
     source/background_module.h:40-99). Built per-run since ncdm count varies."""
 
-    def __init__(self, n_ncdm: int, has_fld: bool):
-        self.key = (n_ncdm, has_fld)
+    def __init__(self, n_ncdm: int, has_fld: bool, has_dcdm: bool = False):
+        self.key = (n_ncdm, has_fld, has_dcdm)
         names = ["a", "H", "H_prime", "rho_g", "rho_b", "rho_cdm", "rho_lambda", "rho_ur"]
         if has_fld:
             names += ["rho_fld", "w_fld"]
+        if has_dcdm:
+            names += ["rho_dcdm", "rho_dr"]
         for i in range(n_ncdm):
             names += [f"rho_ncdm{i}", f"p_ncdm{i}", f"pseudo_p_ncdm{i}"]
         names += ["rho_tot", "p_tot", "p_tot_prime", "rho_crit", "Omega_m", "Omega_r",
@@ -188,10 +190,48 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
         Omega0_ncdm_tot = Omega0_ncdm_tot + r_i[-1] / H0**2
     rho_ncdm0 = jnp.asarray(rho_ncdm0_list) if n_ncdm else jnp.zeros((0,), dtype)
 
+    # --- decaying cold dark matter -> dark radiation ------------------------
+    # (background_module.cpp dcdm/dr: d rho_dcdm/dtau = -(3aH + a Gamma) rho,
+    # d(rho_dr a^4)/dtau = Gamma rho_dcdm a^5). Closed forms on the grid:
+    # rho_dcdm = C a^-3 e^{-Gamma t}, rho_dr = C Gamma a^-4 int a e^{-Gamma t}/H dln a
+    # with t(a) the proper time; since t depends weakly on rho_dcdm itself,
+    # a short fixed-point iteration replaces the reference's shooting
+    # (input_module.cpp:195 Omega_dcdmdr target).
+    has_dcdm = (params.Omega_ini_dcdm > 0.0) or (params.Omega_dcdmdr > 0.0)
+    rho_dcdm = jnp.zeros_like(a)
+    rho_dr = jnp.zeros_like(a)
+    Omega0_dcdmdr_now = jnp.asarray(0.0, dtype)
+    if has_dcdm:
+        Gmpc = params.Gamma_dcdm / 299792.458      # km/s/Mpc -> 1/Mpc
+        Om_guess = params.Omega_ini_dcdm or params.Omega_dcdmdr
+        rho_dcdm = Om_guess * H0**2 / a**3
+        base = rho_g + rho_b + rho_cdm + rho_ur
+        for i in range(n_ncdm):
+            base = base + rho_ncdm[i]
+        for _ in range(4):
+            lam = (1.0 - params.Omega_k - Omega0_g - Omega0_b - Omega0_cdm
+                   - Omega0_ur - Omega0_ncdm_tot
+                   - (rho_dcdm[-1] + rho_dr[-1]) / H0**2) * H0**2
+            rho_ti = base + rho_dcdm + rho_dr + lam
+            H_i = jnp.sqrt(rho_ti + params.Omega_k * H0**2 / a**2)
+            inv_Hi = 1.0 / H_i
+            t_i = 0.5 / H_i[0] + spline_integrate(loga, inv_Hi, spline_d2(loga, inv_Hi))
+            shape = a ** -3.0 * jnp.exp(-Gmpc * t_i)
+            integ = Gmpc * a * jnp.exp(-Gmpc * t_i) / H_i
+            I_dr = spline_integrate(loga, integ, spline_d2(loga, integ))
+            if params.Omega_ini_dcdm > 0.0:
+                C = params.Omega_ini_dcdm * H0**2
+            else:
+                C = params.Omega_dcdmdr * H0**2 / (shape[-1] + I_dr[-1])
+            rho_dcdm = C * shape
+            rho_dr = C * I_dr / a**4
+        Omega0_dcdmdr_now = (rho_dcdm[-1] + rho_dr[-1]) / H0**2
+
     # fld (CLP w0-wa): rho_fld = Omega_fld H0^2 a^{-3(1+w0+wa)} e^{3 wa (a-1)}
     has_fld = params.use_fld
     # budget closure: Lambda or fld absorbs 1 - sum(others) - Omega_k
-    Omega0_others = Omega0_g + Omega0_b + Omega0_cdm + Omega0_ur + Omega0_ncdm_tot
+    Omega0_others = (Omega0_g + Omega0_b + Omega0_cdm + Omega0_ur
+                     + Omega0_ncdm_tot + Omega0_dcdmdr_now)
     Omega0_de = 1.0 - params.Omega_k - Omega0_others
     if has_fld:
         Omega0_fld = Omega0_de
@@ -209,8 +249,10 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
         w_fld = jnp.full_like(a, -1.0)
     rho_lambda = jnp.full_like(a, Omega0_lambda * H0**2)
 
-    rho_tot = rho_g + rho_b + rho_cdm + rho_ur + rho_lambda + rho_fld
-    p_tot = (rho_g + rho_ur) / 3.0 - rho_lambda + (w_fld * rho_fld if has_fld else 0.0)
+    rho_tot = rho_g + rho_b + rho_cdm + rho_ur + rho_lambda + rho_fld \
+        + rho_dcdm + rho_dr
+    p_tot = (rho_g + rho_ur + rho_dr) / 3.0 - rho_lambda \
+        + (w_fld * rho_fld if has_fld else 0.0)
     for i in range(n_ncdm):
         rho_tot = rho_tot + rho_ncdm[i]
         p_tot = p_tot + p_ncdm[i]
@@ -225,6 +267,9 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     # p_tot_prime = dp_tot/dtau (used by ncdm fluid approx & RSA sources).
     # radiation: p = rho/3, rho' = -4 aH rho  =>  p' = -(4/3) aH rho
     p_tot_prime = -(4.0 / 3.0) * aH * (rho_g + rho_ur)
+    if has_dcdm:
+        Gmpc = params.Gamma_dcdm / 299792.458
+        p_tot_prime = p_tot_prime + (-4.0 * aH * rho_dr + a * Gmpc * rho_dcdm) / 3.0
     if has_fld:
         # p_fld = w rho_fld; w' = -wa da/dtau = -wa a^2 H; rho_fld' = -3 aH (1+w) rho_fld
         w_prime = -params.wa_fld * a * a * H
@@ -263,7 +308,7 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     lum_distance = r / a
 
     # --- growth factor ODE (reference background_module.cpp:1975-1983) -----
-    rho_m = rho_b + rho_cdm
+    rho_m = rho_b + rho_cdm + rho_dcdm
     rho_m_spl = UniformSpline.build(loga[0], loga[1] - loga[0], jnp.stack([rho_m, a, H], axis=1))
 
     def growth_rhs(lga, y, _):
@@ -282,8 +327,8 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     f = Dys[:, 1] / (Dys[:, 0] * aH)
 
     # --- z_eq (radiation-matter equality) -----------------------------------
-    rho_r_tot = rho_g + rho_ur  # (+ relativistic part of ncdm ~ 3p)
-    rho_m_tot = rho_b + rho_cdm
+    rho_r_tot = rho_g + rho_ur + rho_dr  # (+ relativistic part of ncdm ~ 3p)
+    rho_m_tot = rho_b + rho_cdm + rho_dcdm
     for i in range(n_ncdm):
         rho_r_tot = rho_r_tot + 3.0 * p_ncdm[i]
         rho_m_tot = rho_m_tot + (rho_ncdm[i] - 3.0 * p_ncdm[i])
@@ -300,7 +345,7 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     Omega_r_of_a = rho_r_tot / rho_crit
 
     # --- assemble table ------------------------------------------------------
-    idx = BgIdx(n_ncdm, has_fld)
+    idx = BgIdx(n_ncdm, has_fld, has_dcdm)
     cols = {
         "a": a, "H": H, "H_prime": H_prime,
         "rho_g": rho_g, "rho_b": rho_b, "rho_cdm": rho_cdm,
@@ -313,6 +358,9 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     if has_fld:
         cols["rho_fld"] = rho_fld
         cols["w_fld"] = w_fld
+    if has_dcdm:
+        cols["rho_dcdm"] = rho_dcdm
+        cols["rho_dr"] = rho_dr
     for i in range(n_ncdm):
         cols[f"rho_ncdm{i}"] = rho_ncdm[i]
         cols[f"p_ncdm{i}"] = p_ncdm[i]
@@ -343,7 +391,8 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
         tau_eq=tau_eq,
         a_today=jnp.asarray(1.0, dtype),
         H0=H0,
-        Omega0_m=Omega0_b + Omega0_cdm + (Omega0_ncdm_tot if n_ncdm else 0.0),
+        Omega0_m=Omega0_b + Omega0_cdm + (Omega0_ncdm_tot if n_ncdm else 0.0)
+        + (rho_dcdm[-1] / H0**2 if has_dcdm else 0.0),
         Omega0_r=Omega0_g + Omega0_ur,
         Omega0_g=Omega0_g,
         Omega0_b=Omega0_b,

@@ -14,6 +14,7 @@ k-grid, and R_nl comes from a vectorized monotone inversion + Newton polish.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -77,7 +78,7 @@ def sigma_R(k, pk, R):
 
 
 def _halofit_one_z(k_hf, pk_hf, k_out, pk_lin_out, Omega_m, Omega_v, w0, fnu, Omega0_m,
-                   h, pr: PrecisionParams):
+                   h, min_k_nl):
     """Halofit ratio at one redshift. k_hf: dense log grid; pk_hf: linear P on it."""
     anorm = 1.0 / (2.0 * math.pi**2)
     base = pk_hf * k_hf**2 * anorm       # common integrand factor
@@ -93,7 +94,7 @@ def _halofit_one_z(k_hf, pk_hf, k_out, pk_lin_out, Omega_m, Omega_v, w0, fnu, Om
 
     # vectorized sigma(R) on a log grid, invert sigma = 1
     nR = 160
-    lgR = jnp.linspace(jnp.log10(1.0 / k_hf[-1] * 0.3), jnp.log10(1.0 / pr.halofit_min_k_nonlinear), nR)
+    lgR = jnp.linspace(jnp.log10(1.0 / k_hf[-1] * 0.3), jnp.log10(1.0 / min_k_nl), nR)
     Rg = 10.0 ** lgR
     x2g = (k_hf[None, :] * Rg[:, None]) ** 2
     s1g = jnp.trapezoid(base[None, :] * jnp.exp(-x2g) * k_hf[None, :], lnk, axis=-1)
@@ -148,7 +149,7 @@ def _halofit_one_z(k_hf, pk_hf, k_out, pk_lin_out, Omega_m, Omega_v, w0, fnu, Om
     pk_quasi = pk_lin_dimless * (1.0 + pk_linaa) ** beta / (1.0 + pk_linaa * alpha) \
         * jnp.exp(-y / 4.0 - y**2 / 8.0)
     pk_nl = (pk_halo + pk_quasi) / rk**3 / anorm
-    pk_nl = jnp.where(rk > pr.halofit_min_k_nonlinear, pk_nl, pk_lin_out)
+    pk_nl = jnp.where(rk > min_k_nl, pk_nl, pk_lin_out)
     return pk_nl, rknl
 
 
@@ -395,48 +396,82 @@ def compute_hmcode(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
                     pk_cb_lin=pk_cb, pk_cb_nl=pk_cb_nl, k_nl=k_nl, sigma8=sigma8)
 
 
+@lru_cache(maxsize=8)
+def _halofit_core(min_k_nl: float, iOm: int, iOr: int):
+    """One jitted XLA program for the whole halofit stage: source-table
+    interpolation at every z, the sigma(R) inversion, both total/cb ratios
+    and sigma8. Eager dispatch is a network round-trip per op on remote
+    accelerators, so the stage must be a single call."""
+
+    def core(S_dm, S_cb, taus, k, k_hf, pk_prim, loga, tau_of_loga, spl,
+             z_arr, w0, fnu, Omega0_m, h):
+        tau_q = jnp.interp(-jnp.log1p(z_arr), loga, tau_of_loga)
+        anorm_k = 2.0 * math.pi**2 / k**3 * pk_prim
+
+        def pk_of(S):
+            d2s = spline_d2(taus, S.T)
+            delta = spline_eval(taus, S.T, d2s, tau_q)      # (nz, nk)
+            return anorm_k[None, :] * delta**2
+
+        pk_lin = pk_of(S_dm)
+        pk_cb = pk_of(S_cb)
+
+        lnk_grid = jnp.log(k)
+        bgv = spl.eval(jnp.log(tau_q))
+        Om = bgv[:, iOm]
+        Ov = 1.0 - Om - bgv[:, iOr]
+
+        def one_z(pk_lin_z, pk_target_z, Om_z, Ov_z, fnu_z):
+            d2 = spline_d2(lnk_grid, jnp.log(pk_lin_z))
+            pk_hf = jnp.exp(spline_eval(lnk_grid, jnp.log(pk_lin_z), d2,
+                                        jnp.log(k_hf)))
+            return _halofit_one_z(k_hf, pk_hf, k, pk_target_z, Om_z, Ov_z, w0,
+                                  fnu_z, Omega0_m, h, min_k_nl)
+
+        pk_nl, k_nl = jax.vmap(lambda p, om, ov: one_z(p, p, om, ov, fnu))(
+            pk_lin, Om, Ov)
+        pk_cb_nl, _ = jax.vmap(
+            lambda p, pc, om, ov: one_z(p, pc, om, ov, jnp.asarray(0.0)))(
+            pk_lin, pk_cb, Om, Ov)
+        # note: reference computes the cb ratio from the cb spectrum with fnu=0
+
+        # sigma8 at z=0
+        tau_q0 = jnp.interp(jnp.zeros(()), loga, tau_of_loga)
+        d2s = spline_d2(taus, S_dm.T)
+        delta0 = spline_eval(taus, S_dm.T, d2s, tau_q0)
+        pk0 = anorm_k * delta0**2
+        sigma8 = sigma_R(k, pk0, 8.0 / h)[0]
+        return pk_lin, pk_cb, pk_nl, pk_cb_nl, k_nl, sigma8
+
+    return jax.jit(core)
+
+
 def compute_nonlinear(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
                       params, z_pk=(0.0,), method="halofit",
                       hm_eta0=0.603, hm_cmin=3.13) -> PkResult:
     if method == "hmcode":
         return compute_hmcode(pert, bg, bidx, pm, pr, params, z_pk=z_pk,
                               eta_0=hm_eta0, c_min=hm_cmin)
-    from .background import tau_of_z
-
     k = pert.k
     z_arr = jnp.asarray(z_pk)
-    pk_lin = jax.vmap(lambda z: pk_linear_at_z(pert, bg, pm, z, "delta_m"))(z_arr)
-    pk_cb = jax.vmap(lambda z: pk_linear_at_z(pert, bg, pm, z, "delta_cb"))(z_arr)
 
     # halofit k grid: log-spaced at halofit_k_per_decade between k bounds
     n_hf = int(math.log10(float(k[-1]) / float(k[0])) * pr.halofit_k_per_decade) + 1
     k_hf = np.asarray(k[0]) * 10.0 ** (np.arange(n_hf) / pr.halofit_k_per_decade)
     k_hf = jnp.asarray(k_hf)
-    lnk_grid = jnp.log(k)
 
-    # background quantities at each z
-    taus = tau_of_z(bg, z_arr)
-    bgv = bg.lntau_spline.eval(jnp.log(taus))
-    Om = bgv[:, bidx["Omega_m"]]
-    Ov = 1.0 - bgv[:, bidx["Omega_m"]] - bgv[:, bidx["Omega_r"]]
     w0 = jnp.asarray(params.w0_fld if params.use_fld else -1.0)
     fnu = jnp.asarray(float(bg.Omega0_ncdm_tot) / float(bg.Omega0_m))
     Omega0_m = jnp.asarray(float(bg.Omega0_m))
 
-    def one_z(pk_lin_z, pk_target_z, Om_z, Ov_z, fnu_z):
-        d2 = spline_d2(lnk_grid, jnp.log(pk_lin_z))
-        pk_hf = jnp.exp(spline_eval(lnk_grid, jnp.log(pk_lin_z), d2, jnp.log(k_hf)))
-        return _halofit_one_z(k_hf, pk_hf, k, pk_target_z, Om_z, Ov_z, w0,
-                              fnu_z, Omega0_m, params.h, pr)
-
-    pk_nl, k_nl = jax.vmap(lambda p, om, ov: one_z(p, p, om, ov, fnu))(pk_lin, Om, Ov)
-    pk_cb_nl, _ = jax.vmap(lambda p, pc, om, ov: one_z(p, pc, om, ov, jnp.asarray(0.0)))(
-        pk_lin, pk_cb, Om, Ov)
-    # note: reference computes the cb ratio from the cb spectrum itself with fnu=0
-
-    # sigma8 at z=0
-    pk0 = pk_linear_at_z(pert, bg, pm, 0.0, "delta_m")
-    sigma8 = sigma_R(k, pk0, 8.0 / params.h)[0]
+    core = _halofit_core(float(pr.halofit_min_k_nonlinear),
+                         int(bidx["Omega_m"]), int(bidx["Omega_r"]))
+    S_dm = pert.sources[:, :, SrcIdx.ix["delta_m"]]
+    S_cb = pert.sources[:, :, SrcIdx.ix["delta_cb"]]
+    pk_prim = pm.scalar_pk(k)
+    pk_lin, pk_cb, pk_nl, pk_cb_nl, k_nl, sigma8 = core(
+        S_dm, S_cb, pert.tau, k, k_hf, pk_prim, bg.loga, bg.tau_of_loga,
+        bg.lntau_spline, z_arr, w0, fnu, Omega0_m, jnp.asarray(params.h))
 
     return PkResult(k=k, z=z_arr, pk_lin=pk_lin, pk_nl=pk_nl,
                     pk_cb_lin=pk_cb, pk_cb_nl=pk_cb_nl, k_nl=k_nl, sigma8=sigma8)

@@ -72,6 +72,10 @@ class PertCtx(NamedTuple):
     # spatial curvature K [Mpc^-2] = -Omega_k H0^2 (reference pba->K); the
     # flat/open/closed branch is trace-time via idx.sgnK
     K: float = 0.0
+    # dcdm -> dr: decay rate in 1/Mpc and H0 in 1/Mpc (for the dr F_l
+    # normalization rho_dr a^4 / H0^2)
+    Gamma_dcdm: float = 0.0
+    H0: float = 1.0
 
 
 class Locals(NamedTuple):
@@ -178,6 +182,15 @@ def rhs_full(tau, y, ctx: PertCtx):
     shear_ur = y[idx.shear_ur]
     F_ur = jax.lax.dynamic_slice(y, (idx.F_ur,), (idx.n_F_ur,))        # l=3..lmax_ur
     eta = y[idx.eta] + ctx.eta_off
+    if idx.has_dcdm:
+        delta_dc = y[idx.delta_dcdm]
+        theta_dc = y[idx.theta_dcdm_pt]
+        F_dr = jax.lax.dynamic_slice(y, (idx.F_dr,), (idx.n_F_dr,))
+        rho_dcdm = bgv[bidx["rho_dcdm"]]
+        rho_dr = bgv[bidx["rho_dr"]]
+        dr_fac = (ctx.H0 / a2) ** 2        # rho_dr_over_f (:6253)
+        r_dr = rho_dr / dr_fac             # rho_dr a^4 / H0^2
+        rprime_dr = ctx.Gamma_dcdm * rho_dcdm * a2 * a2 * a / ctx.H0**2
 
     ncdmfa = ctx.ncdmfa_on
     if idx.n_ncdm:
@@ -221,6 +234,12 @@ def rhs_full(tau, y, ctx: PertCtx):
     rho_plus_p_theta = 4.0 / 3.0 * rho_g * t_g + rho_b * theta_b + 4.0 / 3.0 * rho_ur * t_ur
     rho_plus_p_shear = 4.0 / 3.0 * rho_g * s_g + 4.0 / 3.0 * rho_ur * s_ur
     delta_p = 1.0 / 3.0 * rho_g * d_g + cb2 * rho_b * delta_b + 1.0 / 3.0 * rho_ur * d_ur
+    if idx.has_dcdm:
+        # dcdm + dr stress energy (perturb_total_stress_energy :6228-6262)
+        delta_rho = delta_rho + rho_dcdm * delta_dc + dr_fac * F_dr[0]
+        rho_plus_p_theta = rho_plus_p_theta + rho_dcdm * theta_dc + k * dr_fac * F_dr[1]
+        rho_plus_p_shear = rho_plus_p_shear + 2.0 / 3.0 * dr_fac * F_dr[2]
+        delta_p = delta_p + 1.0 / 3.0 * dr_fac * F_dr[0]
     if idx.n_ncdm:
         delta_rho = delta_rho + jnp.sum(rho_delta_nc)
         rho_plus_p_theta = rho_plus_p_theta + jnp.sum(rpt_nc)
@@ -475,6 +494,33 @@ def rhs_full(tau, y, ctx: PertCtx):
         dPsi = jnp.where(ncdmfa, dPsi_fl, dPsi)
         dy = jax.lax.dynamic_update_slice(dy, dPsi.reshape(-1), (idx.ncdm,))
 
+    # dcdm + dr (perturb_derivs :8290-8360)
+    if idx.has_dcdm:
+        aG = a * ctx.Gamma_dcdm
+        dy = dy.at[idx.delta_dcdm].set(-(theta_dc + metric_continuity)
+                                       - aG / k2 * metric_euler)
+        dy = dy.at[idx.theta_dcdm_pt].set(-aH * theta_dc + metric_euler)
+        lmax_dr = idx.l_max_dr
+        ld = jnp.arange(0, lmax_dr + 1, dtype=y.dtype)
+        sl_d = s_of_l(ld)
+        sl_d_p1 = s_of_l(ld + 1.0)
+        Fd_m1 = jnp.concatenate([jnp.zeros((1,), y.dtype), F_dr[:-1]])
+        Fd_p1 = jnp.concatenate([F_dr[1:], jnp.zeros((1,), y.dtype)])
+        dFd = k / (2.0 * ld + 1.0) * (ld * sl_d * Fd_m1 - (ld + 1.0) * sl_d_p1 * Fd_p1)
+        dFd = dFd.at[0].set(-k * F_dr[1] - 4.0 / 3.0 * metric_continuity * r_dr
+                            + rprime_dr * (delta_dc + metric_euler / k2))
+        dFd = dFd.at[1].set(k / 3.0 * F_dr[0] - 2.0 / 3.0 * k * s2 * F_dr[2]
+                            + 4.0 * metric_euler / (3.0 * k) * r_dr
+                            + rprime_dr / k * theta_dc)
+        dFd = dFd.at[2].set(8.0 / 15.0 * (0.75 * k * F_dr[1] + metric_shear * r_dr)
+                            - 3.0 / 5.0 * k * s_l3 / s_l2 * F_dr[3])
+        dFd = dFd.at[3].set(k / 7.0 * (3.0 * s_l3 * s_l2 * F_dr[2]
+                                       - 4.0 * s_of_l(4.0) * F_dr[4]))
+        dFd_last = k * (s_of_l(float(lmax_dr)) * F_dr[-2]
+                        - (1.0 + lmax_dr) * cotKgen * F_dr[-1])
+        dFd = dFd.at[-1].set(dFd_last)
+        dy = jax.lax.dynamic_update_slice(dy, dFd, (idx.F_dr,))
+
     # dark-energy fluid (perturb_derivs fld block, non-PPF)
     if idx.has_fld:
         dy = dy.at[idx.delta_fld].set(
@@ -498,11 +544,21 @@ def rhs_full(tau, y, ctx: PertCtx):
     theta_cb_gauge = (rho_b * theta_b + rho_cdm * theta_cdm_g) / rho_m_cb
     delta_cb = (rho_b * delta_b + rho_cdm * delta_cdm) / rho_m_cb + 3.0 * aH * theta_cb_gauge / k2
     theta_cb = theta_cb_gauge + k2 * alpha
-    if idx.n_ncdm:
-        rho_m = rho_m_cb + jnp.sum(rho_nc)
-        rho_plus_p_m = rho_m_cb + jnp.sum(rho_plus_p_nc)
-        delta_rho_m = rho_b * delta_b + rho_cdm * delta_cdm + jnp.sum(rho_delta_nc)
-        rho_plus_p_theta_m = rho_b * theta_b + rho_cdm * theta_cdm_g + jnp.sum(rpt_nc)
+    if idx.n_ncdm or idx.has_dcdm:
+        rho_m = rho_m_cb
+        rho_plus_p_m = rho_m_cb
+        delta_rho_m = rho_b * delta_b + rho_cdm * delta_cdm
+        rho_plus_p_theta_m = rho_b * theta_b + rho_cdm * theta_cdm_g
+        if idx.n_ncdm:
+            rho_m = rho_m + jnp.sum(rho_nc)
+            rho_plus_p_m = rho_plus_p_m + jnp.sum(rho_plus_p_nc)
+            delta_rho_m = delta_rho_m + jnp.sum(rho_delta_nc)
+            rho_plus_p_theta_m = rho_plus_p_theta_m + jnp.sum(rpt_nc)
+        if idx.has_dcdm:
+            rho_m = rho_m + rho_dcdm
+            rho_plus_p_m = rho_plus_p_m + rho_dcdm
+            delta_rho_m = delta_rho_m + rho_dcdm * delta_dc
+            rho_plus_p_theta_m = rho_plus_p_theta_m + rho_dcdm * theta_dc
         theta_m_gauge = rho_plus_p_theta_m / rho_plus_p_m
         delta_m = delta_rho_m / rho_m + 3.0 * aH * theta_m_gauge / k2
         theta_m = theta_m_gauge + k2 * alpha
@@ -529,6 +585,8 @@ def rhs_full(tau, y, ctx: PertCtx):
         theta_nc_tot = zero
     if idx.has_fld:
         rho_tot = rho_tot + rho_fld
+    if idx.has_dcdm:
+        rho_tot = rho_tot + rho_dcdm + rho_dr
     delta_tot = delta_rho / rho_tot
 
     loc = Locals(
@@ -658,6 +716,12 @@ def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
     rho_r = rho_g + rho_ur
     rho_m = rho_b + rho_cdm
     rho_nu = rho_ur
+    if idx.has_dcdm:
+        rho_dcdm_i = bgv[bidx["rho_dcdm"]]
+        rho_dr_i = bgv[bidx["rho_dr"]]
+        rho_m = rho_m + rho_dcdm_i
+        rho_r = rho_r + rho_dr_i
+        rho_nu = rho_nu + rho_dr_i
     fracnu = rho_nu / rho_r
     fracb = rho_b / rho_m
     om = a * rho_m / jnp.sqrt(rho_r)
@@ -690,6 +754,14 @@ def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
     y = y.at[idx.delta_b].set(0.75 * delta_g)
     y = y.at[idx.theta_b].set(theta_g)
     y = y.at[idx.delta_cdm].set(0.75 * delta_g)
+    if idx.has_dcdm:
+        # dcdm density like cdm; dr seeded from the ur values weighted by
+        # r_dr (perturb_initial_conditions :5255-5267)
+        y = y.at[idx.delta_dcdm].set(0.75 * delta_g)
+        a_bg = bgv[bidx["a"]]
+        r_dr_i = rho_dr_i * (a_bg * a_bg / ctx.H0) ** 2
+        y = y.at[idx.F_dr + 0].set(delta_ur * r_dr_i)
+        y = y.at[idx.F_dr + 1].set(4.0 / (3.0 * k) * theta_ur * r_dr_i)
     y = y.at[idx.delta_ur].set(delta_ur)
     y = y.at[idx.theta_ur].set(theta_ur)
     y = y.at[idx.shear_ur].set(shear_ur)
@@ -868,6 +940,19 @@ def _ic_to_newtonian(y, k, tau, ctx: PertCtx):
         w0 = bgv[bidx["w_fld"]]
         y = y.at[idx.delta_fld].add(3.0 * (1.0 + w0) * aH * alpha)
         y = y.at[idx.theta_fld].add(k2 * alpha)
+    if idx.has_dcdm:
+        # dcdm picks up a decay term in the gauge shift (:5152); the dr seeds
+        # are rebuilt from the transformed ur variables with the source
+        # correction (:5186, :5260-5261)
+        aG = a * ctx.Gamma_dcdm
+        rho_dcdm_i = bgv[bidx["rho_dcdm"]]
+        rho_dr_i = bgv[bidx["rho_dr"]]
+        y = y.at[idx.delta_dcdm].add((-3.0 * aH - aG) * alpha)
+        y = y.at[idx.theta_dcdm_pt].set(k2 * alpha)
+        r_dr_i = rho_dr_i * (a * a / ctx.H0) ** 2
+        delta_dr_shift = (-4.0 * aH + aG * rho_dcdm_i / rho_dr_i) * alpha
+        y = y.at[idx.F_dr + 0].add(delta_dr_shift * r_dr_i)
+        y = y.at[idx.F_dr + 1].set(4.0 / (3.0 * k) * y[idx.theta_ur] * r_dr_i)
     if idx.n_ncdm:
         # re-seed Psi0/Psi1 from the transformed ur variables (:5246-5252)
         nc = ctx.ncdm

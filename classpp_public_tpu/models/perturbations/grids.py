@@ -27,7 +27,7 @@ from ..thermodynamics import ThermoResult, ThIdx
 def get_k_list(params: CosmoParams, pr: PrecisionParams, bg, th,
                l_scalar_max: int = 2500, k_max_for_pk: float = 10.0,
                has_cls: bool = True, has_pk: bool = True,
-               k_max_cl_extra: float = 0.0) -> np.ndarray:
+               k_max_cl_extra: float = 0.0, m_mode: int = 0) -> np.ndarray:
     """Scalar k grid [1/Mpc]. Reference perturb_get_k_list (:1628):
     tanh step transition around k_rec below k_max_cmb, log spacing with BAO
     densification above. k_max_cl_extra raises the densely-sampled CMB-style
@@ -42,7 +42,8 @@ def get_k_list(params: CosmoParams, pr: PrecisionParams, bg, th,
     K = -params.Omega_k * float(bg.H0) ** 2
     ang = float(th.angular_rescaling)
     if K < 0.0:
-        k_min = math.sqrt(-K + (pr.k_min_tau0 / tau0 / ang) ** 2)
+        # q^2 = k^2 + (1+m)K must stay positive (m=0 scalars, 2 tensors)
+        k_min = math.sqrt(-(1.0 + m_mode) * K + (pr.k_min_tau0 / tau0 / ang) ** 2)
     else:
         k_min = pr.k_min_tau0 / tau0
     k_max_cmb = pr.k_max_tau0_over_l_max * l_scalar_max / tau0 / ang if has_cls else k_min

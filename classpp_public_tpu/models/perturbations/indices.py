@@ -35,6 +35,10 @@ class PtIdx:
     # sign of the spatial curvature (reference pba->sgnK): 0 flat, -1 open,
     # +1 closed; static so the trig/hyperbolic branch is resolved at trace time
     sgnK: int = 0
+    # decaying cold dark matter -> dark radiation (delta+theta for dcdm and a
+    # dr hierarchy F_0..F_lmax; reference perturb_vector_init :3380-3390)
+    has_dcdm: bool = False
+    l_max_dr: int = 17
 
     # --- photons
     @property
@@ -108,11 +112,32 @@ class PtIdx:
     def n_F_ur(self):
         return self.l_max_ur - 2
 
+    # --- dcdm + dr (after the ur block)
+    @property
+    def delta_dcdm(self):
+        return self.F_ur + self.n_F_ur
+
+    @property
+    def theta_dcdm_pt(self):
+        return self.delta_dcdm + 1
+
+    @property
+    def F_dr(self):   # dr hierarchy F_l, l=0..l_max_dr (density-weighted)
+        return self.delta_dcdm + 2
+
+    @property
+    def n_F_dr(self):
+        return self.l_max_dr + 1 if self.has_dcdm else 0
+
+    @property
+    def n_dcdm_dr(self):
+        return (2 + self.n_F_dr) if self.has_dcdm else 0
+
     # --- ncdm: per species a (q_size x (l_max_ncdm+1)) block; under the fluid
     # approximation only the first three slots (delta, theta, sigma) evolve
     @property
     def ncdm(self):
-        return self.F_ur + self.n_F_ur
+        return self.F_ur + self.n_F_ur + self.n_dcdm_dr
 
     @property
     def n_l_ncdm(self):

@@ -59,19 +59,20 @@ def make_ncdm_ctx(params, bg, idx):
 
 
 @lru_cache(maxsize=16)
-def get_batch_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0):
+def get_batch_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
     """jitted vmapped per-k solver head (ICs + pre-phase + first window)."""
     from ..background import BgIdx
 
     bidx = BgIdx(*bidx_key)
     return jax.jit(jax.vmap(
         partial(solve_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver, K=K),
+                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver, K=K,
+                Gamma_dcdm=Gamma_dcdm, H0=H0),
         in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None)))
 
 
 @lru_cache(maxsize=16)
-def get_window_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0):
+def get_window_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
     """jitted vmapped continuation solver: resumes from a carried (y, h)."""
     from ..background import BgIdx
 
@@ -82,7 +83,8 @@ def get_window_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", ato
         return solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus,
                            bg_spline, th_spline, ncdm, bidx, idx, rtol,
                            wa_fld=wa_fld, cs2_fld=cs2_fld, ic=ic, y_carry=(y, h),
-                           atol=atol, evolver=evolver, K=K)
+                           atol=atol, evolver=evolver, K=K,
+                           Gamma_dcdm=Gamma_dcdm, H0=H0)
 
     return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None, 0, 0)))
 
@@ -102,7 +104,7 @@ K_ETA_SPLIT = 0.02  # 1/Mpc: below this, adiabatic lanes store eta - 1
 
 def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
              bidx, idx, rtol, atol, wa_fld, cs2_fld, ic="ad", evolver="imex",
-             K=0.0):
+             K=0.0, Gamma_dcdm=0.0, H0=1.0):
     eta_off = ((k < K_ETA_SPLIT).astype(k.dtype)
                if (ic == "ad" and idx.gauge == "synchronous") else 0.0)
     """Shared per-k integration machinery: flag context + adaptive interval
@@ -127,7 +129,8 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
         return eq.PertCtx(k=k, tca_on=t < t_tca, rsa_on=t >= t_rsa, ufa_on=t >= t_ufa,
                           bg_spline=bg_spline, th_spline=th_spline, bidx=bidx, idx=idx,
                           ncdmfa_on=t >= t_ncfa, ncdm=ncdm,
-                          wa_fld=wa_fld, cs2_fld=cs2_fld, eta_off=eta_off, K=K)
+                          wa_fld=wa_fld, cs2_fld=cs2_fld, eta_off=eta_off, K=K,
+                          Gamma_dcdm=Gamma_dcdm, H0=H0)
 
     # embedded-error order sets the controller exponent
     err_exp = -0.25 if evolver == "imex" else -0.2
@@ -183,11 +186,12 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
 
 def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline, ncdm, bidx, idx, rtol,
                 wa_fld=0.0, cs2_fld=1.0, ic="ad", y_carry=None, atol=1e-11,
-                evolver="imex", K=0.0):
+                evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
     """Integrate one k-mode over all sampling intervals, emitting sources."""
     ctx_at, integrate_interval = _stepper(
         k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
-        bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic, evolver=evolver, K=K)
+        bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic, evolver=evolver, K=K,
+        Gamma_dcdm=Gamma_dcdm, H0=H0)
 
     if y_carry is None:
         # initial conditions at tau_ini (always deep in tight coupling),
@@ -222,56 +226,60 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
 
 def init_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
                ncdm, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11,
-               evolver="imex", K=0.0):
+               evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
     ctx_at, _ = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
                          ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic,
-                         evolver=evolver, K=K)
+                         evolver=evolver, K=K, Gamma_dcdm=Gamma_dcdm, H0=H0)
     y0 = eq.initial_conditions(ic, k, tau_ini, ctx_at(tau_ini))
     return y0, 0.1 * tau_ini
 
 
 def advance_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t_a, t_b, bg_spline, th_spline,
                   ncdm, y, h, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad",
-                  atol=1e-11, evolver="imex", K=0.0):
+                  atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
     _, integrate_interval = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline,
                                      th_spline, ncdm, bidx, idx, rtol, atol,
-                                     wa_fld, cs2_fld, ic=ic, evolver=evolver, K=K)
+                                     wa_fld, cs2_fld, ic=ic, evolver=evolver, K=K,
+                                     Gamma_dcdm=Gamma_dcdm, H0=H0)
     return integrate_interval(y, h, t_a, t_b)
 
 
 def emit_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t, bg_spline, th_spline, ncdm, y,
                bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11,
-               evolver="imex", K=0.0):
+               evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
     ctx_at, _ = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
                          ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic,
-                         evolver=evolver, K=K)
+                         evolver=evolver, K=K, Gamma_dcdm=Gamma_dcdm, H0=H0)
     return eq.compute_sources(t, y, ctx_at(t))
 
 
 @lru_cache(maxsize=16)
-def get_init_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0):
+def get_init_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
     bidx = BgIdx(*bidx_key)
     return jax.jit(jax.vmap(
         partial(init_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver, K=K),
+                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver, K=K,
+                Gamma_dcdm=Gamma_dcdm, H0=H0),
         in_axes=(0, 0, 0, 0, 0, 0, None, None, None)))
 
 
 @lru_cache(maxsize=16)
-def get_advance_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0):
+def get_advance_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
     bidx = BgIdx(*bidx_key)
     return jax.jit(jax.vmap(
         partial(advance_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver, K=K),
+                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver, K=K,
+                Gamma_dcdm=Gamma_dcdm, H0=H0),
         in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, 0, 0)))
 
 
 @lru_cache(maxsize=16)
-def get_emit_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0):
+def get_emit_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
     bidx = BgIdx(*bidx_key)
     return jax.jit(jax.vmap(
         partial(emit_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver, K=K),
+                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver, K=K,
+                Gamma_dcdm=Gamma_dcdm, H0=H0),
         in_axes=(0, 0, 0, 0, 0, None, None, None, None, 0)))
 
 
@@ -306,9 +314,10 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
     # curvature: K = -Omega_k H0^2 (reference input_module Omega_k -> K)
     K_curv = float(-params.Omega_k * float(bg.H0) ** 2)
     sgnK = 0 if params.Omega_k == 0.0 else (1 if K_curv > 0 else -1)
+    has_dcdm = (params.Omega_ini_dcdm > 0.0) or (params.Omega_dcdmdr > 0.0)
     idx = PtIdx(l_max_g=pr.l_max_g, l_max_pol_g=pr.l_max_pol_g, l_max_ur=pr.l_max_ur,
                 n_ncdm=n_ncdm, l_max_ncdm=pr.l_max_ncdm, has_fld=params.use_fld,
-                gauge=gauge, sgnK=sgnK)
+                gauge=gauge, sgnK=sgnK, has_dcdm=has_dcdm, l_max_dr=pr.l_max_dr)
     taus_j = jnp.asarray(taus)
     ncdm_ctx = make_ncdm_ctx(params, bg, idx) if n_ncdm else None
 
@@ -385,7 +394,9 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 nwin = max(1, pr.tau_windows * (8 if any_heavy else 1))
             bounds = np.linspace(0, ntau - 1, nwin + 1).astype(int)
             kw = dict(wa_fld=params.wa_fld, cs2_fld=params.cs2_fld, atol=atol,
-                      evolver=pr.evolver, K=K_curv)
+                      evolver=pr.evolver, K=K_curv,
+                      Gamma_dcdm=params.Gamma_dcdm / 299792.458,
+                      H0=float(bg.H0))
             init = get_init_solver(bidx.key, idx, rtol, ic=ic_name, **kw)
             adv = get_advance_solver(bidx.key, idx, rtol, ic=ic_name, **kw)
             emit = get_emit_solver(bidx.key, idx, rtol, ic=ic_name, **kw)

@@ -39,6 +39,7 @@ class TnIdx:
     l_max_pol_g_ten: int = 5
     l_max_ur: int = 17
     n_ncdm: int = 0
+    sgnK: int = 0
 
     gw = 0
     gwdot = 1
@@ -81,18 +82,24 @@ class TensorCtx(NamedTuple):
     bidx: object
     idx: TnIdx
     rho_rel_extra: jnp.ndarray   # 3*sum_s p_ncdm columns? passed as 0 for now
+    K: float = 0.0               # curvature [Mpc^-2]
 
 
-def _hier_deriv(Fv, k, tau, kap=None):
+def _hier_deriv(Fv, k, tau, kap=None, s_of_l=None, cotKgen=None):
     """Generic tensor hierarchy derivative for F_l, l=0..lmax, with the CLASS
-    variable convention (F0=delta, F1 s.t. theta=(3k/4)F1 handled by caller).
+    variable convention (F0=delta, F1 s.t. theta=(3k/4)F1 handled by caller)
+    and the curvature coefficients s_l / cotKgen (flat: 1 and 1/(k tau)).
     Used for the l>=3 tail; low moments are set explicitly by the caller."""
     nl = Fv.shape[0]
     ls = jnp.arange(0, nl, dtype=Fv.dtype)
+    sl = s_of_l(ls) if s_of_l is not None else 1.0
+    sl1 = s_of_l(ls + 1.0) if s_of_l is not None else 1.0
     Fm1 = jnp.concatenate([jnp.zeros((1,)), Fv[:-1]])
     Fp1 = jnp.concatenate([Fv[1:], jnp.zeros((1,))])
-    d = k / (2.0 * ls + 1.0) * (ls * Fm1 - (ls + 1.0) * Fp1)
-    d = d.at[-1].set(k * Fv[-2] - (nl) / tau * Fv[-1])
+    d = k / (2.0 * ls + 1.0) * (ls * sl * Fm1 - (ls + 1.0) * sl1 * Fp1)
+    sl_last = s_of_l(float(nl - 1)) if s_of_l is not None else 1.0
+    ck = cotKgen if cotKgen is not None else 1.0 / (k * tau)
+    d = d.at[-1].set(k * (sl_last * Fv[-2] - nl * ck * Fv[-1]))
     if kap is not None:
         d = d - kap * Fv
     return d
@@ -118,6 +125,23 @@ def rhs_full(tau, y, ctx: TensorCtx):
     rsa = ctx.rsa_on
     hier_on = (~tca) & (~rsa)
 
+    # curvature coefficients (shared s_l array, perturb_workspace :2532)
+    K = ctx.K
+
+    def s_of_l(lv):
+        return jnp.sqrt(jnp.maximum(1.0 - K * (lv * lv - 1.0) / k2, 0.0))
+
+    s_l2 = s_of_l(2.0)
+    s_l3 = s_of_l(3.0)
+    s_l4 = s_of_l(4.0)
+    s2 = s_l2 * s_l2
+    if ctx.idx.sgnK == 0:
+        cotKgen = 1.0 / (k * tau)
+    else:
+        sab = jnp.sqrt(jnp.abs(K))
+        tanK = jnp.tan(sab * tau) if ctx.idx.sgnK > 0 else jnp.tanh(sab * tau)
+        cotKgen = sab / (k * tanK)
+
     gw = y[idx.gw]
     gwdot = y[idx.gwdot]
     F = jax.lax.dynamic_slice(y, (idx.F,), (idx.n_F,))
@@ -137,7 +161,9 @@ def rhs_full(tau, y, ctx: TensorCtx):
                          -_SQRT6 * 4.0 * a2 * rho_g * (delta_g / 15.0 + 4.0 / 21.0 * shear_g + F[4] / 35.0),
                          0.0)
     gw_src_ur = -_SQRT6 * 4.0 * a2 * rho_rel * (delta_ur / 15.0 + 4.0 / 21.0 * shear_ur + U[4] / 35.0)
-    gw_pp = -2.0 * aH * gwdot - k2 * gw + gw_src_g + gw_src_ur
+    # single tensor Einstein equation (perturb_einstein :6039): note the
+    # curvature shift k^2 -> k^2 + 2K
+    gw_pp = -2.0 * aH * gwdot - (k2 + 2.0 * K) * gw + gw_src_g + gw_src_ur
 
     # tensor polarization combo P2 (perturb_derivs :9050-9062)
     P2 = -(1.0 / _SQRT6) * (delta_g / 10.0 + 2.0 / 7.0 * shear_g + 3.0 / 70.0 * F[4]
@@ -147,25 +173,25 @@ def rhs_full(tau, y, ctx: TensorCtx):
     dy = dy.at[idx.gw].set(gwdot)
     dy = dy.at[idx.gwdot].set(gw_pp)
 
-    # photon temperature hierarchy
-    dF = _hier_deriv(F, k, tau, kap)
+    # photon temperature hierarchy (perturb_derivs tensor block :9075-9110)
+    dF = _hier_deriv(F, k, tau, kap, s_of_l, cotKgen)
     dF = dF.at[0].set(-4.0 / 3.0 * theta_g - kap * (delta_g + _SQRT6 * P2) + _SQRT6 * gwdot)
-    dF = dF.at[1].set(k2 * (delta_g / 4.0 - shear_g) - kap * theta_g)
-    dF = dF.at[2].set(4.0 / 15.0 * theta_g - 3.0 / 10.0 * k * F[3] - kap * shear_g)
-    dF = dF.at[3].set(k / 7.0 * (6.0 * shear_g - 4.0 * F[4]) - kap * F[3])
+    dF = dF.at[1].set(k2 * (delta_g / 4.0 - s_l2 * shear_g) - kap * theta_g)
+    dF = dF.at[2].set(4.0 / 15.0 * s_l2 * theta_g - 3.0 / 10.0 * k * s_l3 * F[3] - kap * shear_g)
+    dF = dF.at[3].set(k / 7.0 * (6.0 * s_l3 * shear_g - 4.0 * s_l4 * F[4]) - kap * F[3])
     dy = jax.lax.dynamic_update_slice(dy, jnp.where(hier_on, dF, jnp.zeros_like(dF)), (idx.F,))
 
     # photon polarization
-    dG = _hier_deriv(G, k, tau, kap)
+    dG = _hier_deriv(G, k, tau, kap, s_of_l, cotKgen)
     dG = dG.at[0].set(-k * G[1] - kap * (G[0] - _SQRT6 * P2))
     dy = jax.lax.dynamic_update_slice(dy, jnp.where(hier_on, dG, jnp.zeros_like(dG)), (idx.G,))
 
-    # ur hierarchy (no scattering; evolved in both tensor methods)
-    dU = _hier_deriv(U, k, tau, None)
+    # ur hierarchy (no scattering; evolved in both tensor methods, :9133-9155)
+    dU = _hier_deriv(U, k, tau, None, s_of_l, cotKgen)
     dU = dU.at[0].set(-4.0 / 3.0 * theta_ur + _SQRT6 * gwdot)
-    dU = dU.at[1].set(k2 * (delta_ur / 4.0 - shear_ur))
-    dU = dU.at[2].set(4.0 / 15.0 * theta_ur - 3.0 / 10.0 * k * U[3])
-    dU = dU.at[3].set(k / 7.0 * (6.0 * shear_ur - 4.0 * U[4]))
+    dU = dU.at[1].set(k2 * (delta_ur / 4.0 - s2 * shear_ur))
+    dU = dU.at[2].set(4.0 / 15.0 * theta_ur - 3.0 / 10.0 * k * s_l3 / s_l2 * U[3])
+    dU = dU.at[3].set(k / 7.0 * (6.0 * s_l3 * s_l2 * shear_ur - 4.0 * s_l4 * U[4]))
     dy = jax.lax.dynamic_update_slice(dy, dU, (idx.ur,))
 
     # sources (perturb_sources :7243-7273)
@@ -180,9 +206,22 @@ def rhs(tau, y, ctx):
     return rhs_full(tau, y, ctx)[0]
 
 
-def tensor_ic(idx: TnIdx, gw_ini: float = 1.0):
+def tensor_ic(idx: TnIdx, gw_ini: float = 1.0, k=None, K: float = 0.0):
+    """Adiabatic tensor IC gw = gw_ini/sqrt(6) (:5387); in curved space the
+    eigentensor-contraction factor F(k^2/K) and, for open models, the bubble-
+    nucleation tanh factor are absorbed here so that the primordial P_h(k)
+    stays flat-form (perturb_initial_conditions :5387-5404)."""
     y = jnp.zeros((idx.size,))
-    return y.at[idx.gw].set(gw_ini / _SQRT6)
+    amp = gw_ini / _SQRT6
+    if idx.sgnK != 0 and k is not None:
+        k2 = k * k
+        amp = amp * jnp.sqrt(k2 * (k2 - K) / ((k2 + 3.0 * K) * (k2 + 2.0 * K)))
+        if idx.sgnK < 0:
+            q2 = jnp.maximum(k2 + 3.0 * K, 0.0)
+            amp = amp * jnp.sqrt(jnp.tanh(math.pi / 2.0 * jnp.sqrt(q2)
+                                          / math.sqrt(-K)))
+            amp = jnp.where(k2 + 3.0 * K >= 0.0, amp, 0.0)
+    return y.at[idx.gw].set(amp)
 
 
 def remap_tca_off(y, tau, ctx: TensorCtx):
@@ -204,7 +243,7 @@ def remap_rsa_on(y, ctx: TensorCtx):
 
 
 def solve_one_k(k, tau_ini, t_tca, t_ufa_unused, t_rsa, taus, bg_spline, th_spline,
-                bidx, idx, rtol):
+                bidx, idx, rtol, K=0.0):
     """Integrate one tensor k-mode, emitting (S_T2, S_P) at every sample.
     Single while_loop per interval with per-step flags (see scalar solver)."""
     from ...ops.ode import rkck_step
@@ -214,7 +253,7 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa_unused, t_rsa, taus, bg_spline, th_spli
     def ctx_at(t):
         return TensorCtx(k=k, tca_on=t < t_tca, rsa_on=t >= t_rsa,
                          bg_spline=bg_spline, th_spline=th_spline, bidx=bidx,
-                         idx=idx, rho_rel_extra=jnp.asarray(0.0))
+                         idx=idx, rho_rel_extra=jnp.asarray(0.0), K=K)
 
     def integrate_interval(y, h, t_a, t_b):
         def cond(st):
@@ -249,7 +288,7 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa_unused, t_rsa, taus, bg_spline, th_spli
             cond, body, (t_a + zero_v, y, h, n0, (t_b + zero_v) <= t_a))
         return y, h, n
 
-    y = tensor_ic(idx)
+    y = tensor_ic(idx, k=k, K=K)
     h = 0.1 * tau_ini
     y, h, n0 = integrate_interval(y, h, tau_ini, taus[0])
     _, s0 = rhs_full(taus[0], y, ctx_at(taus[0]))
@@ -266,12 +305,12 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa_unused, t_rsa, taus, bg_spline, th_spli
 
 
 @lru_cache(maxsize=4)
-def get_tensor_solver(bidx_key, idx, rtol):
+def get_tensor_solver(bidx_key, idx, rtol, K=0.0):
     from ..background import BgIdx
 
     bidx = BgIdx(*bidx_key)
     return jax.jit(jax.vmap(
-        partial(solve_one_k, bidx=bidx, idx=idx, rtol=rtol),
+        partial(solve_one_k, bidx=bidx, idx=idx, rtol=rtol, K=K),
         in_axes=(0, 0, 0, 0, 0, None, None, None)))
 
 
@@ -287,11 +326,14 @@ def compute_tensor_perturbations(params, pr: PrecisionParams, bg, bidx, th,
     from .grids import get_k_list, get_k_schedule, get_tau_sampling
 
     ks = get_k_list(params, pr, bg, th, l_scalar_max=l_tensor_max,
-                    k_max_for_pk=0.0, has_cls=True, has_pk=False)
+                    k_max_for_pk=0.0, has_cls=True, has_pk=False, m_mode=2)
     taus = get_tau_sampling(params, pr, bg, bidx, th, has_cmb=True)
     sched = get_k_schedule(ks, pr, bg, bidx, th, tau_first_sample=float(taus[0]))
-    idx = TnIdx(pr.l_max_g_ten, pr.l_max_pol_g_ten, pr.l_max_ur, params.N_ncdm)
-    solve = get_tensor_solver(bidx.key, idx, pr.tol_perturb_integration)
+    K_curv = float(-params.Omega_k * float(bg.H0) ** 2)
+    sgnK = 0 if params.Omega_k == 0.0 else (1 if K_curv > 0 else -1)
+    idx = TnIdx(pr.l_max_g_ten, pr.l_max_pol_g_ten, pr.l_max_ur, params.N_ncdm,
+                sgnK=sgnK)
+    solve = get_tensor_solver(bidx.key, idx, pr.tol_perturb_integration, K=K_curv)
     srcs, _ = solve(jnp.asarray(sched.k), jnp.asarray(sched.tau_ini),
                     jnp.asarray(sched.tau_tca_off), jnp.asarray(sched.tau_ufa_on),
                     jnp.asarray(sched.tau_rsa_on),

@@ -93,7 +93,7 @@ def compute_spectra(tr: TransferResult, pm: PrimordialResult, l_max: int,
     if tr_tensor is not None:
         # tensor contributions (spectra_compute_cl tensor branch: temperature
         # uses Delta_t2 only; BB is purely tensor before lensing)
-        qt = tr_tensor.q
+        qt = tr_tensor.k if tr_tensor.k is not None else tr_tensor.q
         wt = trapz_weights(qt)
         pk_h = pm.tensor_pk(qt)
         meas_t = 4.0 * jnp.pi / qt * pk_h * wt

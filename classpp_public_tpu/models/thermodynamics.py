@@ -24,7 +24,7 @@ perturbation hot loop.
 from __future__ import annotations
 
 import math
-from functools import lru_cache
+from functools import lru_cache, partial
 from pathlib import Path
 from typing import NamedTuple
 
@@ -310,10 +310,15 @@ class RecoTable(NamedTuple):
     dkappadtau: jnp.ndarray
 
 
+@partial(jax.jit, static_argnames=("pr",))
 def compute_recombination(params: CosmoParams, pr: PrecisionParams, ctx: RecfastCtx) -> RecoTable:
     """RECFAST history as one lax.scan over the fixed z grid (descending),
     mirroring the staged approximation scheme of
-    thermodynamics_recombination_with_recfast (:3461-3647)."""
+    thermodynamics_recombination_with_recfast (:3461-3647).
+
+    Jitted with `pr` static: the scan body is a closure, so an un-jitted call
+    would re-trace and re-compile it on every invocation (a fresh XLA compile
+    per Class instance)."""
     Nz = pr.recfast_Nz0
     z_init = pr.recfast_z_initial
     i_arr = jnp.arange(Nz)

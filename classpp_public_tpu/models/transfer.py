@@ -448,22 +448,35 @@ TT_TYPES_TENSOR = ["t2", "e", "b"]
 
 @lru_cache(maxsize=8)
 def _transfer_tensor_core(lmax_scan: int, n_l: int, nq: int, ntau: int,
-                          neglect_dk: tuple):
-    def core(W, taus, tau0, qj, l_emit, emit_idx, ra_rec):
+                          neglect_dk: tuple, sgnK: int = 0):
+    def core(W, taus, tau0, qj, l_emit, emit_idx, ra_rec, K, kq):
+        if sgnK != 0:
+            return _tensor_scan_curved(W, taus, tau0, qj, l_emit, emit_idx,
+                                       lmax_scan, n_l, nq, neglect_dk, ra_rec,
+                                       sgnK, K, kq)
         return _tensor_scan(W, taus, tau0, qj, l_emit, emit_idx, lmax_scan, n_l,
                             nq, neglect_dk, ra_rec)
 
     return jax.jit(core)
 
 
-def compute_transfer_tensor(tpert, th, pr: PrecisionParams, l_max: int) -> TransferResult:
+def compute_transfer_tensor(tpert, th, pr: PrecisionParams, l_max: int,
+                            K: float = 0.0, sgnK: int = 0) -> TransferResult:
     """Tensor Delta_l^{T2,E,B}(q): Bessel-recurrence scan with the tensor
     radial functions (transfer_radial_function TENSOR_* cases,
-    transfer_module.cpp:3480-3540)."""
+    transfer_module.cpp:3480-3540). For K != 0 the hyperspherical scan runs
+    at nu = q/sqrt|K| with q^2 = k^2 + 3K (tensor m = 2)."""
     tau0 = float(tpert.tau0)
     ls = get_l_list(pr, l_max)
     k = np.asarray(tpert.k)
-    q = get_q_list(pr, float(k[0]), float(k[-1]), tau0, float(th.tau_rec))
+    if sgnK == 0:
+        q = get_q_list(pr, float(k[0]), float(k[-1]), tau0, float(th.tau_rec))
+        k_of_q = q
+    else:
+        q_min = math.sqrt(max(float(k[0]) ** 2 + 3.0 * K, 1e-10 * float(k[0]) ** 2))
+        q_max = math.sqrt(float(k[-1]) ** 2 + 3.0 * K)
+        q = get_q_list(pr, q_min, q_max, tau0, float(th.tau_rec))
+        k_of_q = np.sqrt(np.maximum(q * q - 3.0 * K, float(k[0]) ** 2))
 
     taus = tpert.tau
     S = tpert.sources                          # (nk, ntau, 2)
@@ -474,7 +487,7 @@ def compute_transfer_tensor(tpert, th, pr: PrecisionParams, l_max: int) -> Trans
     lnk = jnp.log(jnp.asarray(k))
     y = S.reshape(S.shape[0], -1)
     d2 = spline_d2(lnk, y)
-    yq = spline_eval(lnk, y, d2, jnp.log(jnp.asarray(q)))
+    yq = spline_eval(lnk, y, d2, jnp.log(jnp.asarray(k_of_q)))
     Sq = yq.reshape(len(q), S.shape[1], 2).transpose(2, 0, 1)   # (2, nq, ntau)
     W = Sq * w_tau[None, None, :]
 
@@ -485,10 +498,111 @@ def compute_transfer_tensor(tpert, th, pr: PrecisionParams, l_max: int) -> Trans
     neglect_dk = (pr.transfer_neglect_delta_k_T_t2, pr.transfer_neglect_delta_k_T_e,
                   pr.transfer_neglect_delta_k_T_b)
     ra_rec = (tau0 - float(th.tau_rec)) * float(th.angular_rescaling)
-    core = _transfer_tensor_core(lmax_scan, len(ls), len(q), W.shape[-1], neglect_dk)
+    core = _transfer_tensor_core(lmax_scan, len(ls), len(q), W.shape[-1],
+                                 neglect_dk, sgnK)
     acc = core(W, taus, tpert.tau0, jnp.asarray(q), jnp.asarray(ls),
-               jnp.asarray(emit_idx_np), jnp.asarray(ra_rec))
-    return TransferResult(l=jnp.asarray(ls), q=jnp.asarray(q), delta=acc, tau0=tpert.tau0)
+               jnp.asarray(emit_idx_np), jnp.asarray(ra_rec), jnp.asarray(K),
+               jnp.asarray(k_of_q))
+    return TransferResult(l=jnp.asarray(ls), q=jnp.asarray(q), delta=acc,
+                          tau0=tpert.tau0, k=jnp.asarray(k_of_q))
+
+
+def _tensor_scan_curved(W, taus, tau0, qj, l_emit, emit_idx, lmax_scan, n_l,
+                        nq, neglect_dk, ra_rec, sgnK, K, kq):
+    """Curved tensor LOS scan: hyperspherical Phi_l^nu with the tensor
+    radial functions (transfer_radial_function TENSOR_* :3486-3520)."""
+    sab = jnp.sqrt(jnp.abs(K))
+    chi = tau0 - taus
+    x = jnp.maximum(sab * chi, 1e-12)[None, :]
+    beta = (qj / sab)[:, None]
+    if sgnK > 0:
+        sinK = jnp.sin(x)
+        cotK_x = jnp.cos(x) / sinK
+        Ktilde = 1.0
+    else:
+        sinK = jnp.sinh(x)
+        cotK_x = jnp.cosh(x) / sinK
+        Ktilde = -1.0
+    beta2 = beta * beta
+
+    def sqK(lv):
+        return jnp.sqrt(jnp.maximum(beta2 - Ktilde * lv * lv, 1e-30))
+
+    bx = jnp.maximum(beta * x, 1e-12)
+    inv_bx = 1.0 / bx
+    small = bx < 0.3
+    bx2 = bx * bx
+    x_over_sinK = x / sinK
+    j0f = jnp.where(small, 1.0 - bx2 / 6.0 * (1.0 - bx2 / 20.0 * (1.0 - bx2 / 42.0)),
+                    jnp.sin(bx) * inv_bx)
+    Phi0 = j0f * x_over_sinK
+    Phi1 = Phi0 * (cotK_x - beta / jnp.tan(bx)) / sqK(1.0)
+
+    k2 = (kq * kq)[:, None]
+    ssqrt2 = jnp.sqrt(1.0 - K / k2)
+    si = jnp.sqrt(1.0 + 2.0 * K / k2)
+    ssqrt2i = jnp.sqrt(1.0 + 3.0 * K / k2)
+    cscKgen = sab / (kq[:, None] * sinK)
+    cotKgen = cscKgen * (jnp.cos(x) if sgnK > 0 else jnp.cosh(x))
+    absK_over_k2 = jnp.abs(K) / k2
+    sab_over_k = sab / kq[:, None]
+    t2_fac = jnp.sqrt(3.0 / 8.0 * (l_emit + 2.0) * (l_emit + 1.0) * l_emit * (l_emit - 1.0))
+
+    def body(carry, l_int):
+        pm1, pm2, lnC, acc = carry
+        l = l_int.astype(x.dtype)
+        sq_l = sqK(l)
+        pl = ((2.0 * l - 1.0) * cotK_x * pm1 - sqK(l - 1.0) * pm2) / sq_l
+        xf = beta * sinK
+        mask = l <= xf + 6.0 * jnp.cbrt(xf) + 2.0
+        pl = jnp.where(mask, pl, 0.0)
+        lnC_new = lnC + 0.5 * jnp.log1p(-Ktilde * l * l / beta2)
+        ei = emit_idx[l_int]
+
+        def do_emit(acc):
+            lnx = jnp.log(bx)
+            ln2 = math.log(2.0)
+            lndf = gammaln(2.0 * l + 2.0) - l * ln2 - gammaln(l + 1.0)
+            lndf1 = gammaln(2.0 * l + 4.0) - (l + 1.0) * ln2 - gammaln(l + 2.0)
+            c1 = 2.0 * l + 3.0
+            corr = 1.0 - bx2 / (2.0 * c1) * (1.0 - bx2 / (4.0 * (c1 + 2.0))
+                                             * (1.0 - bx2 / (6.0 * (c1 + 4.0))))
+            c1b = 2.0 * l + 5.0
+            corr1 = 1.0 - bx2 / (2.0 * c1b) * (1.0 - bx2 / (4.0 * (c1b + 2.0))
+                                               * (1.0 - bx2 / (6.0 * (c1b + 4.0))))
+            js = jnp.exp(l * lnx - lndf + lnC_new) * corr
+            js1 = jnp.exp((l + 1.0) * lnx - lndf1 + lnC_new) * corr1
+            use_series = bx < 1.0
+            pl_e = jnp.where(use_series, js, pl)
+            dp_rec = sq_l * pm1 - (l + 1.0) * cotK_x * pl
+            dp_ser = beta * (l * inv_bx * js - js1)
+            dp_e = jnp.where(use_series, dp_ser, dp_rec)
+            d2p = -2.0 * dp_e * cotK_x + pl_e * (l * (l + 1.0) / (sinK * sinK)
+                                                 - beta2 + Ktilde)
+            rad_t2 = t2_fac[ei] / (si * ssqrt2) * cscKgen * cscKgen * pl_e
+            rad_e = 0.25 / (si * ssqrt2) * (
+                absK_over_k2 * d2p + 4.0 * cotKgen * sab_over_k * dp_e
+                - (1.0 + 4.0 * K / k2 - 2.0 * cotKgen * cotKgen) * pl_e)
+            rad_b = 0.5 * ssqrt2i / (ssqrt2 * si) * (
+                sab_over_k * dp_e + 2.0 * cotKgen * pl_e)
+            d_t2 = jnp.sum(W[0] * rad_t2, axis=-1)
+            d_e = jnp.sum(W[1] * rad_e, axis=-1)
+            d_b = jnp.sum(W[1] * rad_b, axis=-1)
+            keep = [l >= (kq - dk) * ra_rec for dk in neglect_dk]
+            row = jnp.stack([jnp.where(keep[0], d_t2, 0.0),
+                             jnp.where(keep[1], d_e, 0.0),
+                             jnp.where(keep[2], d_b, 0.0)], axis=0)
+            z32 = jnp.zeros((), ei.dtype)
+            return jax.lax.dynamic_update_slice(acc, row[None], (ei, z32, z32))
+
+        acc = jax.lax.cond(ei >= 0, do_emit, lambda a: a, acc)
+        return (pl, pm1, lnC_new, acc), None
+
+    acc0 = jnp.zeros((n_l, 3, nq))
+    lnC1 = 0.5 * jnp.log1p(-Ktilde * 1.0 / beta2)
+    (_, _, _, acc), _ = jax.lax.scan(
+        body, (Phi1, Phi0, lnC1, acc0), jnp.arange(2, lmax_scan + 1))
+    return acc
 
 
 def _tensor_scan(W, taus, tau0, qj, l_emit, emit_idx, lmax_scan, n_l, nq,

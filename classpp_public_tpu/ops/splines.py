@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.jit
 def tridiag_solve(dl: jnp.ndarray, d: jnp.ndarray, du: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Thomas algorithm for a tridiagonal system, via lax.scan.
 
@@ -47,6 +48,7 @@ def tridiag_solve(dl: jnp.ndarray, d: jnp.ndarray, du: jnp.ndarray, b: jnp.ndarr
     return xs if b.ndim > 1 else xs[:, 0]
 
 
+@partial(jax.jit, static_argnames=("bc",))
 def spline_d2(x: jnp.ndarray, y: jnp.ndarray, bc: str = "natural") -> jnp.ndarray:
     """Second derivatives of the cubic spline through (x, y).
 

@@ -200,7 +200,7 @@ class Cosmology:
 
             self._cache["ttr"] = compute_transfer_tensor(
                 self.tensor_perturbations, self.thermodynamics, self.pr,
-                l_max=self.out.l_tensor_max)
+                l_max=self.out.l_tensor_max, K=self.curvature_K, sgnK=self.sgnK)
         return self._cache["ttr"]
 
     @property
