@@ -158,10 +158,36 @@ class Class:
             kw["recombination"] = str(p.pop("recombination")).strip().lower()
         if "reio_parametrization" in p:
             reio = str(p.pop("reio_parametrization")).strip().lower()
-            if reio != "reio_camb":
+            if reio not in ("reio_camb", "reio_half_tanh", "reio_bins_tanh",
+                            "reio_many_tanh", "reio_inter", "reio_none"):
                 raise CosmoSevereError(
-                    f"reio_parametrization {reio!r} not implemented (reio_camb only; "
-                    "ref thermodynamics_module.cpp:1893)")
+                    f"reio_parametrization {reio!r} unknown "
+                    "(ref input_module.cpp:1436)")
+            kw["reio_parametrization"] = reio
+        # binned / many-tanh / interpolated reionization inputs
+        # (input_module.cpp:1469-1487); the *_num counts are implied by the
+        # list lengths but accepted and cross-checked
+        for base in ("binned_reio", "many_tanh", "reio_inter"):
+            zkey = {"binned_reio": "binned_reio_z", "many_tanh": "many_tanh_z",
+                    "reio_inter": "reio_inter_z"}[base]
+            xkey = {"binned_reio": "binned_reio_xe", "many_tanh": "many_tanh_xe",
+                    "reio_inter": "reio_inter_xe"}[base]
+            nkey = f"{base}_num"
+            if zkey in p or xkey in p:
+                zs = tuple(_parse_list(p.pop(zkey)))
+                xs = tuple(_parse_list(p.pop(xkey)))
+                if nkey in p and int(p.pop(nkey)) != len(zs):
+                    raise CosmoSevereError(f"{nkey} inconsistent with {zkey} length")
+                if len(zs) != len(xs):
+                    raise CosmoSevereError(f"{zkey} and {xkey} must have equal length")
+                kw[zkey] = zs
+                kw[xkey] = xs
+            elif nkey in p:
+                p.pop(nkey)
+        if "binned_reio_step_sharpness" in p:
+            kw["binned_reio_step_sharpness"] = float(p.pop("binned_reio_step_sharpness"))
+        if "many_tanh_width" in p:
+            kw["many_tanh_width"] = float(p.pop("many_tanh_width"))
 
         # ncdm
         n_ncdm = int(p.pop("N_ncdm", 0) or 0)

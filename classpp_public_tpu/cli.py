@@ -32,13 +32,18 @@ def main(argv=None):
     print(f"pipeline computed in {time.time() - t0:.2f} s")
 
     c = cosmo.cosmo
+    fmt = str(pars.get("format", "class")).strip().lower()
+    if fmt not in ("class", "camb"):
+        raise SystemExit(f"unknown format {fmt!r} (class or camb)")
     if want_cls:
-        om.output_cl(c, root)
+        om.output_cl(c, root, fmt=fmt)
     if c.out.has_pk:
         c.nonlinear
         om.output_pk(c, root)
     if c.out.dTk or c.out.vTk:
-        om.output_tk(c, root)
+        om.output_tk(c, root, fmt=fmt)
+    if getattr(cosmo, "_k_output_values", ()):
+        om.output_perturbations(cosmo, root)
     if pars.get("write background", "no").lower() in ("yes", "y", "true"):
         om.output_background(c, root)
     if pars.get("write thermodynamics", "no").lower() in ("yes", "y", "true"):

@@ -92,6 +92,16 @@ class CosmoParams:
     reionization_width: float = 0.5
     helium_fullreio_redshift: float = 3.5
     helium_fullreio_width: float = 0.5
+    # binned / multi-jump / interpolated reionization histories
+    # (input_module.cpp:1469-1487; profiles at thermodynamics_module.cpp:1958)
+    binned_reio_z: Tuple[float, ...] = ()
+    binned_reio_xe: Tuple[float, ...] = ()
+    binned_reio_step_sharpness: float = 0.3
+    many_tanh_z: Tuple[float, ...] = ()
+    many_tanh_xe: Tuple[float, ...] = ()
+    many_tanh_width: float = 0.5
+    reio_inter_z: Tuple[float, ...] = ()
+    reio_inter_xe: Tuple[float, ...] = ()
 
     # fixed physics options (static / hashable)
     gauge: str = "synchronous"       # or "newtonian"

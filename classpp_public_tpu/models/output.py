@@ -21,29 +21,50 @@ def _write_table(path, header_lines, col_names, data):
         np.savetxt(f, data, fmt="% .12e")
 
 
-def output_cl(cosmo, root: str, lensed: bool = True):
-    """Write raw (and lensed) [l(l+1)/2pi] C_l tables (output_cl :214)."""
+def _cl_table(ell, cl_rows, ct, T_cmb, fmt):
+    """Assemble one C_l output table in class or camb format.
+
+    camb format (output_one_line_of_cl, output_module.cpp:1360-1395):
+    order TT,EE,BB,TE,dd,dT,dE; temperature columns in [microK]^2, the
+    lensing column is the deflection C_l^dd = l(l+1) C_l^pp."""
+    fac = ell * (ell + 1.0) / (2.0 * np.pi)
+    if fmt == "camb":
+        muk2 = (T_cmb * 1.0e6) ** 2
+        names = ["l", "TT", "EE", "BB", "TE", "dd", "dT", "dE"]
+        cols = [fac * muk2 * cl_rows[:, ct["tt"]],
+                fac * muk2 * cl_rows[:, ct["ee"]],
+                fac * muk2 * cl_rows[:, ct["bb"]],
+                fac * muk2 * cl_rows[:, ct["te"]],
+                ell * (ell + 1.0) * fac * cl_rows[:, ct["pp"]],
+                np.sqrt(ell * (ell + 1.0)) * fac * T_cmb * 1.0e6 * cl_rows[:, ct["tp"]],
+                np.sqrt(ell * (ell + 1.0)) * fac * T_cmb * 1.0e6 * cl_rows[:, ct["ep"]]]
+    else:
+        names = ["l", "TT", "EE", "TE", "BB", "phiphi", "TPhi", "Ephi"]
+        cols = [fac * cl_rows[:, ct[n]] for n in ["tt", "ee", "te", "bb", "pp", "tp", "ep"]]
+    return names, np.column_stack([ell] + cols)
+
+
+def output_cl(cosmo, root: str, lensed: bool = True, fmt: str = "class"):
+    """Write raw (and lensed) [l(l+1)/2pi] C_l tables (output_cl :214);
+    fmt='camb' switches to CAMB/HealPix units and column order (:1227)."""
     from ..models.spectra import CT_TYPES
 
-    cl = cosmo if isinstance(cosmo, dict) else None
     sp = cosmo.spectra
-    ell = np.asarray(sp.ell, dtype=float)
-    fac = ell * (ell + 1.0) / (2.0 * np.pi)
-    names = ["l", "TT", "EE", "TE", "BB", "phiphi", "TPhi", "Ephi"]
-    order = ["tt", "ee", "te", "bb", "pp", "tp", "ep"]
+    T_cmb = float(cosmo.params.T_cmb)
     ct = {n: i for i, n in enumerate(CT_TYPES)}
-    data = np.column_stack([ell] + [fac * np.asarray(sp.cl[:, ct[n]]) for n in order])
+    ell = np.asarray(sp.ell, dtype=float)
+    names, data = _cl_table(ell, np.asarray(sp.cl), ct, T_cmb, fmt)
+    unit = "[microK]^2" if fmt == "camb" else "dimensionless"
     _write_table(Path(root + "cl.dat"),
-                 ["dimensionless total [l(l+1)/2pi] C_l's",
+                 [f"{unit} total [l(l+1)/2pi] C_l's",
                   f"for l=2 to {int(ell[-1])}"], names, data)
 
     if lensed and cosmo.out.lensing:
         le = cosmo.lensing
         ell = np.asarray(le.ell, dtype=float)
-        fac = ell * (ell + 1.0) / (2.0 * np.pi)
-        data = np.column_stack([ell] + [fac * np.asarray(le.cl[:, ct[n]]) for n in order])
+        names, data = _cl_table(ell, np.asarray(le.cl), ct, T_cmb, fmt)
         _write_table(Path(root + "cl_lensed.dat"),
-                     ["dimensionless total lensed [l(l+1)/2pi] C_l's",
+                     [f"{unit} total lensed [l(l+1)/2pi] C_l's",
                       f"for l=2 to {int(ell[-1])}"], names, data)
 
 
@@ -64,9 +85,11 @@ def output_pk(cosmo, root: str):
                          np.column_stack([k_h, pk]))
 
 
-def output_tk(cosmo, root: str):
-    """Write transfer functions per requested redshift, class format
-    (reference output_tk, output_module.cpp:832)."""
+def output_tk(cosmo, root: str, fmt: str = "class"):
+    """Write transfer functions per requested redshift (reference output_tk,
+    output_module.cpp:832). fmt='camb': columns -T_i/k^2 with k in 1/Mpc,
+    order cdm, b, g, ur, ncdm, tot (perturb_output_data camb branch,
+    perturbations_module.cpp:289-299)."""
     from ..classy import Class
 
     shim = Class.__new__(Class)
@@ -74,13 +97,45 @@ def output_tk(cosmo, root: str):
     shim.parameters_changed = False
     for iz, z in enumerate(cosmo.out.z_pk):
         tk = Class.get_transfer(shim, z=float(z))
-        names = list(tk.keys())
-        data = np.column_stack([tk[n] for n in names])
-        _write_table(Path(f"{root}z{iz + 1}_tk.dat"),
-                     [f"Transfer functions T_i(k) at redshift z={z}",
+        if fmt == "camb":
+            k = np.asarray(tk["k (h/Mpc)"]) * cosmo.params.h   # 1/Mpc
+            k2 = k * k
+            zero = np.zeros_like(k)
+
+            def col(name):
+                return -np.asarray(tk[name]) / k2 if name in tk else zero
+
+            names = ["k (h/Mpc)", "-T_cdm/k2", "-T_b/k2", "-T_g/k2",
+                     "-T_ur/k2", "-T_ncdm/k2", "-T_tot/k2"]
+            data = np.column_stack([tk["k (h/Mpc)"], col("d_cdm"), col("d_b"),
+                                    col("d_g"), col("d_ur"), col("d_ncdm[0]"),
+                                    col("d_tot")])
+            header = [f"Rescaled matter transfer functions [-T_i(k)/k^2] at redshift z={z}",
+                      "The rescaling factor [-1/k^2] with k in 1/Mpc matches the CMBFAST/CAMB convention"]
+        else:
+            names = list(tk.keys())
+            data = np.column_stack([tk[n] for n in names])
+            header = [f"Transfer functions T_i(k) at redshift z={z}",
                       "for k in h/Mpc (class format: gauge-dependent species "
-                      "fractions + gauge-invariant d_m/d_cb)"],
-                     names, data)
+                      "fractions + gauge-invariant d_m/d_cb)"]
+        _write_table(Path(f"{root}z{iz + 1}_tk.dat"), header, names, data)
+
+
+def output_perturbations(shim, root: str):
+    """Write perturbations_k{i}_s.dat files for each requested
+    k_output_values entry (reference perturb_output files,
+    perturbations_module.cpp:2797 + output_module.cpp)."""
+    per_k = shim.get_perturbations()["scalar"]
+    for i, d in enumerate(per_k):
+        names = list(d.keys())
+        rows = []
+        ntau = len(d["tau [Mpc]"])
+        for n in names:
+            v = np.asarray(d[n], dtype=float)
+            rows.append(np.full(ntau, v) if v.ndim == 0 else v)
+        _write_table(Path(f"{root}perturbations_k{i}_s.dat"),
+                     [f"scalar perturbations for k = {float(d['k (1/Mpc)']):.6g} 1/Mpc"],
+                     names, np.column_stack(rows))
 
 
 def output_background(cosmo, root: str):

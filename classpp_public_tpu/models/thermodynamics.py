@@ -488,15 +488,105 @@ class ThermoResult(NamedTuple):
         return self.lntau_spline.eval(jnp.log(tau))
 
 
-def _xe_reio_camb(z, z_reio, z_start, xe_before, xe_after, fHe, params: CosmoParams):
-    """reio_camb ionization function (reference
-    thermodynamics_reionization_function, thermodynamics_module.cpp:1893)."""
+def _xe_reio_camb(z, z_reio, z_start, xe_before, xe_after, fHe, params: CosmoParams,
+                  half: bool = False):
+    """reio_camb / reio_half_tanh ionization function (reference
+    thermodynamics_reionization_function, thermodynamics_module.cpp:1893).
+    half_tanh: xe_after = 1 (He neglected), plain tanh, no He term (:1936)."""
     ex = params.reionization_exponent
     arg = ((1.0 + z_reio) ** ex - (1.0 + z) ** ex) / (ex * (1.0 + z_reio) ** (ex - 1.0)) / params.reionization_width
-    xe = (xe_after - xe_before) * (jnp.tanh(arg) + 1.0) / 2.0 + xe_before
-    arg_he = (params.helium_fullreio_redshift - z) / params.helium_fullreio_width
-    xe = xe + fHe * (jnp.tanh(arg_he) + 1.0) / 2.0
+    if half:
+        xe = (xe_after - xe_before) * jnp.tanh(arg) + xe_before
+    else:
+        xe = (xe_after - xe_before) * (jnp.tanh(arg) + 1.0) / 2.0 + xe_before
+        arg_he = (params.helium_fullreio_redshift - z) / params.helium_fullreio_width
+        xe = xe + fHe * (jnp.tanh(arg_he) + 1.0) / 2.0
     return jnp.where(z > z_start, xe_before, xe)
+
+
+def _xe_reio_bins_tanh(z, params: CosmoParams, xe_top, fHe):
+    """reio_bins_tanh profile (astro-ph/0606552 style,
+    thermodynamics_module.cpp:1958-2016 + bin-array setup :2358-2446).
+    Returns (xe(z), z_start). xe_top = recombination xe at z_start."""
+    zi = list(params.binned_reio_z)
+    xi = list(params.binned_reio_xe)
+    if len(zi) < 2:
+        raise ValueError("binned reio requires at least two bin centers")
+    z_top = zi[-1] + 2.0 * (zi[-1] - zi[-2])
+    z_bot = max(2.0 * zi[0] - zi[1], 0.0)
+    z_arr = [z_bot] + zi + [z_top]
+    xe_arr = [1.0 + fHe] + xi + [xe_top]   # xe after reio at low z
+    n = len(z_arr)
+    sharp = params.binned_reio_step_sharpness
+    xe = jnp.full_like(z, xe_arr[0])
+    for i in range(n - 1):
+        if i == n - 2:
+            z_jump = z_arr[i] + 0.5 * (z_arr[i] - z_arr[i - 1])
+        else:
+            z_jump = 0.5 * (z_arr[i + 1] + z_arr[i])
+        val = xe_arr[i] + 0.5 * (jnp.tanh((z - z_jump) / sharp) + 1.0) \
+            * (xe_arr[i + 1] - xe_arr[i])
+        xe = jnp.where((z >= z_arr[i]) & (z < z_arr[i + 1]), val, xe)
+    xe = jnp.where(z >= z_arr[-1], xe_arr[-1], xe)
+    return xe, z_top
+
+
+def _xe_reio_many_tanh(z, params: CosmoParams, pr, xe_top, fHe):
+    """reio_many_tanh profile (thermodynamics_module.cpp:2021-2060 + setup
+    :2448-2560): sum of tanh jumps walking down from the recombination value."""
+    zi = list(params.many_tanh_z)
+    xi = []
+    for v in params.many_tanh_xe:
+        if v >= 0.0:
+            xi.append(v)
+        elif -1.1 < v < -0.9:      # -1: H + singly-ionized He
+            xi.append(1.0 + fHe)
+        elif -2.1 < v < -1.9:      # -2: H + doubly-ionized He
+            xi.append(1.0 + 2.0 * fHe)
+        else:
+            raise ValueError(f"many_tanh_xe entry {v} invalid (>=0, -1 or -2)")
+    if not zi:
+        raise ValueError("reio_many_tanh requires at least one jump center")
+    width = params.many_tanh_width
+    z_top = zi[-1] + pr.reionization_start_factor * width
+    z_bot = max(zi[0] - pr.reionization_start_factor * width, 0.0)
+    z_arr = [z_bot] + zi + [z_top]
+    xe_arr = [xi[0]] + xi + [xe_top]
+    n = len(z_arr)
+    xe = jnp.full_like(z, xe_arr[-1])
+    for jump in range(1, n - 1):
+        center = z_arr[n - 1 - jump]
+        before = xe_arr[n - 1 - jump] - xe_arr[n - jump]
+        xe = xe + before * (1.0 - jnp.tanh((z - center) / width)) / 2.0
+    xe = jnp.where(z <= z_arr[0], xe_arr[0], xe)
+    xe = jnp.where(z >= z_arr[-1], xe_arr[-1], xe)
+    return xe, z_top
+
+
+def _xe_reio_inter(z, params: CosmoParams, xe_top, fHe):
+    """reio_inter profile (thermodynamics_module.cpp:2063-2110 + setup
+    :2562-2640): piecewise-linear xe(z); last input xe must be 0 and is
+    replaced by the recombination value at the last z node."""
+    zi = list(params.reio_inter_z)
+    xi_in = list(params.reio_inter_xe)
+    if not zi or zi[0] != 0.0:
+        raise ValueError("reio_inter_z must start at z=0")
+    if xi_in[-1] != 0.0:
+        raise ValueError("last reio_inter_xe must be 0 (recombination value)")
+    xi = []
+    for v in xi_in[:-1]:
+        if v >= 0.0:
+            xi.append(v)
+        elif -1.1 < v < -0.9:
+            xi.append(1.0 + fHe)
+        elif -2.1 < v < -1.9:
+            xi.append(1.0 + 2.0 * fHe)
+        else:
+            raise ValueError(f"reio_inter_xe entry {v} invalid (>=0, -1 or -2)")
+    z_nodes = jnp.asarray(zi)
+    xe_nodes = jnp.concatenate([jnp.asarray(xi), jnp.reshape(xe_top, (1,))])
+    xe = jnp.interp(z, z_nodes, xe_nodes)
+    return xe, zi[-1]
 
 
 def compute_thermodynamics(params: CosmoParams, pr: PrecisionParams,
@@ -537,37 +627,74 @@ def _compute_thermodynamics_impl(params: CosmoParams, pr: PrecisionParams,
     xe_reco_fine = jnp.interp(z_fine, reco.z, reco.xe)
     kappa_fac = ctx.Nnow * const.sigma_T * const.Mpc_over_m  # (1+z)^2 * xe * this = kappa' [1/Mpc]
 
+    scheme = getattr(params, "reio_parametrization", "reio_camb")
+    half = scheme == "reio_half_tanh"
+    if half:
+        xe_after = jnp.asarray(1.0)   # He ionization neglected (:2246)
+
+    def _tau_of_profile(xe_profile, z_start_p):
+        integrand = (1.0 + z_fine) ** 2 * kappa_fac * xe_profile / H_fine
+        mask = z_fine <= z_start_p
+        return jnp.trapezoid(jnp.where(mask, integrand, 0.0), z_fine)
+
     def tau_reio_of_zreio(z_reio):
         z_start = z_reio + pr.reionization_start_factor * params.reionization_width
         z_start = jnp.maximum(z_start, params.helium_fullreio_redshift
                               + pr.reionization_start_factor * params.helium_fullreio_width)
         xe_before = jnp.interp(z_start, reco.z, reco.xe)
-        xe = _xe_reio_camb(z_fine, z_reio, z_start, xe_before, xe_after, fHe, params)
-        integrand = (1.0 + z_fine) ** 2 * kappa_fac * xe / H_fine
-        mask = z_fine <= z_start
-        return jnp.trapezoid(jnp.where(mask, integrand, 0.0), z_fine)
+        xe = _xe_reio_camb(z_fine, z_reio, z_start, xe_before, xe_after, fHe,
+                           params, half=half)
+        return _tau_of_profile(xe, z_start)
 
-    if params.z_reio is not None:
-        z_reio = jnp.asarray(params.z_reio)
-        tau_reio = tau_reio_of_zreio(z_reio)
+    if scheme in ("reio_camb", "reio_half_tanh"):
+        if params.z_reio is not None:
+            z_reio = jnp.asarray(params.z_reio)
+            tau_reio = tau_reio_of_zreio(z_reio)
+        else:
+            # vectorized inversion: tau(z_reio) is monotone increasing
+            z_cand = jnp.linspace(0.0, pr.reionization_z_start_max
+                                  - pr.reionization_start_factor * params.reionization_width - 1e-3, 512)
+            tau_cand = jax.vmap(tau_reio_of_zreio)(z_cand)
+            z_reio = jnp.interp(params.tau_reio, tau_cand, z_cand)
+            # one secant refinement
+            t0 = tau_reio_of_zreio(z_reio)
+            t1 = tau_reio_of_zreio(z_reio + 0.01)
+            z_reio = z_reio + (params.tau_reio - t0) * 0.01 / (t1 - t0)
+            tau_reio = tau_reio_of_zreio(z_reio)
+
+        z_start = jnp.maximum(
+            z_reio + pr.reionization_start_factor * params.reionization_width,
+            params.helium_fullreio_redshift + pr.reionization_start_factor * params.helium_fullreio_width,
+        )
+        xe_before = jnp.interp(z_start, reco.z, reco.xe)
+        xe_fine = _xe_reio_camb(z_fine, z_reio, z_start, xe_before, xe_after,
+                                fHe, params, half=half)
     else:
-        # vectorized inversion: tau(z_reio) is monotone increasing
-        z_cand = jnp.linspace(0.0, pr.reionization_z_start_max
-                              - pr.reionization_start_factor * params.reionization_width - 1e-3, 512)
-        tau_cand = jax.vmap(tau_reio_of_zreio)(z_cand)
-        z_reio = jnp.interp(params.tau_reio, tau_cand, z_cand)
-        # one secant refinement
-        t0 = tau_reio_of_zreio(z_reio)
-        t1 = tau_reio_of_zreio(z_reio + 0.01)
-        z_reio = z_reio + (params.tau_reio - t0) * 0.01 / (t1 - t0)
-        tau_reio = tau_reio_of_zreio(z_reio)
+        # fixed-profile schemes: tau_reio is derived, not shot for
+        # (thermodynamics_module.cpp:2358-2640)
+        if scheme == "reio_bins_tanh":
+            z_top_guess = params.binned_reio_z[-1] + 2.0 * (
+                params.binned_reio_z[-1] - params.binned_reio_z[-2])
+            xe_top = jnp.interp(jnp.asarray(z_top_guess), reco.z, reco.xe)
+            xe_fine, z_start = _xe_reio_bins_tanh(z_fine, params, xe_top, float(fHe))
+        elif scheme == "reio_many_tanh":
+            z_top_guess = params.many_tanh_z[-1] \
+                + pr.reionization_start_factor * params.many_tanh_width
+            xe_top = jnp.interp(jnp.asarray(z_top_guess), reco.z, reco.xe)
+            xe_fine, z_start = _xe_reio_many_tanh(z_fine, params, pr, xe_top, float(fHe))
+        elif scheme == "reio_inter":
+            xe_top = jnp.interp(jnp.asarray(params.reio_inter_z[-1]), reco.z, reco.xe)
+            xe_fine, z_start = _xe_reio_inter(z_fine, params, xe_top, float(fHe))
+        elif scheme == "reio_none":
+            xe_fine, z_start = xe_reco_fine, jnp.asarray(0.0)
+        else:
+            raise ValueError(f"unknown reio_parametrization {scheme!r}")
+        z_start = jnp.asarray(z_start)
+        tau_reio = _tau_of_profile(xe_fine, z_start)
+        # half-maximum crossing as the reported z_reio
+        xe_mid = 0.5 * (xe_fine[0] + jnp.interp(z_start, z_fine, xe_reco_fine))
+        z_reio = z_fine[jnp.argmin(jnp.abs(xe_fine - xe_mid))]
 
-    z_start = jnp.maximum(
-        z_reio + pr.reionization_start_factor * params.reionization_width,
-        params.helium_fullreio_redshift + pr.reionization_start_factor * params.helium_fullreio_width,
-    )
-    xe_before = jnp.interp(z_start, reco.z, reco.xe)
-    xe_fine = _xe_reio_camb(z_fine, z_reio, z_start, xe_before, xe_after, fHe, params)
     # above z_start the merged table keeps the recombination history (the
     # xe_before constant is only the tanh baseline, reference
     # thermodynamics_merge_reco_and_reio)
