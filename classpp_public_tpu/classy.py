@@ -48,8 +48,8 @@ def _parse_list(v) -> List[float]:
 # Reference parameters (input_module.cpp:549-3149) whose features are not
 # implemented yet: naming them in an error beats calling them "unknown".
 _UNIMPLEMENTED_PARAMS = frozenset({
-    # scalar-field dark energy (background_module.cpp:2065)
-    "Omega_scf", "scf_parameters", "scf_tuning_index", "attractor_ic_scf",
+    # scalar-field dark energy: only the legacy per-coefficient aliases are
+    # unimplemented (use scf_parameters)
     "scf_lambda", "scf_alpha", "scf_A", "scf_B",
     # decaying dark matter (only tau_dcdm parametrization unimplemented)
     "tau_dcdm",
@@ -214,6 +214,23 @@ class Class:
                     float(p.pop("omega_dcdmdr", 0.0)) / (h * h)
                 p.pop("omega_dcdmdr", None)
                 kw["Omega_dcdmdr"] = v
+        # scalar-field dark energy (quintessence): Omega_scf < 0 means "scf
+        # closes the budget" and requires Omega_Lambda = Omega_fld = 0
+        # (input_module.cpp:1204-1263)
+        if "Omega_scf" in p:
+            kw["Omega_scf"] = float(p.pop("Omega_scf"))
+            if "scf_parameters" not in p:
+                raise CosmoSevereError("Omega_scf requires scf_parameters")
+            kw["scf_parameters"] = tuple(_parse_list(p.pop("scf_parameters")))
+            kw["scf_tuning_index"] = int(float(p.pop("scf_tuning_index", 0)))
+            att = str(p.pop("attractor_ic_scf", "yes")).strip().lower()
+            kw["attractor_ic_scf"] = att in ("yes", "y", "true", "1")
+            if kw["Omega_scf"] < 0.0:
+                if float(p.pop("Omega_Lambda", 0.0)) != 0.0 or \
+                        float(p.pop("Omega_fld", 0.0)) != 0.0:
+                    raise CosmoSevereError(
+                        "Omega_scf < 0 (budget closure by scf) requires "
+                        "Omega_Lambda = 0 and Omega_fld = 0")
         if "Omega_Lambda" in p and float(p["Omega_Lambda"]) == 0.0:
             p.pop("Omega_Lambda")
             kw["use_fld"] = True
@@ -331,10 +348,25 @@ class Class:
 
         pk_ini_type = str(p.pop("P_k_ini type", p.pop("Pk_ini_type", "analytic_Pk"))).strip()
         self._external_pk_command = None
+        self._inflation_model = None
         if pk_ini_type == "external_Pk":
             self._external_pk_command = str(p.pop("command"))
+        elif pk_ini_type == "inflation_V":
+            # numerical inflaton spectra from V(phi) (input_module.cpp:2153,
+            # primordial_module.cpp:1087); V_i in units of m_P^4
+            pot = str(p.pop("potential", "polynomial")).strip().lower()
+            if pot not in ("polynomial", "natural"):
+                raise CosmoSevereError(
+                    f"inflation potential {pot!r} not implemented "
+                    "(polynomial, natural)")
+            Vs = tuple(float(p.pop(f"V_{i}", 0.0)) for i in range(5))
+            if Vs[0] <= 0.0:
+                raise CosmoSevereError("inflation_V requires V_0 > 0")
+            self._inflation_model = (pot, Vs)
         elif pk_ini_type not in ("analytic_Pk",):
-            raise CosmoSevereError(f"P_k_ini type {pk_ini_type!r} not implemented (analytic_Pk, external_Pk)")
+            raise CosmoSevereError(
+                f"P_k_ini type {pk_ini_type!r} not implemented "
+                "(analytic_Pk, external_Pk, inflation_V)")
 
         # precision overrides
         pr = PrecisionParams()
@@ -395,6 +427,7 @@ class Class:
         cosmo.sigma8_target = sigma8_target
         cosmo.iso_primordial = getattr(self, "_iso_primordial", {}) or None
         cosmo.external_pk_command = self._external_pk_command
+        cosmo.inflation_model = self._inflation_model
         return cosmo
 
     @staticmethod

@@ -72,6 +72,15 @@ class CosmoParams:
     # Gamma_dcdm is the decay rate in km/s/Mpc (input_module.cpp:860-910)
     Omega_ini_dcdm: float = 0.0
     Omega_dcdmdr: float = 0.0
+
+    # scalar-field dark energy (quintessence): V = (phi-B)^alpha + A times
+    # exp(-lambda phi); scf_parameters = (lambda, alpha, A, B, phi_ini,
+    # phi_prime_ini), the tuning entry is shot for to hit Omega_scf
+    # (background_module.cpp:2065-2150, input_module.cpp:1322-1366)
+    Omega_scf: float = 0.0           # >0 target; <0 means "close the budget"
+    scf_parameters: Tuple[float, ...] = ()
+    scf_tuning_index: int = 0
+    attractor_ic_scf: bool = True
     Gamma_dcdm: float = 0.0
 
     # primordial (analytic power law)

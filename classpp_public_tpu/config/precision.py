@@ -116,11 +116,14 @@ class PrecisionParams:
     # "rkck" = fully explicit Cash-Karp 45 (reference evolver_rk analog).
     evolver: str = "imex"
     # modes per device launch (per device when a mesh is present). Measured on
-    # TPU v5e with the imex evolver: 128 is ~1.7x faster than 64 (better VPU
-    # occupancy) and 256 is slightly worse (lockstep waste); the old 128-wide
-    # device faults were an artifact of the explicit evolver's 100k-iteration
+    # TPU v5e with the imex evolver (2026-08-17): per-launch wall-clock is set
+    # by the slowest LANE, not the lane count — a (512,46) state still
+    # under-fills the VPU — so merging chunks replaces a sum of per-chunk
+    # maxima with one global maximum and saves the ~0.3-1 s dispatch per
+    # launch (22 s -> ~8 s for the Planck config). The old 128-wide device
+    # faults were an artifact of the explicit evolver's 100k-iteration
     # launches and are gone.
-    k_chunk_size: int = 128
+    k_chunk_size: int = 512
     tau_windows: int = 4     # tau-range splits per launch (bounds execution time)
     # working dtype of the perturbation state ("float64" | "float32"): time,
     # step control and all other pipeline stages stay f64. NOTE: with the
@@ -131,6 +134,18 @@ class PrecisionParams:
 
     # --- primordial (precisions.h:311)
     k_per_decade_primordial: float = 10.0
+    # inflation solver (precisions.h:313-328)
+    primordial_inflation_ratio_min: float = 100.0
+    primordial_inflation_ratio_max: float = 1.0 / 50.0
+    primordial_inflation_phi_ini_maxit: int = 10000
+    primordial_inflation_pt_stepsize: float = 0.01
+    primordial_inflation_bg_stepsize: float = 0.005
+    primordial_inflation_tol_integration: float = 1.0e-3
+    primordial_inflation_attractor_precision_pivot: float = 0.001
+    primordial_inflation_attractor_precision_initial: float = 0.1
+    primordial_inflation_attractor_maxit: int = 10
+    primordial_inflation_tol_curvature: float = 1.0e-3
+    primordial_inflation_aH_ini_target: float = 0.9
 
     # --- transfer / bessel (precisions.h:335-406)
     l_linstep: int = 40

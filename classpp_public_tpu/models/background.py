@@ -37,13 +37,17 @@ class BgIdx:
     """Column indices of the background runtime table (analog of index_bg_*,
     source/background_module.h:40-99). Built per-run since ncdm count varies."""
 
-    def __init__(self, n_ncdm: int, has_fld: bool, has_dcdm: bool = False):
-        self.key = (n_ncdm, has_fld, has_dcdm)
+    def __init__(self, n_ncdm: int, has_fld: bool, has_dcdm: bool = False,
+                 has_scf: bool = False):
+        self.key = (n_ncdm, has_fld, has_dcdm, has_scf)
         names = ["a", "H", "H_prime", "rho_g", "rho_b", "rho_cdm", "rho_lambda", "rho_ur"]
         if has_fld:
             names += ["rho_fld", "w_fld"]
         if has_dcdm:
             names += ["rho_dcdm", "rho_dr"]
+        if has_scf:
+            names += ["rho_scf", "p_scf", "phi_scf", "phi_prime_scf",
+                      "V_scf", "dV_scf", "ddV_scf"]
         for i in range(n_ncdm):
             names += [f"rho_ncdm{i}", f"p_ncdm{i}", f"pseudo_p_ncdm{i}"]
         names += ["rho_tot", "p_tot", "p_tot_prime", "rho_crit", "Omega_m", "Omega_r",
@@ -144,6 +148,89 @@ def compute_background(params: CosmoParams, pr: PrecisionParams) -> tuple[Backgr
         return _compute_background_impl(params, pr)
 
 
+def _scf_potential(phi, p4):
+    """(V, dV, ddV) for the CLASS quintessence potential V = V_e * V_p with
+    V_e = exp(-lambda phi), V_p = (phi-B)^alpha + A
+    (background_module.cpp:2065-2150). Note the reference's dV_e quirk:
+    dV_e = -lambda*V (the FULL V, not V_e) — mirrored for behavior parity."""
+    lam, alpha, A, B = p4[0], p4[1], p4[2], p4[3]
+    V_e = jnp.exp(-lam * phi)
+    x = phi - B
+    V_p = jnp.where(alpha == 0.0, 1.0, jnp.abs(x) ** alpha) + A
+    V = V_e * V_p
+    dV_p = jnp.where(alpha == 0.0, 0.0, alpha * jnp.abs(x) ** (alpha - 1.0) * jnp.sign(x))
+    ddV_p = jnp.where(alpha == 0.0, 0.0,
+                      alpha * (alpha - 1.0) * jnp.abs(x) ** (alpha - 2.0))
+    dV_e = -lam * V
+    ddV_e = lam * lam * V
+    dV = dV_e * V_p + V_e * dV_p
+    ddV = ddV_e * V_p + 2.0 * dV_e * dV_p + V_e * ddV_p
+    return V, dV, ddV
+
+
+@partial(jax.jit, static_argnames=("attractor",))
+def _integrate_scf(p4, loga, a_grid, rho_base, rhoK0, rho_rad_ini,
+                   phi_ini, phi_prime_ini, attractor):
+    """Klein-Gordon integration on the ln a grid (RK4, 2 substeps/interval).
+
+    y = (phi, phi' [conformal]); dphi/dlna = phi'/(aH),
+    dphi'/dlna = (-2 aH phi' - a^2 dV)/(aH);
+    H^2 = rho_base(a) + rho_scf + rho_K0/a^2, rho_scf = (phi'^2/2a^2 + V)/3
+    (background_functions :358-359). Attractor ICs per
+    background_initial_conditions :1618-1636."""
+    lam = p4[0]
+    lnrho = jnp.log(rho_base)
+    dx = loga[1] - loga[0]
+
+    def rho_b_at(lga):
+        # linear interp of ln rho_base on the uniform loga grid
+        f = (lga - loga[0]) / dx
+        i = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, loga.shape[0] - 2)
+        w = f - i
+        return jnp.exp((1.0 - w) * lnrho[i] + w * lnrho[i + 1])
+
+    if attractor:
+        arg = rho_rad_ini * 4.0 / (3.0 * lam * lam - 12.0)
+        phi0 = jnp.where(3.0 * lam * lam - 12.0 > 0.0,
+                         -1.0 / lam * jnp.log(jnp.abs(arg)) * phi_ini,
+                         1.0 / lam)
+        V0 = _scf_potential(phi0, p4)[0]
+        phip0 = 2.0 * a_grid[0] * jnp.sqrt(jnp.abs(V0)) * phi_prime_ini
+    else:
+        phi0 = jnp.asarray(phi_ini)
+        phip0 = jnp.asarray(phi_prime_ini)
+
+    def deriv(lga, y):
+        phi, phip = y
+        aa = jnp.exp(lga)
+        V, dV, _ = _scf_potential(phi, p4)
+        rho_s = (phip * phip / (2.0 * aa * aa) + V) / 3.0
+        H = jnp.sqrt(jnp.maximum(rho_b_at(lga) + rho_s + rhoK0 / aa**2, 1e-300))
+        aH = aa * H
+        return jnp.array([phip / aH, (-2.0 * aH * phip - aa * aa * dV) / aH])
+
+    def step(y, i):
+        lga = loga[0] + i * dx
+        h = dx / 2.0
+        for m in range(2):
+            x0 = lga + m * h
+            k1 = deriv(x0, y)
+            k2 = deriv(x0 + h / 2, y + h / 2 * k1)
+            k3 = deriv(x0 + h / 2, y + h / 2 * k2)
+            k4 = deriv(x0 + h, y + h * k3)
+            y = y + h / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+        return y, y
+
+    y0 = jnp.array([phi0, phip0])
+    _, ys = jax.lax.scan(step, y0, jnp.arange(loga.shape[0] - 1))
+    ys = jnp.concatenate([y0[None], ys], axis=0)
+    phi, phip = ys[:, 0], ys[:, 1]
+    V = _scf_potential(phi, p4)[0]
+    rho_s = (phip * phip / (2.0 * a_grid * a_grid) + V) / 3.0
+    p_s = (phip * phip / (2.0 * a_grid * a_grid) - V) / 3.0
+    return jnp.stack([phi, phip, rho_s, p_s], axis=1)
+
+
 def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[BackgroundResult, BgIdx]:
     N = pr.background_Nloga
     dtype = jnp.float64
@@ -227,11 +314,106 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
             rho_dr = C * I_dr / a**4
         Omega0_dcdmdr_now = (rho_dcdm[-1] + rho_dr[-1]) / H0**2
 
+    # --- scalar-field dark energy (quintessence) ---------------------------
+    # (background_module.cpp:2065-2150 potential V = V_e*V_p; KG equation
+    # integrated in ln a alongside the closed-form species; the reference's
+    # Omega_scf shooting, input_module.cpp:3685/3779, becomes a secant loop
+    # on scf_parameters[scf_tuning_index] over the jitted RK4 scan)
+    has_scf = params.Omega_scf != 0.0
+    rho_scf = jnp.zeros_like(a)
+    p_scf = jnp.zeros_like(a)
+    phi_scf = jnp.zeros_like(a)
+    phi_prime_scf = jnp.zeros_like(a)
+    V_cols = (jnp.zeros_like(a),) * 3
+    Omega0_scf_now = jnp.asarray(0.0, dtype)
+    if has_scf:
+        base_all = rho_g + rho_b + rho_cdm + rho_ur + rho_dcdm + rho_dr
+        for i in range(n_ncdm):
+            base_all = base_all + rho_ncdm[i]
+        Omega0_pre = (Omega0_g + Omega0_b + Omega0_cdm + Omega0_ur
+                      + Omega0_ncdm_tot + Omega0_dcdmdr_now)
+        if params.Omega_scf > 0.0:
+            target_scf = float(params.Omega_scf)
+            lam_budget = (1.0 - params.Omega_k - float(Omega0_pre) - target_scf)
+        else:
+            # scf closes the budget; an explicit Omega_Lambda is not
+            # supported here (reference allows it; set Omega_scf>0 instead)
+            lam_budget = 0.0
+            target_scf = 1.0 - params.Omega_k - float(Omega0_pre)
+        rho_lam_scf = lam_budget * float(H0) ** 2
+        rho_rad_ini = float(rho_g[0] + rho_ur[0])
+        for i in range(n_ncdm):
+            rho_rad_ini += float(rho_ncdm[i][0])
+
+        pars0 = list(params.scf_parameters) or [10.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+        ti = params.scf_tuning_index
+        # with attractor ICs the trailing entries are MULTIPLIERS of the
+        # attractor values and default to 1 (input_module.cpp:3201-3203:
+        # they are only read from scf_parameters when attractor_ic_scf=no)
+        if params.attractor_ic_scf:
+            phi_ini, phip_ini = 1.0, 1.0
+        else:
+            phi_ini, phip_ini = pars0[-2], pars0[-1]
+
+        def run_scf(tune_val):
+            pp = list(pars0)
+            pp[ti] = tune_val
+            tab = _integrate_scf(jnp.asarray(pp[:4]), loga, a,
+                                 base_all + rho_lam_scf,
+                                 params.Omega_k * H0**2,
+                                 rho_rad_ini, phi_ini, phip_ini,
+                                 params.attractor_ic_scf)
+            return tab  # (N, 4): phi, phi', rho_scf, p_scf
+
+        def omega_err(x):
+            tab = run_scf(x)
+            return float(jnp.log(tab[-1, 2] / H0**2 / target_scf))
+
+        if ti == 0 and params.attractor_ic_scf:
+            # exponential-attractor tuning of lambda: Omega_scf(today) is
+            # monotone decreasing in lambda on (2, inf) (the attractor needs
+            # 3 lambda^2 > 12); bracket then bisect — the reference's Ridder
+            # root-find over fresh Cosmology builds (input_module.cpp:3517)
+            # collapses to a loop over the jitted KG scan
+            lo, hi = 2.0005, max(30.0, math.sqrt(3.0 / max(target_scf, 1e-3)) * 4.0)
+            f_lo = omega_err(lo)
+            f_hi = omega_err(hi)
+            if f_lo * f_hi > 0:
+                x1 = lo if abs(f_lo) < abs(f_hi) else hi
+            else:
+                for _ in range(48):
+                    mid = 0.5 * (lo + hi)
+                    f_m = omega_err(mid)
+                    if abs(f_m) < 1e-10:
+                        break
+                    if f_lo * f_m <= 0:
+                        hi, f_hi = mid, f_m
+                    else:
+                        lo, f_lo = mid, f_m
+                x1 = 0.5 * (lo + hi)
+        else:
+            # generic tuning entry: secant from the passed value
+            x0 = float(pars0[ti])
+            f0 = omega_err(x0)
+            x1 = x0 * 1.02 + 1e-3
+            for _ in range(30):
+                f1 = omega_err(x1)
+                if abs(f1) < 1e-9 or f1 == f0:
+                    break
+                x0, f0, x1 = x1, f1, x1 - f1 * (x1 - x0) / (f1 - f0)
+        tab = run_scf(x1)
+        phi_scf, phi_prime_scf = tab[:, 0], tab[:, 1]
+        rho_scf, p_scf = tab[:, 2], tab[:, 3]
+        pp_fin = list(pars0)
+        pp_fin[ti] = x1
+        V_cols = _scf_potential(phi_scf, jnp.asarray(pp_fin[:4]))
+        Omega0_scf_now = rho_scf[-1] / H0**2
+
     # fld (CLP w0-wa): rho_fld = Omega_fld H0^2 a^{-3(1+w0+wa)} e^{3 wa (a-1)}
     has_fld = params.use_fld
     # budget closure: Lambda or fld absorbs 1 - sum(others) - Omega_k
     Omega0_others = (Omega0_g + Omega0_b + Omega0_cdm + Omega0_ur
-                     + Omega0_ncdm_tot + Omega0_dcdmdr_now)
+                     + Omega0_ncdm_tot + Omega0_dcdmdr_now + Omega0_scf_now)
     Omega0_de = 1.0 - params.Omega_k - Omega0_others
     if has_fld:
         Omega0_fld = Omega0_de
@@ -250,8 +432,8 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     rho_lambda = jnp.full_like(a, Omega0_lambda * H0**2)
 
     rho_tot = rho_g + rho_b + rho_cdm + rho_ur + rho_lambda + rho_fld \
-        + rho_dcdm + rho_dr
-    p_tot = (rho_g + rho_ur + rho_dr) / 3.0 - rho_lambda \
+        + rho_dcdm + rho_dr + rho_scf
+    p_tot = (rho_g + rho_ur + rho_dr) / 3.0 - rho_lambda + p_scf \
         + (w_fld * rho_fld if has_fld else 0.0)
     for i in range(n_ncdm):
         rho_tot = rho_tot + rho_ncdm[i]
@@ -274,6 +456,10 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
         # p_fld = w rho_fld; w' = -wa da/dtau = -wa a^2 H; rho_fld' = -3 aH (1+w) rho_fld
         w_prime = -params.wa_fld * a * a * H
         p_tot_prime = p_tot_prime + w_prime * rho_fld + w_fld * (-3.0 * aH * (1.0 + w_fld) * rho_fld)
+    if has_scf:
+        # p_scf' = phi'(-phi' H/a - 2/3 dV) (background_functions :564-568)
+        p_tot_prime = p_tot_prime + phi_prime_scf * (
+            -phi_prime_scf * H / a - 2.0 / 3.0 * V_cols[1])
     for i in range(n_ncdm):
         # dp_ncdm/dtau = aH (pseudo_p - 5 p)  (tools/non_cold_dark_matter.cpp)
         p_tot_prime = p_tot_prime + aH * (pp_ncdm[i] - 5.0 * p_ncdm[i])
@@ -329,6 +515,11 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     # --- z_eq (radiation-matter equality) -----------------------------------
     rho_r_tot = rho_g + rho_ur + rho_dr  # (+ relativistic part of ncdm ~ 3p)
     rho_m_tot = rho_b + rho_cdm + rho_dcdm
+    if has_scf:
+        # field pressure counts as radiation, the rest as matter
+        # (background_functions :364-365)
+        rho_r_tot = rho_r_tot + 3.0 * p_scf
+        rho_m_tot = rho_m_tot + (rho_scf - 3.0 * p_scf)
     for i in range(n_ncdm):
         rho_r_tot = rho_r_tot + 3.0 * p_ncdm[i]
         rho_m_tot = rho_m_tot + (rho_ncdm[i] - 3.0 * p_ncdm[i])
@@ -345,7 +536,7 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     Omega_r_of_a = rho_r_tot / rho_crit
 
     # --- assemble table ------------------------------------------------------
-    idx = BgIdx(n_ncdm, has_fld, has_dcdm)
+    idx = BgIdx(n_ncdm, has_fld, has_dcdm, has_scf)
     cols = {
         "a": a, "H": H, "H_prime": H_prime,
         "rho_g": rho_g, "rho_b": rho_b, "rho_cdm": rho_cdm,
@@ -361,6 +552,12 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     if has_dcdm:
         cols["rho_dcdm"] = rho_dcdm
         cols["rho_dr"] = rho_dr
+    if has_scf:
+        cols["rho_scf"] = rho_scf
+        cols["p_scf"] = p_scf
+        cols["phi_scf"] = phi_scf
+        cols["phi_prime_scf"] = phi_prime_scf
+        cols["V_scf"], cols["dV_scf"], cols["ddV_scf"] = V_cols
     for i in range(n_ncdm):
         cols[f"rho_ncdm{i}"] = rho_ncdm[i]
         cols[f"p_ncdm{i}"] = p_ncdm[i]

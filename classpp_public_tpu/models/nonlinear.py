@@ -464,14 +464,36 @@ def compute_nonlinear(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
     fnu = jnp.asarray(float(bg.Omega0_ncdm_tot) / float(bg.Omega0_m))
     Omega0_m = jnp.asarray(float(bg.Omega0_m))
 
+    import os
+    import time as _time
+    _dbg = os.environ.get("CLASSPP_DEBUG_TIMING")
+    _t0 = _time.time()
     core = _halofit_core(float(pr.halofit_min_k_nonlinear),
                          int(bidx["Omega_m"]), int(bidx["Omega_r"]))
     S_dm = pert.sources[:, :, SrcIdx.ix["delta_m"]]
     S_cb = pert.sources[:, :, SrcIdx.ix["delta_cb"]]
     pk_prim = pm.scalar_pk(k)
-    pk_lin, pk_cb, pk_nl, pk_cb_nl, k_nl, sigma8 = core(
-        S_dm, S_cb, pert.tau, k, k_hf, pk_prim, bg.loga, bg.tau_of_loga,
-        bg.lntau_spline, z_arr, w0, fnu, Omega0_m, jnp.asarray(params.h))
+    if _dbg:
+        jax.block_until_ready(pk_prim)
+        print(f"[nl] slice+prim {_time.time() - _t0:.2f}s", file=__import__('sys').stderr)
+        _t0 = _time.time()
+    # pin every input to the accelerator holding the source table: the
+    # background tables are host-CPU-committed (pipeline pins setup stages
+    # there) and mixed-device args would force the jit onto the host,
+    # shipping the large source slices back over the device link each call
+    dev = getattr(S_dm, "device", None) or jax.devices()[0]
+    args = jax.device_put(
+        (S_dm, S_cb, jnp.asarray(pert.tau), jnp.asarray(k), k_hf, pk_prim,
+         bg.loga, bg.tau_of_loga, bg.lntau_spline, z_arr, w0, fnu, Omega0_m,
+         jnp.asarray(params.h)), dev)
+    if _dbg:
+        jax.block_until_ready(args)
+        print(f"[nl] device_put {_time.time() - _t0:.2f}s", file=__import__('sys').stderr)
+        _t0 = _time.time()
+    pk_lin, pk_cb, pk_nl, pk_cb_nl, k_nl, sigma8 = core(*args)
+    if _dbg:
+        jax.block_until_ready(pk_nl)
+        print(f"[nl] core {_time.time() - _t0:.2f}s", file=__import__('sys').stderr)
 
     return PkResult(k=k, z=z_arr, pk_lin=pk_lin, pk_nl=pk_nl,
                     pk_cb_lin=pk_cb, pk_cb_nl=pk_cb_nl, k_nl=k_nl, sigma8=sigma8)

@@ -191,6 +191,12 @@ def rhs_full(tau, y, ctx: PertCtx):
         dr_fac = (ctx.H0 / a2) ** 2        # rho_dr_over_f (:6253)
         r_dr = rho_dr / dr_fac             # rho_dr a^4 / H0^2
         rprime_dr = ctx.Gamma_dcdm * rho_dcdm * a2 * a2 * a / ctx.H0**2
+    if idx.has_scf:
+        dphi_scf = y[idx.phi_scf_pt]
+        dphip_scf = y[idx.phi_prime_scf_pt]
+        phip_scf_bg = bgv[bidx["phi_prime_scf"]]
+        dV_scf_bg = bgv[bidx["dV_scf"]]
+        ddV_scf_bg = bgv[bidx["ddV_scf"]]
 
     ncdmfa = ctx.ncdmfa_on
     if idx.n_ncdm:
@@ -258,6 +264,23 @@ def rhs_full(tau, y, ctx: PertCtx):
         rho_plus_p_theta = rho_plus_p_theta + (1.0 + w_fld) * rho_fld * t_fld
         delta_p = delta_p + cs2_fld * rho_fld * d_fld \
             + 3.0 * aH * (cs2_fld - ca2_fld) * (1.0 + w_fld) * rho_fld * t_fld / k2
+
+    if idx.has_scf:
+        # scf stress-energy (perturb_total_stress_energy :6438-6476): added
+        # after every shear-carrying species since the newtonian-gauge
+        # delta_rho_scf needs psi built from the completed shear sum
+        dr_scf = (phip_scf_bg * dphip_scf / a2 + dV_scf_bg * dphi_scf) / 3.0
+        dp_scf = (phip_scf_bg * dphip_scf / a2 - dV_scf_bg * dphi_scf) / 3.0
+        if idx.gauge == "newtonian":
+            shear_psi_scf = rho_plus_p_shear + jnp.where(
+                tca, 4.0 / 3.0 * rho_g * 16.0 / 45.0 / kap * theta_g, zero)
+            psi_scf = eta - 4.5 * (a2 / k2) * shear_psi_scf  # slot holds phi
+            corr = phip_scf_bg ** 2 / a2 * psi_scf / 3.0
+            dr_scf = dr_scf - corr
+            dp_scf = dp_scf - corr
+        delta_rho = delta_rho + dr_scf
+        rho_plus_p_theta = rho_plus_p_theta + k2 / a2 * phip_scf_bg * dphi_scf / 3.0
+        delta_p = delta_p + dp_scf
 
     newt = idx.gauge == "newtonian"
     if newt:
@@ -521,6 +544,13 @@ def rhs_full(tau, y, ctx: PertCtx):
         dFd = dFd.at[-1].set(dFd_last)
         dy = jax.lax.dynamic_update_slice(dy, dFd, (idx.F_dr,))
 
+    # scalar field: Klein-Gordon (perturb_derivs :8556-8570)
+    if idx.has_scf:
+        dy = dy.at[idx.phi_scf_pt].set(dphip_scf)
+        dy = dy.at[idx.phi_prime_scf_pt].set(
+            -2.0 * aH * dphip_scf - metric_continuity * phip_scf_bg
+            - (k2 + a2 * ddV_scf_bg) * dphi_scf)
+
     # dark-energy fluid (perturb_derivs fld block, non-PPF)
     if idx.has_fld:
         dy = dy.at[idx.delta_fld].set(
@@ -587,6 +617,8 @@ def rhs_full(tau, y, ctx: PertCtx):
         rho_tot = rho_tot + rho_fld
     if idx.has_dcdm:
         rho_tot = rho_tot + rho_dcdm + rho_dr
+    if idx.has_scf:
+        rho_tot = rho_tot + bgv[bidx["rho_scf"]]
     delta_tot = delta_rho / rho_tot
 
     loc = Locals(
@@ -940,6 +972,18 @@ def _ic_to_newtonian(y, k, tau, ctx: PertCtx):
         w0 = bgv[bidx["w_fld"]]
         y = y.at[idx.delta_fld].add(3.0 * (1.0 + w0) * aH * alpha)
         y = y.at[idx.theta_fld].add(k2 * alpha)
+    if idx.has_scf:
+        # scf gauge shift (:5166-5175); alpha' from the shear constraint with
+        # the early-time ur shear (photons tightly coupled, zero shear)
+        phip_bg = bgv[bidx["phi_prime_scf"]]
+        dV_bg = bgv[bidx["dV_scf"]]
+        rho_ur_i = bgv[bidx["rho_ur"]]
+        shear_sum = 4.0 / 3.0 * rho_ur_i * y[idx.shear_ur]
+        alpha_prime = -2.0 * aH * alpha + eta - 4.5 * (a * a / k2) * shear_sum
+        y = y.at[idx.phi_scf_pt].add(alpha * phip_bg)
+        y = y.at[idx.phi_prime_scf_pt].add(
+            -2.0 * aH * alpha * phip_bg - a * a * dV_bg * alpha
+            + phip_bg * alpha_prime)
     if idx.has_dcdm:
         # dcdm picks up a decay term in the gauge shift (:5152); the dr seeds
         # are rebuilt from the transformed ur variables with the source

@@ -39,6 +39,8 @@ class PtIdx:
     # dr hierarchy F_0..F_lmax; reference perturb_vector_init :3380-3390)
     has_dcdm: bool = False
     l_max_dr: int = 17
+    # scalar-field dark energy (quintessence) perturbations
+    has_scf: bool = False
 
     # --- photons
     @property
@@ -160,10 +162,24 @@ class PtIdx:
     def n_fld(self):
         return 2 if self.has_fld else 0
 
+    # --- scalar-field dark energy: delta phi and its conformal derivative
+    # (perturb_vector_init :3399-3400)
+    @property
+    def phi_scf_pt(self):
+        return self.ncdm + self.n_ncdm_block + self.n_fld
+
+    @property
+    def phi_prime_scf_pt(self):
+        return self.phi_scf_pt + 1
+
+    @property
+    def n_scf(self):
+        return 2 if self.has_scf else 0
+
     # --- metric
     @property
     def eta(self):
-        return self.ncdm + self.n_ncdm_block + self.n_fld
+        return self.ncdm + self.n_ncdm_block + self.n_fld + self.n_scf
 
     @property
     def size(self):

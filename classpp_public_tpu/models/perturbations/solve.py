@@ -317,7 +317,8 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
     has_dcdm = (params.Omega_ini_dcdm > 0.0) or (params.Omega_dcdmdr > 0.0)
     idx = PtIdx(l_max_g=pr.l_max_g, l_max_pol_g=pr.l_max_pol_g, l_max_ur=pr.l_max_ur,
                 n_ncdm=n_ncdm, l_max_ncdm=pr.l_max_ncdm, has_fld=params.use_fld,
-                gauge=gauge, sgnK=sgnK, has_dcdm=has_dcdm, l_max_dr=pr.l_max_dr)
+                gauge=gauge, sgnK=sgnK, has_dcdm=has_dcdm, l_max_dr=pr.l_max_dr,
+                has_scf=params.Omega_scf != 0.0)
     taus_j = jnp.asarray(taus)
     ncdm_ctx = make_ncdm_ctx(params, bg, idx) if n_ncdm else None
 
@@ -383,7 +384,11 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
             # error floor applies only when EVERY lane is beyond the CMB range
             any_heavy = sl[0][-1] > k_max_cmb
             all_heavy = sl[0][0] > k_max_cmb
-            atol = 3e-9 if all_heavy else 1e-11
+            atol = 3e-8 if all_heavy else 1e-11
+            # P(k)-only lanes answer to the 1e-2 P(k) contract, not the 3e-3
+            # C_l one: a looser rtol cuts the oscillation-limited step count
+            # of the k>k_cmb tail (the most expensive chunk on the device)
+            rtol_c = rtol * 30.0 if all_heavy else rtol
             if pr.evolver == "imex":
                 # stiff path: step counts are oscillation-limited (~1e3/lane),
                 # so a couple of windows suffice to bound launch wall-clock
@@ -397,10 +402,10 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                       evolver=pr.evolver, K=K_curv,
                       Gamma_dcdm=params.Gamma_dcdm / 299792.458,
                       H0=float(bg.H0))
-            init = get_init_solver(bidx.key, idx, rtol, ic=ic_name, **kw)
-            adv = get_advance_solver(bidx.key, idx, rtol, ic=ic_name, **kw)
-            emit = get_emit_solver(bidx.key, idx, rtol, ic=ic_name, **kw)
-            cont = get_window_solver(bidx.key, idx, rtol, ic=ic_name, **kw)
+            init = get_init_solver(bidx.key, idx, rtol_c, ic=ic_name, **kw)
+            adv = get_advance_solver(bidx.key, idx, rtol_c, ic=ic_name, **kw)
+            emit = get_emit_solver(bidx.key, idx, rtol_c, ic=ic_name, **kw)
+            cont = get_window_solver(bidx.key, idx, rtol_c, ic=ic_name, **kw)
             sw = list(args[2:6])
             # pre-phase: ICs at per-lane tau_ini, then advance in shared
             # tau-windows (per-lane spans clamped so late starters wait)

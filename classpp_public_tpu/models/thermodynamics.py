@@ -589,6 +589,42 @@ def _xe_reio_inter(z, params: CosmoParams, xe_top, fHe):
     return xe, zi[-1]
 
 
+@jax.jit
+def _tb_march(z_fine, xe_fine, H_fine, rho_g_fine, rho_b_fine, Tb_start,
+              idx_start, kappa_fac, YHe, T_cmb):
+    """Backward-Euler Tb march through reionization on the fine z grid
+    (thermodynamics_reionization_sample :2880-2960). Module-level jit: the
+    scan body is a closure, so an unjitted call would recompile per run."""
+    n_fine = z_fine.shape[0]
+
+    def dTdz_fn(i, Tb):
+        z = z_fine[i]
+        xe = xe_fine[i]
+        opacity = (1.0 + z) ** 2 * kappa_fac * xe
+        mu = const.m_H / (1.0 + (1.0 / const.not4 - 1.0) * YHe + xe * (1.0 - YHe))
+        return (
+            2.0 / (1.0 + z) * Tb
+            - 2.0 * mu / const.m_e * 4.0 * rho_g_fine[i] / 3.0 / rho_b_fine[i] * opacity
+            * (T_cmb * (1.0 + z) - Tb) / H_fine[i]
+        )
+
+    dzf = z_fine[1] - z_fine[0]
+
+    def tb_step(carry, i):
+        Tb = carry
+        active = i < idx_start
+        dT = dTdz_fn(i + 1, Tb)
+        Tb_new = jnp.where(active, Tb - dT * dzf, Tb)
+        return Tb_new, Tb_new
+
+    idxs = jnp.arange(n_fine - 2, -1, -1)
+    _, Tb_marched = jax.lax.scan(tb_step, Tb_start, idxs)
+    Tb_fine = Tb_marched[::-1]
+    Tb_fine = jnp.concatenate([Tb_fine, jnp.array([Tb_start])])
+    dTdz_fine = jax.vmap(lambda i: dTdz_fn(i, Tb_fine[i]))(jnp.arange(n_fine))
+    return Tb_fine, dTdz_fine
+
+
 def compute_thermodynamics(params: CosmoParams, pr: PrecisionParams,
                            bg: BackgroundResult, bidx: BgIdx) -> ThermoResult:
     """Full thermodynamics pipeline: recfast scan -> reio_camb (vectorized
@@ -707,40 +743,15 @@ def _compute_thermodynamics_impl(params: CosmoParams, pr: PrecisionParams,
     rho_b_fine = bg.Omega0_b * bg.H0**2 * (1.0 + z_fine) ** 3
 
     idx_start = jnp.searchsorted(z_fine, z_start)  # integrate from idx_start down to 0
-
-    def dTdz_fn(i, Tb):
-        z = z_fine[i]
-        xe = xe_fine[i]
-        opacity = (1.0 + z) ** 2 * kappa_fac * xe
-        mu = const.m_H / (1.0 + (1.0 / const.not4 - 1.0) * ctx.YHe + xe * (1.0 - ctx.YHe))
-        return (
-            2.0 / (1.0 + z) * Tb
-            - 2.0 * mu / const.m_e * 4.0 * rho_g_fine[i] / 3.0 / rho_b_fine[i] * opacity
-            * (params.T_cmb * (1.0 + z) - Tb) / H_fine[i]
-        )
-
-    dzf = z_fine[1] - z_fine[0]
-
-    def tb_step(carry, i):
-        Tb = carry
-        # march downward in z: from index i+1 to i (only active below idx_start)
-        active = i < idx_start
-        dT = dTdz_fn(i + 1, Tb)
-        Tb_new = jnp.where(active, Tb - dT * dzf, Tb)
-        return Tb_new, Tb_new
-
-    # initialize at z_start: walk indices from high to low
-    idxs = jnp.arange(n_fine - 2, -1, -1)
-    # set carry to Tb_start; indices above idx_start keep Tb_start (overwritten by reco interp later)
-    _, Tb_marched = jax.lax.scan(tb_step, Tb_start, idxs)
-    Tb_fine = Tb_marched[::-1]
-    Tb_fine = jnp.concatenate([Tb_fine, jnp.array([Tb_start])])  # index n_fine-1 placeholder
+    Tb_fine, dTdz_fine = _tb_march(z_fine, xe_fine, H_fine, rho_g_fine,
+                                   rho_b_fine, Tb_start, idx_start,
+                                   jnp.asarray(kappa_fac), jnp.asarray(ctx.YHe),
+                                   jnp.asarray(params.T_cmb))
     # above z_start use reco
     Tb_fine = jnp.where(z_fine >= z_start, jnp.interp(z_fine, reco.z, reco.Tb), Tb_fine)
 
     mu_fine = const.m_H / (1.0 + (1.0 / const.not4 - 1.0) * ctx.YHe + xe_fine * (1.0 - ctx.YHe))
     wb_fine = const.k_B / (const.c_SI**2) / mu_fine * Tb_fine
-    dTdz_fine = jax.vmap(lambda i: dTdz_fn(i, Tb_fine[i]))(jnp.arange(n_fine))
     cb2_fine = wb_fine * (1.0 + (1.0 + z_fine) / 3.0 * dTdz_fine / Tb_fine)
     cb2_fine = jnp.where(z_fine >= z_start, jnp.interp(z_fine, reco.z, reco.cb2), cb2_fine)
     dkappa_fine = (1.0 + z_fine) ** 2 * kappa_fac * xe_fine

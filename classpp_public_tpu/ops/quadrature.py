@@ -10,15 +10,27 @@ is JAX.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import jax.numpy as jnp
 
 
 def gauss_legendre(n: int, a: float = -1.0, b: float = 1.0):
-    """n-point Gauss-Legendre nodes/weights on [a, b] (float64 numpy)."""
-    x, w = np.polynomial.legendre.leggauss(n)
+    """n-point Gauss-Legendre nodes/weights on [a, b] (float64 numpy).
+    Cached: leggauss(n~3000) costs ~1 s (companion-matrix eigensolve) and
+    lensing asks for the same grid on every pipeline instance."""
+    x, w = _leggauss_cached(n)
     x = 0.5 * (b - a) * x + 0.5 * (b + a)
     w = 0.5 * (b - a) * w
+    return x, w
+
+
+@lru_cache(maxsize=8)
+def _leggauss_cached(n: int):
+    x, w = np.polynomial.legendre.leggauss(n)
+    x.setflags(write=False)
+    w.setflags(write=False)
     return x, w
 
 

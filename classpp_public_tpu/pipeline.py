@@ -151,6 +151,24 @@ class Cosmology:
                 from .models.primordial import external_spectrum
 
                 ext = external_spectrum(cmd)
+            infl = getattr(self, "inflation_model", None)
+            if infl:
+                # inflation_V: numerical P_R/P_h from the inflaton ODEs
+                # (primordial_module.cpp:1087); tabulated like external_Pk
+                import numpy as np
+
+                from .models.inflation import compute_inflation_spectrum
+
+                pert = self.perturbations
+                k_min = float(pert.k[0]) * 0.8
+                k_max = float(pert.k[-1]) * 1.2
+                n_lnk = int(np.log10(k_max / k_min)
+                            * self.pr.k_per_decade_primordial) + 2
+                lnk = np.linspace(np.log(k_min), np.log(k_max), n_lnk)
+                pk_s, pk_t = compute_inflation_spectrum(
+                    infl[0], infl[1], self.params.k_pivot, lnk, self.pr)
+                ext = (jnp.asarray(lnk), jnp.log(jnp.asarray(pk_s)),
+                       jnp.log(jnp.asarray(pk_t)))
             pm = compute_primordial(self.params, iso=getattr(self, "iso_primordial", None),
                                     external=ext)
             if self.sigma8_target is not None:

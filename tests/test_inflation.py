@@ -1,0 +1,118 @@
+"""Inflationary primordial-spectrum golden acceptance
+(tests/golden/gen/g14_inflation.ini): P_k_ini type = inflation_V with the
+explanatory.ini polynomial potential V_0=1e-13, V_1=-1e-14, V_2=7e-14.
+Reference prints A_s=1.26505e-09, n_s=1.05496, r=0.00337399.
+
+Exercises the attractor search, the shared background trajectory (TPU-native
+replacement of the reference's per-k background re-integration,
+primordial_module.cpp:1543) and the lockstep Mukhanov-Sasaki solver.
+"""
+
+import numpy as np
+import pytest
+
+from classpp_public_tpu import Class
+from classpp_public_tpu.config.precision import PrecisionParams
+from classpp_public_tpu.models.inflation import compute_inflation_spectrum
+from tests.conftest import GOLDEN_DIR, Golden
+
+V_PARAMS = (1.0e-13, -1.0e-14, 7.0e-14, 0.0, 0.0)
+
+PARAMS = {
+    "h": 0.67810, "T_cmb": 2.7255, "omega_b": 0.02238280,
+    "omega_cdm": 0.1201075, "N_ur": 3.046, "tau_reio": 0.05430842,
+    "YHe": 0.2454006,
+    "P_k_ini type": "inflation_V", "potential": "polynomial",
+    "V_0": 1.0e-13, "V_1": -1.0e-14, "V_2": 7.0e-14,
+    "modes": "s,t",
+    "output": "tCl,pCl,lCl,mPk", "lensing": "yes",
+    "l_max_scalars": 1200, "l_max_tensors": 500,
+    "P_k_max_1/Mpc": 1.0, "z_pk": "0.",
+}
+
+
+@pytest.fixture(scope="module")
+def g14():
+    return Golden(GOLDEN_DIR / "g14_inflation.npz")
+
+
+def test_primordial_spectrum_vs_golden(g14):
+    T = g14.table("primordial")
+    lnk = np.log(T[:, 0])
+    pk_s, pk_t = compute_inflation_spectrum(
+        "polynomial", V_PARAMS, 0.05, lnk, PrecisionParams())
+    assert np.abs(pk_s / T[:, 1] - 1).max() < 1e-3
+    assert np.abs(pk_t / T[:, 2] - 1).max() < 1e-3
+
+
+@pytest.fixture(scope="module")
+def computed():
+    c = Class()
+    c.set(dict(PARAMS))
+    c.compute(["lensing"])
+    return c
+
+
+def test_raw_cl_vs_golden(computed, g14):
+    # scalar-only table 'cls': validates the inflationary P_R through the
+    # full Boltzmann pipeline (raw spectra isolate the primordial input
+    # from lensing-smoothing accuracy)
+    cols = [str(x) for x in g14.cols("cls")]
+    T = g14.table("cls")
+    lr = T[:, 0]
+    cl = computed.raw_cl(1100)
+    ell = cl["ell"][2:]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    # mine includes the small tensor contribution (r=0.0034); compare TT
+    # against the total table and EE against scalars above the tensor range
+    cols_t = [str(x) for x in g14.cols("cl")]
+    Tt = g14.table("cl")
+    mine_tt = fac * cl["tt"][2:]
+    ref_tt = np.interp(ell, Tt[:, 0], Tt[:, cols_t.index("TT")])
+    rel = np.abs(mine_tt / ref_tt - 1)
+    assert rel.max() < 3e-3, ("tt", rel.max(), ell[rel.argmax()])
+    m = ell > 150
+    mine_ee = fac[m] * cl["ee"][2:][m]
+    ref_ee = np.interp(ell[m], lr, T[:, cols.index("EE")])
+    rel = np.abs(mine_ee / ref_ee - 1)
+    assert rel.max() < 3e-3, ("ee", rel.max(), ell[m][rel.argmax()])
+
+
+def test_lensed_cl_vs_golden(computed, g14):
+    cols = [str(x) for x in g14.cols("cl_lensed")]
+    T = g14.table("cl_lensed")
+    lr = T[:, 0]
+    cl = computed.lensed_cl(1100)
+    ell = cl["ell"][2:]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    # lensed EE smoothing residuals reach ~1.2% for this n_s=1.055 model
+    # (raw EE matches at 2e-3; the difference is pure lensing-kernel
+    # accuracy at enhanced deflection power)
+    for name, col, tol in [("tt", "TT", 3e-3), ("ee", "EE", 1.5e-2)]:
+        mine = fac * cl[name][2:]
+        ref = np.interp(ell, lr, T[:, cols.index(col)])
+        rel = np.abs(mine / ref - 1)
+        assert rel.max() < tol, (name, rel.max(), ell[rel.argmax()])
+
+
+def test_tensor_bb_vs_golden(computed, g14):
+    cols = [str(x) for x in g14.cols("clt")]
+    T = g14.table("clt")
+    cl = computed.raw_cl(500)
+    ell = cl["ell"][2:]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    mine = fac * cl["bb"][2:]
+    ref = np.interp(ell, T[:, 0], T[:, cols.index("BB")])
+    rel = np.abs(mine / ref - 1)
+    assert rel.max() < 1e-2, (rel.max(), ell[rel.argmax()])
+
+
+def test_pk_vs_golden(computed, g14):
+    h = computed.h()
+    T = g14.table("pk")
+    ks = T[:, 0] * h
+    sel = (ks > 1e-3) & (ks < 0.9)
+    mine = np.array([computed.pk_lin(kk, 0.0) for kk in ks[sel][::5]])
+    ref = T[sel, 1][::5] / h**3
+    rel = np.abs(mine / ref - 1)
+    assert rel.max() < 1e-2, (rel.max(), ks[sel][::5][rel.argmax()])
