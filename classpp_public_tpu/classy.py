@@ -64,8 +64,8 @@ _UNIMPLEMENTED_PARAMS = frozenset({
     "potential", "V_0", "V_1", "V_2", "V_3", "V_4",
     "H_0", "H_1", "H_2", "H_3", "H_4", "phi_end", "full_potential",
     "inflation_parametrization", "primordial_spec_type",
-    # fluid DE extensions
-    "use_ppf", "c_gamma_over_c_fld", "fluid_equation_of_state", "EDE",
+    # fluid DE extensions (PPF and CLP implemented; EDE w(a) is not)
+    "fluid_equation_of_state", "EDE",
     # misc reference features
     "pk_eq", "headers_in_output", "bessel file", "l_max_vectors",
     "temperature contributions", "early/late isw redshift",
@@ -128,8 +128,15 @@ class Class:
             kw["A_s"] = float(np.exp(float(p.pop("ln10^{10}A_s")))) * 1e-10
         if "A_s" in p:
             kw["A_s"] = float(p.pop("A_s"))
+        if "use_ppf" in p:
+            v = str(p.pop("use_ppf")).strip().lower()
+            kw["use_ppf"] = v in ("yes", "y", "true", "1")
+            if kw["use_ppf"] and str(p.get("gauge", "synchronous")).startswith("new"):
+                raise CosmoSevereError(
+                    "use_ppf implemented in synchronous gauge only")
         for name in ("n_s", "alpha_s", "k_pivot", "T_cmb", "N_ur", "Omega_k",
-                     "w0_fld", "wa_fld", "cs2_fld", "tau_reio", "z_reio", "YHe",
+                     "w0_fld", "wa_fld", "cs2_fld", "c_gamma_over_c_fld",
+                     "tau_reio", "z_reio", "YHe",
                      "r", "n_t", "reionization_width", "reionization_exponent",
                      "helium_fullreio_redshift", "helium_fullreio_width"):
             if name in p:

@@ -61,6 +61,10 @@ class CosmoParams:
     wa_fld: float = 0.0
     use_fld: bool = False            # if True, close budget with fld instead of Lambda
     cs2_fld: float = 1.0
+    use_ppf: bool = False            # PPF formalism (reference default yes;
+                                     # here opt-in: non-PPF matches it away
+                                     # from w = -1 crossings)
+    c_gamma_over_c_fld: float = 0.4
     # massive neutrinos / ncdm (round-1: degenerate species described by mass list)
     m_ncdm: Tuple[float, ...] = ()   # masses in eV (one per species)
     deg_ncdm: Tuple[float, ...] = () # degeneracy per species (default 1)

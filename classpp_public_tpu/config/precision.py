@@ -116,14 +116,13 @@ class PrecisionParams:
     # "rkck" = fully explicit Cash-Karp 45 (reference evolver_rk analog).
     evolver: str = "imex"
     # modes per device launch (per device when a mesh is present). Measured on
-    # TPU v5e with the imex evolver (2026-08-17): per-launch wall-clock is set
-    # by the slowest LANE, not the lane count — a (512,46) state still
-    # under-fills the VPU — so merging chunks replaces a sum of per-chunk
-    # maxima with one global maximum and saves the ~0.3-1 s dispatch per
-    # launch (22 s -> ~8 s for the Planck config). The old 128-wide device
-    # faults were an artifact of the explicit evolver's 100k-iteration
-    # launches and are gone.
-    k_chunk_size: int = 512
+    # TPU v5e with the imex evolver: 128 is ~1.7x faster than 64 (better VPU
+    # occupancy); 256/512 are SLOWER — beyond one (8,128) register tile the
+    # per-step cost grows with lane count, so merging chunks loses more than
+    # the saved dispatches (512: 22 s -> 26 s on the Planck config). The old
+    # 128-wide device faults were an artifact of the explicit evolver's
+    # 100k-iteration launches and are gone.
+    k_chunk_size: int = 128
     tau_windows: int = 4     # tau-range splits per launch (bounds execution time)
     # working dtype of the perturbation state ("float64" | "float32"): time,
     # step control and all other pipeline stages stay f64. NOTE: with the

@@ -62,6 +62,7 @@ class PertCtx(NamedTuple):
     ncdm: object = None   # NcdmCtx when idx.n_ncdm > 0
     wa_fld: float = 0.0
     cs2_fld: float = 1.0
+    c_gamma_over_c_fld: float = 0.4   # PPF sound-speed ratio (input :3212)
     # offset of the stored eta slot (0.0 or 1.0, may be per-lane traced): the
     # state carries eta - eta_off. Low-k adiabatic modes store eta - 1 so the
     # super-horizon value 1 - O((k tau)^2) keeps its deviation at full
@@ -251,20 +252,6 @@ def rhs_full(tau, y, ctx: PertCtx):
         rho_plus_p_theta = rho_plus_p_theta + jnp.sum(rpt_nc)
         rho_plus_p_shear = rho_plus_p_shear + jnp.sum(rps_nc)
         delta_p = delta_p + jnp.sum(dp_nc)
-    if idx.has_fld:
-        rho_fld = bgv[bidx["rho_fld"]]
-        w_fld = bgv[bidx["w_fld"]]
-        d_fld = y[idx.delta_fld]
-        t_fld = y[idx.theta_fld]
-        # CLP: dw/da = -wa  =>  w' = -wa a' = -wa a^2 H
-        w_prime_fld = -ctx.wa_fld * aH * a
-        ca2_fld = w_fld - w_prime_fld / (3.0 * (1.0 + w_fld) * aH)
-        cs2_fld = ctx.cs2_fld
-        delta_rho = delta_rho + rho_fld * d_fld
-        rho_plus_p_theta = rho_plus_p_theta + (1.0 + w_fld) * rho_fld * t_fld
-        delta_p = delta_p + cs2_fld * rho_fld * d_fld \
-            + 3.0 * aH * (cs2_fld - ca2_fld) * (1.0 + w_fld) * rho_fld * t_fld / k2
-
     if idx.has_scf:
         # scf stress-energy (perturb_total_stress_energy :6438-6476): added
         # after every shear-carrying species since the newtonian-gauge
@@ -281,6 +268,83 @@ def rhs_full(tau, y, ctx: PertCtx):
         delta_rho = delta_rho + dr_scf
         rho_plus_p_theta = rho_plus_p_theta + k2 / a2 * phip_scf_bg * dphi_scf / 3.0
         delta_p = delta_p + dp_scf
+
+    # --- dark-energy fluid: LAST species (the PPF scheme needs the non-fld
+    # sums, perturb_total_stress_energy :6484-6570)
+    Gamma_prime_fld = zero
+    if idx.has_fld:
+        rho_fld = bgv[bidx["rho_fld"]]
+        w_fld = bgv[bidx["w_fld"]]
+        # CLP: dw/da = -wa  =>  w' = -wa a' = -wa a^2 H
+        w_prime_fld = -ctx.wa_fld * aH * a
+        cs2_fld = ctx.cs2_fld
+        if idx.use_ppf:
+            # PPF formalism (Hu 2008; :6484-6562, synchronous gauge). One
+            # dynamical variable Gamma (stored in the delta_fld slot); the
+            # fld density/velocity perturbations are constrained.
+            rho_tot_bg = bgv[bidx["rho_tot"]]
+            p_tot_bg = bgv[bidx["p_tot"]]
+            p_tot_prime_bg = bgv[bidx["p_tot_prime"]]
+            H_bg = bgv[bidx["H"]]
+            Hp_bg = bgv[bidx["H_prime"]]
+            Gamma = y[idx.delta_fld]
+            cK = (ctx.c_gamma_over_c_fld * k / aH) ** 2 * cs2_fld
+            big = cK > 1.0e3          # c_gamma_k_H_square_max (precisions.h:245)
+            Gamma_e = jnp.where(big, zero, Gamma)
+            rpp_nofld = (rho_tot_bg + p_tot_bg) - (1.0 + w_fld) * rho_fld
+            alpha_ppf = (eta + 1.5 * a2 / (k2 * s2)
+                         * (delta_rho + 3.0 * aH / k2 * rho_plus_p_theta)
+                         - Gamma_e) / aH
+            S_fld = rho_fld * (1.0 + w_fld) * 1.5 * a2 / k2 / aH * (
+                rho_plus_p_theta / rpp_nofld + k2 * alpha_ppf)
+            Gamma_prime_fld = jnp.where(
+                big, zero, aH * (S_fld / (1.0 + cK) - (1.0 + cK) * Gamma_e))
+            Gpa = Gamma_prime_fld + aH * Gamma_e
+            rpt_fld = rho_fld * (1.0 + w_fld) * rho_plus_p_theta / rpp_nofld \
+                - k2 * (2.0 / 3.0) * aH / a2 / (1.0 + 4.5 * a2 / (k2 * s2) * rpp_nofld) \
+                * (S_fld - Gpa / aH)
+            drho_fld = -2.0 / 3.0 * k2 * s2 / a2 * Gamma_e - 3.0 * aH / k2 * rpt_fld
+            # pressure perturbation from the analytic theta_fld' (:6528-6560)
+            p_fld = w_fld * rho_fld
+            rho_fld_prime = -3.0 * aH * (rho_fld + p_fld)
+            p_fld_prime = w_prime_fld * rho_fld - 3.0 * aH * (1.0 + w_fld) * p_fld
+            rho_t = rho_tot_bg - rho_fld
+            p_t = p_tot_bg - p_fld
+            rho_t_prime = -3.0 * aH * (rho_t + p_t)
+            p_t_prime = p_tot_prime_bg - p_fld_prime
+            X = cK
+            X_prime = -2.0 * X * (aH + Hp_bg / H_bg)
+            Yv = 4.5 * a2 / (k2 * s2) * (rho_t + p_t)
+            Y_prime = Yv * (2.0 * aH + (rho_t_prime + p_t_prime) / (rho_t + p_t))
+            Zv = 2.0 / 3.0 * k2 * H_bg / a
+            Z_prime = Zv * (Hp_bg / H_bg - aH)
+            theta_t = rho_plus_p_theta / rpp_nofld
+            theta_t_prime = -aH * theta_t - (p_t_prime * theta_t - k2 * delta_p
+                                             + k2 * rho_plus_p_shear) / rpp_nofld
+            alpha_prime_ppf = -2.0 * aH * alpha_ppf + eta \
+                - 4.5 * (a2 / k2) * rho_plus_p_shear
+            S_prime = -Z_prime / Zv * S_fld \
+                + (rho_fld_prime + p_fld_prime) * (theta_t + k2 * alpha_ppf) / Zv \
+                + (rho_fld + p_fld) * (theta_t_prime + k2 * alpha_prime_ppf) / Zv
+            inv1X = 1.0 / (1.0 + 1.0 / X)
+            rpt_fld_prime = Z_prime * (S_fld - (S_fld * inv1X + Gamma_e * X) / (1.0 + Yv)) \
+                + Zv * (S_prime + Y_prime / (1.0 + Yv) ** 2 * (S_fld * inv1X + Gamma_e * X)
+                        - (S_prime * inv1X + S_fld * X_prime / (1.0 + X) ** 2
+                           + Gamma_prime_fld * X + Gamma_e * X_prime) / (1.0 + Yv)) \
+                - k2 * alpha_prime_ppf * (rho_fld + p_fld) \
+                - k2 * alpha_ppf * (rho_fld_prime + p_fld_prime)
+            dp_fld = (rpt_fld_prime + 4.0 * aH * rpt_fld) / k2
+            delta_rho = delta_rho + drho_fld
+            rho_plus_p_theta = rho_plus_p_theta + rpt_fld
+            delta_p = delta_p + dp_fld
+        else:
+            d_fld = y[idx.delta_fld]
+            t_fld = y[idx.theta_fld]
+            ca2_fld = w_fld - w_prime_fld / (3.0 * (1.0 + w_fld) * aH)
+            delta_rho = delta_rho + rho_fld * d_fld
+            rho_plus_p_theta = rho_plus_p_theta + (1.0 + w_fld) * rho_fld * t_fld
+            delta_p = delta_p + cs2_fld * rho_fld * d_fld \
+                + 3.0 * aH * (cs2_fld - ca2_fld) * (1.0 + w_fld) * rho_fld * t_fld / k2
 
     newt = idx.gauge == "newtonian"
     if newt:
@@ -551,15 +615,19 @@ def rhs_full(tau, y, ctx: PertCtx):
             -2.0 * aH * dphip_scf - metric_continuity * phip_scf_bg
             - (k2 + a2 * ddV_scf_bg) * dphi_scf)
 
-    # dark-energy fluid (perturb_derivs fld block, non-PPF)
+    # dark-energy fluid (perturb_derivs fld block)
     if idx.has_fld:
-        dy = dy.at[idx.delta_fld].set(
-            -(1.0 + w_fld) * (t_fld + metric_continuity)
-            - 3.0 * (cs2_fld - w_fld) * aH * d_fld
-            - 9.0 * (1.0 + w_fld) * (cs2_fld - ca2_fld) * aH * aH * t_fld / k2)
-        dy = dy.at[idx.theta_fld].set(
-            -(1.0 - 3.0 * cs2_fld) * aH * t_fld
-            + cs2_fld * k2 / (1.0 + w_fld) * d_fld + metric_euler)
+        if idx.use_ppf:
+            # PPF: single Gamma variable (:8550-8552)
+            dy = dy.at[idx.delta_fld].set(Gamma_prime_fld)
+        else:
+            dy = dy.at[idx.delta_fld].set(
+                -(1.0 + w_fld) * (t_fld + metric_continuity)
+                - 3.0 * (cs2_fld - w_fld) * aH * d_fld
+                - 9.0 * (1.0 + w_fld) * (cs2_fld - ca2_fld) * aH * aH * t_fld / k2)
+            dy = dy.at[idx.theta_fld].set(
+                -(1.0 - 3.0 * cs2_fld) * aH * t_fld
+                + cs2_fld * k2 / (1.0 + w_fld) * d_fld + metric_euler)
 
     # metric slot: eta' (synchronous) or phi' (newtonian, :8075)
     dy = dy.at[idx.eta].set(eta_prime)
@@ -799,8 +867,9 @@ def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
     y = y.at[idx.shear_ur].set(shear_ur)
     y = y.at[idx.F_ur].set(l3_ur)
     y = y.at[idx.eta].set(eta_hat)
-    if idx.has_fld:
-        # from 1004.5509 (perturb_initial_conditions :4895-4900)
+    if idx.has_fld and not idx.use_ppf:
+        # from 1004.5509 (perturb_initial_conditions :4895-4900); under PPF
+        # the single Gamma variable starts at zero
         w0 = ctx.bg_spline.eval(jnp.log(tau))[ctx.bidx["w_fld"]]
         cs2 = ctx.cs2_fld
         y = y.at[idx.delta_fld].set(-ktau2 / 4.0 * (1.0 + w0) * (4.0 - 3.0 * cs2)
@@ -968,7 +1037,7 @@ def _ic_to_newtonian(y, k, tau, ctx: PertCtx):
     y = y.at[idx.theta_cdm].set(k2 * alpha)
     y = y.at[idx.delta_ur].add(-4.0 * aH * alpha)
     y = y.at[idx.theta_ur].add(k2 * alpha)            # shear, l3 gauge-invariant
-    if idx.has_fld:
+    if idx.has_fld and not idx.use_ppf:
         w0 = bgv[bidx["w_fld"]]
         y = y.at[idx.delta_fld].add(3.0 * (1.0 + w0) * aH * alpha)
         y = y.at[idx.theta_fld].add(k2 * alpha)

@@ -41,6 +41,9 @@ class PtIdx:
     l_max_dr: int = 17
     # scalar-field dark energy (quintessence) perturbations
     has_scf: bool = False
+    # PPF formalism for the fld (Hu 2008): one Gamma variable in the
+    # delta_fld slot, constrained delta/theta (perturb :6484-6570)
+    use_ppf: bool = False
 
     # --- photons
     @property

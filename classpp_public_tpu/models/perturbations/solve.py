@@ -318,7 +318,8 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
     idx = PtIdx(l_max_g=pr.l_max_g, l_max_pol_g=pr.l_max_pol_g, l_max_ur=pr.l_max_ur,
                 n_ncdm=n_ncdm, l_max_ncdm=pr.l_max_ncdm, has_fld=params.use_fld,
                 gauge=gauge, sgnK=sgnK, has_dcdm=has_dcdm, l_max_dr=pr.l_max_dr,
-                has_scf=params.Omega_scf != 0.0)
+                has_scf=params.Omega_scf != 0.0,
+                use_ppf=params.use_fld and params.use_ppf)
     taus_j = jnp.asarray(taus)
     ncdm_ctx = make_ncdm_ctx(params, bg, idx) if n_ncdm else None
 
