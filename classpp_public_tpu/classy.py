@@ -56,12 +56,10 @@ _UNIMPLEMENTED_PARAMS = frozenset({
     # interacting dark matter / dark radiation (perturbations :8600s)
     "N_idr", "xi_idr", "a_idm_dr", "Omega_idm_dr", "omega_idm_dr",
     "f_idm_dr", "stat_f_idr", "nindex_idm_dr", "m_idm",
-    # energy injection (thermodynamics_module.cpp:1755)
-    "annihilation", "decay", "annihilation_variation", "annihilation_z",
-    "annihilation_zmax", "annihilation_zmin", "annihilation_f_halo",
-    "annihilation_z_halo", "on the spot",
-    # inflation-ODE primordial (primordial_module.cpp:1087)
-    "potential", "V_0", "V_1", "V_2", "V_3", "V_4",
+    # energy injection: only the beyond-on-the-spot deposition is missing
+    "on the spot",
+    # inflation-ODE primordial: H(phi) / V-to-end parametrizations missing
+    # (inflation_V with V_i is implemented)
     "H_0", "H_1", "H_2", "H_3", "H_4", "phi_end", "full_potential",
     "inflation_parametrization", "primordial_spec_type",
     # fluid DE extensions (PPF and CLP implemented; EDE w(a) is not)
@@ -134,9 +132,18 @@ class Class:
             if kw["use_ppf"] and str(p.get("gauge", "synchronous")).startswith("new"):
                 raise CosmoSevereError(
                     "use_ppf implemented in synchronous gauge only")
+        if "on the spot" in p:
+            v = str(p.pop("on the spot")).strip().lower()
+            if v in ("no", "n", "false", "0"):
+                raise CosmoSevereError(
+                    "only on-the-spot energy deposition implemented "
+                    "(thermodynamics_module.cpp:1817)")
         for name in ("n_s", "alpha_s", "k_pivot", "T_cmb", "N_ur", "Omega_k",
                      "w0_fld", "wa_fld", "cs2_fld", "c_gamma_over_c_fld",
                      "tau_reio", "z_reio", "YHe",
+                     "annihilation", "decay", "annihilation_variation",
+                     "annihilation_z", "annihilation_zmax", "annihilation_zmin",
+                     "annihilation_f_halo", "annihilation_z_halo",
                      "r", "n_t", "reionization_width", "reionization_exponent",
                      "helium_fullreio_redshift", "helium_fullreio_width"):
             if name in p:
@@ -163,6 +170,10 @@ class Class:
                 raise CosmoSevereError(f"unknown gauge {gauge!r}")
         if "recombination" in p:
             kw["recombination"] = str(p.pop("recombination")).strip().lower()
+            if (kw.get("annihilation") or kw.get("decay")) and \
+                    kw["recombination"] != "recfast":
+                raise CosmoSevereError(
+                    "energy injection implemented in the recfast branch only")
         if "reio_parametrization" in p:
             reio = str(p.pop("reio_parametrization")).strip().lower()
             if reio not in ("reio_camb", "reio_half_tanh", "reio_bins_tanh",

@@ -116,6 +116,16 @@ class CosmoParams:
     reio_inter_z: Tuple[float, ...] = ()
     reio_inter_xe: Tuple[float, ...] = ()
 
+    # DM energy injection (thermodynamics_module.cpp:1755; input :3240-3248)
+    annihilation: float = 0.0        # <sigma v>/m_dm [m^3/s/kg]
+    decay: float = 0.0               # Gamma_dm [1/s]
+    annihilation_variation: float = 0.0
+    annihilation_z: float = 1000.0
+    annihilation_zmax: float = 2500.0
+    annihilation_zmin: float = 30.0
+    annihilation_f_halo: float = 0.0
+    annihilation_z_halo: float = 30.0
+
     # fixed physics options (static / hashable)
     gauge: str = "synchronous"       # or "newtonian"
     recombination: str = "recfast"

@@ -96,6 +96,11 @@ class RecfastCtx(NamedTuple):
     Bfact: jnp.ndarray
     H_of_z: UniformSpline   # H [1/Mpc] and H' on uniform loga grid (cols: H, H_prime)
     YHe: jnp.ndarray
+    # DM energy injection (annihilation [m^3/s/kg], decay [1/s], shape params,
+    # and rho_cdm today in J/m^3): thermodynamics_onthespot_energy_injection
+    # (thermodynamics_module.cpp:1755-1795)
+    inj: tuple = (0.0,) * 8
+    rho_cdm_J: jnp.ndarray = 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -174,12 +179,43 @@ def make_recfast_ctx(params: CosmoParams, pr: PrecisionParams, bg: BackgroundRes
     H_of_z = UniformSpline.build(bg.loga[0], dloga, Hcols)
 
     f = jnp.asarray
+    # DM energy injection: rho_cdm today in J/m^3 (:1783)
+    rho_cdm_J = (H0_s ** 2 * 3.0 / (8.0 * math.pi * const.G_SI)
+                 * float(bg.Omega0_cdm) * const.c_SI ** 2)
+    inj = (float(params.annihilation), float(params.decay),
+           float(params.annihilation_variation), float(params.annihilation_z),
+           float(params.annihilation_zmax), float(params.annihilation_zmin),
+           float(params.annihilation_f_halo), float(params.annihilation_z_halo))
     return RecfastCtx(
         fHe=f(fHe), Nnow=f(Nnow), Tnow=f(params.T_cmb), fu=f(fu), H0_s=f(H0_s),
         CDB=f(CDB), CDB_He=f(CDB_He), CB1=f(CB1), CB1_He1=f(CB1_He1), CB1_He2=f(CB1_He2),
         CR=f(CR), CK=f(CK), CK_He=f(CK_He), CL=f(CL), CL_He=f(CL_He), CT=f(CT),
         Bfact=f(Bfact), H_of_z=H_of_z, YHe=f(YHe),
+        inj=inj, rho_cdm_J=f(rho_cdm_J),
     )
+
+
+def _energy_injection_rate(ctx: RecfastCtx, z):
+    """On-the-spot DM annihilation/decay energy injection rate [J/m^3/s]
+    (thermodynamics_onthespot_energy_injection, :1755-1795). jnp-only: the
+    injection parameters are traced leaves of the jitted recfast call."""
+    ann, dec, var, z0, zmax, zmin, f_halo, z_halo = ctx.inj
+    lz0 = jnp.log((z0 + 1.0) / (zmax + 1.0))
+    ann_z = jnp.where(
+        z > zmax,
+        ann * jnp.exp(-var * lz0 ** 2),
+        jnp.where(
+            z > zmin,
+            ann * jnp.exp(var * (-lz0 ** 2 + jnp.log((z + 1.0) / (zmax + 1.0)) ** 2)),
+            ann * jnp.exp(var * (-lz0 ** 2
+                                 + jnp.log((zmin + 1.0) / (zmax + 1.0)) ** 2))))
+    u_min = (1.0 + z) / (1.0 + z_halo)
+    erfc = (1.0 + 0.278393 * u_min + 0.230389 * u_min ** 2
+            + 0.000972 * u_min ** 3 + 0.078108 * u_min ** 4) ** -4
+    zp3 = (1.0 + z) ** 3
+    return (ctx.rho_cdm_J ** 2 / const.c_SI ** 2 * zp3
+            * (zp3 * ann_z + f_halo * erfc)
+            + ctx.rho_cdm_J * zp3 * dec)
 
 
 def _hubble_si(ctx: RecfastCtx, z):
@@ -199,7 +235,8 @@ def recfast_derivs(z, y, args):
     (thermodynamics_module.cpp:3727-3960), Heswitch=6, Hswitch=True, no energy
     injection (added separately).
     """
-    ctx, pr_tuple = args
+    ctx, pr_tuple, *rest = args
+    inj_on = rest[0] if rest else False
     (x_H0_trigger, x_H0_trigger2, x_He0_trigger2, AG1, AG2, zG1, zG2, wG1, wG2, H_frac, fudge_He) = pr_tuple
 
     x_H = jnp.clip(y[0], 0.0, 1.0)
@@ -271,6 +308,16 @@ def recfast_derivs(z, y, args):
         1.0,
     )
     dxH = (x * x_H * n * Rdown - Rup * one_m_xH * jnp.exp(-ctx.CL / Tmat)) * C_peebles / (Hz * (1.0 + z))
+    if inj_on:
+        # DM energy injection -> extra ionization (:3894-3904, Slatyer/Poulin
+        # chi_ion fit); note the dz sign: dy are d/dz so injection SUBTRACTS
+        energy_rate = _energy_injection_rate(ctx, z)
+        xc = jnp.clip(x, 0.0, 1.0)
+        chi_ion_H = jnp.where(x < 1.0,
+                              0.369202 * (1.0 - xc ** 0.463929) ** 1.70237, 0.0)
+        dxH = dxH - energy_rate * chi_ion_H / n \
+            * (1.0 / _L_H_ion + (1.0 - C_peebles) / _L_H_alpha) \
+            / (const.h_P * const.c_SI * Hz * (1.0 + z))
     dxH = jnp.where(x_H > x_H0_trigger, 0.0, dxH)
 
     # --- helium
@@ -296,6 +343,15 @@ def recfast_derivs(z, y, args):
         + 3.0 * epsilon / (1.0 + z)
     )
     dT_full = ctx.CT * Trad**4 * x / (1.0 + x + ctx.fHe) * (Tmat - Trad) / (Hz * (1.0 + z)) + 2.0 * Tmat / (1.0 + z)
+    if inj_on:
+        # injection heating (:3952-3962, Slatyer/Poulin chi_heat fit)
+        xc = jnp.clip(x, 0.0, 1.0)
+        chi_heat = jnp.where(
+            x < 1.0,
+            jnp.minimum(0.996857 * (1.0 - (1.0 - xc ** 0.300134) ** 1.51035), 1.0),
+            1.0)
+        dT_full = dT_full - 2.0 / (3.0 * const.k_B) * energy_rate * chi_heat \
+            / n / (1.0 + ctx.fHe + x) / (Hz * (1.0 + z))
     dT = jnp.where(timeTh < H_frac * timeH, dT_steady, dT_full)
 
     return jnp.array([dxH, dxHe, dT])
@@ -310,8 +366,9 @@ class RecoTable(NamedTuple):
     dkappadtau: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("pr",))
-def compute_recombination(params: CosmoParams, pr: PrecisionParams, ctx: RecfastCtx) -> RecoTable:
+@partial(jax.jit, static_argnames=("pr", "inj_on"))
+def compute_recombination(params: CosmoParams, pr: PrecisionParams, ctx: RecfastCtx,
+                          inj_on: bool = False) -> RecoTable:
     """RECFAST history as one lax.scan over the fixed z grid (descending),
     mirroring the staged approximation scheme of
     thermodynamics_recombination_with_recfast (:3461-3647).
@@ -330,7 +387,7 @@ def compute_recombination(params: CosmoParams, pr: PrecisionParams, ctx: Recfast
         pr.recfast_AGauss1, pr.recfast_AGauss2, pr.recfast_zGauss1, pr.recfast_zGauss2,
         pr.recfast_wGauss1, pr.recfast_wGauss2, pr.recfast_H_frac, pr.recfast_fudge_He,
     )
-    args = (ctx, pr_tuple)
+    args = (ctx, pr_tuple, inj_on)
 
     def rk4_interval(y, za, zb, nsub=4):
         h = (zb - za) / nsub
@@ -651,7 +708,9 @@ def _compute_thermodynamics_impl(params: CosmoParams, pr: PrecisionParams,
             params, pr, ctx, bg,
             model="full" if reco_opt == "hyrec_full" else "recfast")
     else:
-        reco = compute_recombination(params, pr, ctx)
+        reco = compute_recombination(
+            params, pr, ctx,
+            inj_on=bool(params.annihilation != 0.0 or params.decay != 0.0))
     fHe = ctx.fHe
     xe_after = 1.0 + fHe
 
