@@ -381,10 +381,30 @@ class Class:
             if Vs[0] <= 0.0:
                 raise CosmoSevereError("inflation_V requires V_0 > 0")
             self._inflation_model = (pot, Vs)
+        elif pk_ini_type == "two_scales":
+            # amplitudes at two scales instead of (A_s, n_s)
+            # (input_module.cpp:1847-1905, adiabatic branch)
+            k1 = float(p.pop("k1"))
+            k2 = float(p.pop("k2"))
+            if k1 <= 0.0 or k2 <= 0.0:
+                raise CosmoSevereError("two_scales requires k1, k2 > 0")
+            if any(key in p for key in ("P_{II}^1", "P_{II}^2", "P_{RI}^1",
+                                        "|P_{RI}^2|", "special_iso")):
+                raise CosmoSevereError(
+                    "two_scales isocurvature amplitudes not implemented "
+                    "(correlated isocurvature; input_module.cpp:1869)")
+            prr1 = float(p.pop("P_{RR}^1"))
+            prr2 = float(p.pop("P_{RR}^2"))
+            if prr1 <= 0.0 or prr2 <= 0.0:
+                raise CosmoSevereError("two_scales requires P_{RR}^{1,2} > 0")
+            n_s = np.log(prr2 / prr1) / np.log(k2 / k1) + 1.0
+            k_piv = float(p.get("k_pivot", 0.05))
+            kw["n_s"] = float(n_s)
+            kw["A_s"] = float(prr1 * np.exp((n_s - 1.0) * np.log(k_piv / k1)))
         elif pk_ini_type not in ("analytic_Pk",):
             raise CosmoSevereError(
                 f"P_k_ini type {pk_ini_type!r} not implemented "
-                "(analytic_Pk, external_Pk, inflation_V)")
+                "(analytic_Pk, external_Pk, inflation_V, two_scales)")
 
         # precision overrides
         pr = PrecisionParams()

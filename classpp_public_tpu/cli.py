@@ -46,6 +46,8 @@ def main(argv=None):
         om.output_perturbations(cosmo, root)
     if pars.get("write background", "no").lower() in ("yes", "y", "true"):
         om.output_background(c, root)
+    if pars.get("write primordial", "no").lower() in ("yes", "y", "true"):
+        om.output_primordial(c, root)
     if pars.get("write thermodynamics", "no").lower() in ("yes", "y", "true"):
         om.output_thermodynamics(c, root)
     print(f"output written under {root}*")

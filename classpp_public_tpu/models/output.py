@@ -138,6 +138,20 @@ def output_perturbations(shim, root: str):
                      names, np.column_stack(rows))
 
 
+def output_primordial(cosmo, root: str):
+    """Write primordial_Pk.dat: dimensionless P_s(k), P_t(k)
+    (output_module.cpp primordial file)."""
+    pert = cosmo.perturbations
+    pm = cosmo.primordial
+    k = np.asarray(pert.k)
+    pk_s = np.asarray(pm.scalar_pk(k))
+    pk_t = np.asarray(pm.tensor_pk(k))
+    _write_table(Path(root + "primordial_Pk.dat"),
+                 ["Dimensionless primordial spectrum, equal to [k^3/2pi^2] P(k)"],
+                 ["k [1/Mpc]", "P_scalar(k)", "P_tensor(k)"],
+                 np.column_stack([k, pk_s, pk_t]))
+
+
 def output_background(cosmo, root: str):
     bg, bidx = cosmo.background
     t = np.asarray(bg.table)

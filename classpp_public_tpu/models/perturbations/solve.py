@@ -384,11 +384,15 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
             # per-interval step cap and device launch bounds); the looser
             # error floor applies only when EVERY lane is beyond the CMB range
             any_heavy = sl[0][-1] > k_max_cmb
-            all_heavy = sl[0][0] > k_max_cmb
+            # the chunk boundary rarely lands exactly on k_max_cmb: treat the
+            # chunk as P(k)-only when its first lane is within 2% of the CMB
+            # cutoff (such edge lanes only feed l within delta_l_max of the
+            # extended l_max, where the 3e-3 contract has ample margin)
+            all_heavy = sl[0][0] > 0.98 * k_max_cmb and any_heavy
             atol = 3e-8 if all_heavy else 1e-11
             # P(k)-only lanes answer to the 1e-2 P(k) contract, not the 3e-3
-            # C_l one: a looser rtol cuts the oscillation-limited step count
-            # of the k>k_cmb tail (the most expensive chunk on the device)
+            # C_l one: a looser rtol cuts the step count of the k>k_cmb tail
+            # (the most expensive chunk on the device)
             rtol_c = rtol * 30.0 if all_heavy else rtol
             if pr.evolver == "imex":
                 # stiff path: step counts are oscillation-limited (~1e3/lane),
