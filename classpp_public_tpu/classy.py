@@ -432,13 +432,20 @@ class Class:
             sigma8_target = float(p.pop("sigma8"))
             kw.setdefault("A_s", 2.1e-9)
 
-        # ignore verbosity and echo parameters
+        # verbosity (max over the reference's per-module *_verbose keys)
+        # + echo parameters
+        verbosity = 0
         for key in list(p.keys()):
-            if key.endswith("_verbose") or key in ("root", "headers", "format",
-                                                   "write background", "write thermodynamics",
-                                                   "write primordial", "write parameters",
-                                                   "write warnings", "overwrite_root",
-                                                   "write perturbations"):
+            if key.endswith("_verbose"):
+                try:
+                    verbosity = max(verbosity, int(float(p.pop(key))))
+                except (TypeError, ValueError):
+                    p.pop(key)
+            elif key in ("root", "headers", "format",
+                         "write background", "write thermodynamics",
+                         "write primordial", "write parameters",
+                         "write warnings", "overwrite_root",
+                         "write perturbations"):
                 p.pop(key)
         self._k_output_values = tuple(_parse_list(p.pop("k_output_values", "")) or ())
         if p:
@@ -458,6 +465,7 @@ class Class:
             raise CosmoSevereError("; ".join(msgs))
 
         params = CosmoParams(**kw)
+        self._validate_physics(params)
 
         if theta_target is not None:
             params = self._shoot_theta_s(params, pr, theta_target)
@@ -466,7 +474,39 @@ class Class:
         cosmo.iso_primordial = getattr(self, "_iso_primordial", {}) or None
         cosmo.external_pk_command = self._external_pk_command
         cosmo.inflation_model = self._inflation_model
+        cosmo.verbosity = verbosity
         return cosmo
+
+    @staticmethod
+    def _validate_physics(params: CosmoParams):
+        """Physics guardrails, analog of the reference's class_test input
+        checks (input_module.cpp:549-3149): refuse parameter values outside
+        the regime the solver is built and tested for, instead of returning
+        a confidently-wrong or NaN cosmology."""
+        checks = [
+            (0.2 < params.h < 1.5, f"h = {params.h} outside (0.2, 1.5)"),
+            (0.001 < params.omega_b < 0.1,
+             f"omega_b = {params.omega_b} outside (0.001, 0.1)"),
+            (0.0 <= params.omega_cdm < 1.0,
+             f"omega_cdm = {params.omega_cdm} outside [0, 1)"),
+            (1.0 < params.T_cmb < 5.0, f"T_cmb = {params.T_cmb} K outside (1, 5)"),
+            (params.N_ur >= 0.0, f"N_ur = {params.N_ur} < 0"),
+            (params.A_s > 0.0, f"A_s = {params.A_s} <= 0"),
+            (-0.95 < params.Omega_k < 0.95,
+             f"Omega_k = {params.Omega_k} outside (-0.95, 0.95)"),
+            (params.z_reio is None or 0.0 <= params.z_reio < 100.0,
+             f"z_reio = {params.z_reio} outside [0, 100)"),
+            (params.z_reio is not None or 0.0 <= params.tau_reio < 0.9,
+             f"tau_reio = {params.tau_reio} outside [0, 0.9)"),
+            (params.YHe is None or 0.01 < params.YHe < 0.99,
+             f"YHe = {params.YHe} outside (0.01, 0.99)"),
+            (all(m >= 0.0 for m in params.m_ncdm),
+             f"negative ncdm mass in {params.m_ncdm}"),
+            (params.cs2_fld > 0.0, f"cs2_fld = {params.cs2_fld} <= 0"),
+        ]
+        bad = [msg for ok, msg in checks if not ok]
+        if bad:
+            raise CosmoSevereError("input out of range: " + "; ".join(bad))
 
     @staticmethod
     def _shoot_theta_s(params: CosmoParams, pr: PrecisionParams, target: float,

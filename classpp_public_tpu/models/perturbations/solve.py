@@ -394,6 +394,9 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
             # C_l one: a looser rtol cuts the step count of the k>k_cmb tail
             # (the most expensive chunk on the device)
             rtol_c = rtol * 30.0 if all_heavy else rtol
+            if _dbg:
+                print(f"[pert] chunk {i0}: k=[{sl[0][0]:.3f},{sl[0][-1]:.3f}] "
+                      f"all_heavy={all_heavy} rtol={rtol_c:.1e}", flush=True)
             if pr.evolver == "imex":
                 # stiff path: step counts are oscillation-limited (~1e3/lane),
                 # so a couple of windows suffice to bound launch wall-clock

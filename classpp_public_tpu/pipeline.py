@@ -292,8 +292,106 @@ class Cosmology:
                                                 l_lensed_max=self.out.l_scalar_max)
         return self._cache["le"]
 
+    # --- on-disk checkpoint/resume ----------------------------------------
+    # (SURVEY §5: stage cache keyed by parameter hash; the reference has no
+    # analog — module construction is its only persistence)
+
+    def state_key(self) -> str:
+        import hashlib
+
+        blob = repr((self.params, self.pr, self.out,
+                     getattr(self, "inflation_model", None)))
+        return hashlib.sha256(blob.encode()).hexdigest()[:24]
+
+    def save_state(self, path: str):
+        """Pickle every computed stage (arrays pulled to host numpy)."""
+        import pickle
+
+        host = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if isinstance(x, jnp.ndarray) else x,
+            self._cache)
+        with open(path, "wb") as f:
+            pickle.dump({"key": self.state_key(), "cache": host}, f)
+
+    def load_state(self, path: str) -> bool:
+        """Restore a stage cache if its parameter hash matches. Returns
+        whether the restore happened."""
+        import pickle
+
+        try:
+            with open(path, "rb") as f:
+                blob = pickle.load(f)
+        except (OSError, pickle.PickleError, EOFError):
+            return False
+        if blob.get("key") != self.state_key():
+            return False
+        self._cache.update(blob["cache"])
+        return True
+
+    def _auto_cache_path(self):
+        import os
+
+        d = os.environ.get("CLASSPP_CACHE_DIR")
+        if not d:
+            return None
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"state_{self.state_key()}.pkl")
+
+    # stage summaries, analog of the reference's *_verbose prints
+    # (e.g. background_module.cpp "-> age = ... Gyr"); level from the
+    # `*_verbose` input keys (max of them), stored by classy into `verbosity`
+    verbosity: int = 0
+
+    def _announce(self, lv: str):
+        if self.verbosity < 1:
+            return
+        import sys
+
+        try:
+            if lv == "background":
+                bg, _ = self._cache.get("bg", (None, None)) or (None, None)
+                bg = self._cache["bg"][0]
+                print(f" -> age = {float(bg.age):.6f} Gyr, conformal age = "
+                      f"{float(bg.tau0):.4f} Mpc, Omega0_m = {float(bg.Omega0_m):.6f}",
+                      file=sys.stderr)
+            elif lv == "thermodynamics":
+                th = self._cache["th"]
+                print(f" -> recombination at z = {float(th.z_rec):.2f} "
+                      f"(tau = {float(th.tau_rec):.3f} Mpc), rs_rec = "
+                      f"{float(th.rs_rec):.4f} Mpc, reionization optical depth "
+                      f"= {float(th.tau_reio):.5f} (z_reio = {float(th.z_reio):.3f})",
+                      file=sys.stderr)
+            elif lv == "perturbations":
+                pt = self._cache["pt"]
+                import numpy as np
+
+                print(f" -> evolved {len(np.asarray(pt.k))} scalar k-modes "
+                      f"({int(np.asarray(pt.stats_steps).sum())} total solver steps)",
+                      file=sys.stderr)
+        except Exception:
+            pass
+
     def compute(self, level: Sequence[str] = ("lensing",)):
-        """Pull all stages up to the requested level (classy.pyx compute())."""
+        """Pull all stages up to the requested level (classy.pyx compute()).
+        Set CLASSPP_PROFILE=<dir> to capture a JAX profiler trace of the run."""
+        import os
+
+        cache_path = self._auto_cache_path()
+        if cache_path and not self._cache:
+            self.load_state(cache_path)
+        prof_dir = os.environ.get("CLASSPP_PROFILE")
+        if prof_dir:
+            import jax.profiler
+
+            with jax.profiler.trace(prof_dir):
+                out = self._compute_impl(level)
+        else:
+            out = self._compute_impl(level)
+        if cache_path:
+            self.save_state(cache_path)
+        return out
+
+    def _compute_impl(self, level: Sequence[str] = ("lensing",)):
         want = max(_LEVELS.index(lv) for lv in level)
         for lv in _LEVELS[: want + 1]:
             if lv == "nonlinear" and not self.out.has_pk:
@@ -308,4 +406,5 @@ class Cosmology:
                            "perturbations": "perturbations", "primordial": "primordial",
                            "nonlinear": "nonlinear", "transfer": "transfer",
                            "spectra": "spectra", "lensing": "lensing"}[lv])
+            self._announce(lv)
         return self
