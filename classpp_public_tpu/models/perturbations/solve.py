@@ -363,8 +363,18 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 t0 = _time.time()
                 jax.block_until_ready(x)
                 print(f"[pert] {tag}: {_time.time() - t0:.2f}s", flush=True)
-        for i0 in range(0, nk, cs):
-            sl = [a[i0:i0 + cs] for a in per_k]
+        # chunk boundaries: never mix CMB lanes with the P(k)-only tail in one
+        # chunk — the tail runs at its own (looser) tolerance, and a mixed
+        # chunk would pin every launch to the most expensive tail lane while
+        # forcing the tight CMB tolerance on it
+        n_cmb_lanes = int(np.searchsorted(np.asarray(sched.k), k_max_cmb,
+                                          side="right")) if has_cls else nk
+        starts = sorted({*range(0, min(n_cmb_lanes, nk), cs),
+                         *range(min(n_cmb_lanes, nk), nk, cs)})
+        for i0 in starts:
+            i1 = min(i0 + cs, nk if i0 >= n_cmb_lanes else max(n_cmb_lanes, i0 + 1))
+            i1 = min(i1, nk)
+            sl = [a[i0:i1] for a in per_k]
             pad = cs - len(sl[0])
             if pad:
                 sl = [np.pad(a, (0, pad), mode="edge") for a in sl]
@@ -384,11 +394,9 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
             # per-interval step cap and device launch bounds); the looser
             # error floor applies only when EVERY lane is beyond the CMB range
             any_heavy = sl[0][-1] > k_max_cmb
-            # the chunk boundary rarely lands exactly on k_max_cmb: treat the
-            # chunk as P(k)-only when its first lane is within 2% of the CMB
-            # cutoff (such edge lanes only feed l within delta_l_max of the
-            # extended l_max, where the 3e-3 contract has ample margin)
-            all_heavy = sl[0][0] > 0.98 * k_max_cmb and any_heavy
+            # chunks are split at the CMB/P(k) boundary above, so a chunk
+            # whose first lane is beyond k_max_cmb is purely P(k)-only
+            all_heavy = sl[0][0] > k_max_cmb
             atol = 3e-8 if all_heavy else 1e-11
             # P(k)-only lanes answer to the 1e-2 P(k) contract, not the 3e-3
             # C_l one: a looser rtol cuts the step count of the k>k_cmb tail
@@ -433,7 +441,7 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 _tick(f"chunk {i0} win {w}", src)
                 st = st + stw
                 pieces.append(src)
-            n_keep = min(cs, nk - i0)
+            n_keep = i1 - i0
             out_src.append(jnp.concatenate(pieces, axis=1)[:n_keep])
             out_steps.append(st[:n_keep])
         src_all = jnp.concatenate(out_src, axis=0).astype(jnp.float64)
