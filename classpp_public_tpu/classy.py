@@ -53,9 +53,9 @@ _UNIMPLEMENTED_PARAMS = frozenset({
     "scf_lambda", "scf_alpha", "scf_A", "scf_B",
     # decaying dark matter (only tau_dcdm parametrization unimplemented)
     "tau_dcdm",
-    # interacting dark matter / dark radiation (perturbations :8600s)
-    "N_idr", "xi_idr", "a_idm_dr", "Omega_idm_dr", "omega_idm_dr",
-    "f_idm_dr", "stat_f_idr", "nindex_idm_dr", "m_idm",
+    # interacting dark matter / dark radiation: per-l angular coefficient
+    # lists are fixed at the ETHOS default 1.5 (input :1007)
+    "alpha_idm_dr", "beta_idr", "alpha_dark", "beta_dark",
     # energy injection: only the beyond-on-the-spot deposition is missing
     "on the spot",
     # inflation-ODE primordial: H(phi) / V-to-end parametrizations missing
@@ -232,6 +232,47 @@ class Class:
                     float(p.pop("omega_dcdmdr", 0.0)) / (h * h)
                 p.pop("omega_dcdmdr", None)
                 kw["Omega_dcdmdr"] = v
+        # interacting dark matter <-> dark radiation (ETHOS;
+        # input_module.cpp:822-1010)
+        if any(x in p for x in ("N_idr", "xi_idr", "Omega_idm_dr",
+                                "omega_idm_dr", "f_idm_dr")):
+            stat_f = float(p.pop("stat_f_idr", 0.875))
+            kw["stat_f_idr"] = stat_f
+            if "xi_idr" in p:
+                kw["xi_idr"] = float(p.pop("xi_idr"))
+                p.pop("N_idr", None)
+            elif "N_idr" in p:
+                N_idr = float(p.pop("N_idr"))
+                kw["xi_idr"] = (N_idr / stat_f * (7.0 / 8.0)
+                                / (11.0 / 4.0) ** (4.0 / 3.0)) ** 0.25
+            else:
+                raise CosmoSevereError("idm_dr requires N_idr or xi_idr")
+            if "Omega_idm_dr" in p:
+                kw["Omega_idm_dr"] = float(p.pop("Omega_idm_dr"))
+            elif "omega_idm_dr" in p:
+                kw["Omega_idm_dr"] = float(p.pop("omega_idm_dr")) / (h * h)
+            elif "f_idm_dr" in p:
+                f_idm = float(p.pop("f_idm_dr"))
+                Ocdm = kw.get("omega_cdm", 0.1201075) / (h * h)
+                kw["Omega_idm_dr"] = f_idm * Ocdm
+                kw["omega_cdm"] = (Ocdm - kw["Omega_idm_dr"]) * h * h
+            else:
+                raise CosmoSevereError(
+                    "idm_dr requires Omega_idm_dr, omega_idm_dr or f_idm_dr")
+            for dst, names in (("a_idm_dr", ("a_idm_dr", "a_dark")),
+                               ("b_idr", ("b_idr", "b_dark")),
+                               ("nindex_idm_dr", ("nindex_idm_dr", "nindex_dark"))):
+                val = 4.0 if dst == "nindex_idm_dr" else 0.0
+                for nm in names:
+                    if nm in p:
+                        val = float(p.pop(nm))
+                kw[dst] = val
+            kw["m_idm"] = float(p.pop("m_idm", 1.0e9))
+            nat = str(p.pop("idr_nature", "free_streaming")).strip().lower()
+            if nat not in ("free_streaming", "fluid"):
+                raise CosmoSevereError(f"unknown idr_nature {nat!r}")
+            kw["idr_nature"] = nat
+
         # scalar-field dark energy (quintessence): Omega_scf < 0 means "scf
         # closes the budget" and requires Omega_Lambda = Omega_fld = 0
         # (input_module.cpp:1204-1263)
@@ -886,11 +927,27 @@ class Class:
         from .models.perturbations.indices import SrcIdx
         from .models.nonlinear import _interp_sources_at_z
 
-        if output_format not in ("class",):
-            raise CosmoSevereError("only output_format='class' transfer tables "
-                                  "are implemented (no camb format yet)")
+        if output_format not in ("class", "camb"):
+            raise CosmoSevereError("output_format must be 'class' or 'camb'")
         bg, _ = self._bg()
         pert = self.cosmo.perturbations
+        if output_format == "camb":
+            # CMBFAST/CAMB convention: -T_i(k)/k^2 with k in 1/Mpc
+            # (classy.pyx get_transfer camb branch /
+            # perturb_output_data :289-299)
+            from .models.nonlinear import _interp_sources_at_z
+            from .models.perturbations.indices import SrcIdx
+
+            k = np.asarray(pert.k)
+            k2 = k * k
+            out = {"k (h/Mpc)": k / self.cosmo.params.h}
+            for name, col in (("-T_cdm/k2", "delta_cdm"), ("-T_b/k2", "delta_b"),
+                              ("-T_g/k2", "delta_g"), ("-T_ur/k2", "delta_ur"),
+                              ("-T_ncdm/k2", "delta_ncdm"),
+                              ("-T_tot/k2", "delta_tot")):
+                out[name] = -np.asarray(
+                    _interp_sources_at_z(pert, bg, z, SrcIdx.ix[col])) / k2
+            return out
         out = {"k (h/Mpc)": np.asarray(pert.k) / self.cosmo.params.h}
         cols = [("d_g", "delta_g"), ("d_b", "delta_b"), ("d_cdm", "delta_cdm"),
                 ("d_ur", "delta_ur"), ("d_ncdm[0]", "delta_ncdm"),

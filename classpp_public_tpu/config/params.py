@@ -116,6 +116,16 @@ class CosmoParams:
     reio_inter_z: Tuple[float, ...] = ()
     reio_inter_xe: Tuple[float, ...] = ()
 
+    # interacting dark matter <-> dark radiation (ETHOS; input :822-1010)
+    Omega_idm_dr: float = 0.0
+    xi_idr: float = 0.0              # T_idr / T_cmb
+    stat_f_idr: float = 0.875        # 7/8 fermionic
+    a_idm_dr: float = 0.0            # scattering amplitude [1/Mpc]
+    b_idr: float = 0.0               # idr self-interaction amplitude
+    nindex_idm_dr: float = 4.0       # ETHOS power-law index
+    m_idm: float = 1.0e9             # idm mass [eV]
+    idr_nature: str = "free_streaming"   # or "fluid"
+
     # DM energy injection (thermodynamics_module.cpp:1755; input :3240-3248)
     annihilation: float = 0.0        # <sigma v>/m_dm [m^3/s/kg]
     decay: float = 0.0               # Gamma_dm [1/s]

@@ -93,6 +93,7 @@ class PrecisionParams:
     l_max_ur: int = 17
     l_max_ncdm: int = 17
     l_max_dr: int = 17
+    l_max_idr: int = 17
     l_max_g_ten: int = 5
     l_max_pol_g_ten: int = 5
 
@@ -123,7 +124,10 @@ class PrecisionParams:
     # 128-wide device faults were an artifact of the explicit evolver's
     # 100k-iteration launches and are gone.
     k_chunk_size: int = 128
-    tau_windows: int = 4     # tau-range splits per launch (bounds execution time)
+    # tau-range splits per launch (bounds execution time). With the imex
+    # evolver each launch is a few seconds, and every extra launch costs a
+    # ~0.3 s dispatch round-trip on remote accelerators: keep it minimal.
+    tau_windows: int = 2
     # working dtype of the perturbation state ("float64" | "float32"): time,
     # step control and all other pipeline stages stay f64. NOTE: with the
     # imex evolver f32 is SLOWER end-to-end (measured 2-5x on TPU v5e): the

@@ -38,8 +38,8 @@ class BgIdx:
     source/background_module.h:40-99). Built per-run since ncdm count varies."""
 
     def __init__(self, n_ncdm: int, has_fld: bool, has_dcdm: bool = False,
-                 has_scf: bool = False):
-        self.key = (n_ncdm, has_fld, has_dcdm, has_scf)
+                 has_scf: bool = False, has_idm_dr: bool = False):
+        self.key = (n_ncdm, has_fld, has_dcdm, has_scf, has_idm_dr)
         names = ["a", "H", "H_prime", "rho_g", "rho_b", "rho_cdm", "rho_lambda", "rho_ur"]
         if has_fld:
             names += ["rho_fld", "w_fld"]
@@ -48,6 +48,8 @@ class BgIdx:
         if has_scf:
             names += ["rho_scf", "p_scf", "phi_scf", "phi_prime_scf",
                       "V_scf", "dV_scf", "ddV_scf"]
+        if has_idm_dr:
+            names += ["rho_idm_dr", "rho_idr"]
         for i in range(n_ncdm):
             names += [f"rho_ncdm{i}", f"p_ncdm{i}", f"pseudo_p_ncdm{i}"]
         names += ["rho_tot", "p_tot", "p_tot_prime", "rho_crit", "Omega_m", "Omega_r",
@@ -277,6 +279,20 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
         Omega0_ncdm_tot = Omega0_ncdm_tot + r_i[-1] / H0**2
     rho_ncdm0 = jnp.asarray(rho_ncdm0_list) if n_ncdm else jnp.zeros((0,), dtype)
 
+    # --- interacting dark matter + dark radiation (ETHOS-like) --------------
+    # T_idr = xi T_cmb; Omega0_idr = stat_f_idr xi^4 Omega0_g
+    # (input_module.cpp:853); idm_dr is cold (a^-3), idr radiation (a^-4)
+    has_idm_dr = params.Omega_idm_dr > 0.0
+    rho_idm_dr = jnp.zeros_like(a)
+    rho_idr = jnp.zeros_like(a)
+    Omega0_idm_dr = jnp.asarray(0.0, dtype)
+    Omega0_idr = jnp.asarray(0.0, dtype)
+    if has_idm_dr:
+        Omega0_idm_dr = jnp.asarray(params.Omega_idm_dr, dtype)
+        Omega0_idr = params.stat_f_idr * params.xi_idr ** 4 * Omega0_g
+        rho_idm_dr = Omega0_idm_dr * H0**2 / a**3
+        rho_idr = Omega0_idr * H0**2 / a**4
+
     # --- decaying cold dark matter -> dark radiation ------------------------
     # (background_module.cpp dcdm/dr: d rho_dcdm/dtau = -(3aH + a Gamma) rho,
     # d(rho_dr a^4)/dtau = Gamma rho_dcdm a^5). Closed forms on the grid:
@@ -413,7 +429,8 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     has_fld = params.use_fld
     # budget closure: Lambda or fld absorbs 1 - sum(others) - Omega_k
     Omega0_others = (Omega0_g + Omega0_b + Omega0_cdm + Omega0_ur
-                     + Omega0_ncdm_tot + Omega0_dcdmdr_now + Omega0_scf_now)
+                     + Omega0_ncdm_tot + Omega0_dcdmdr_now + Omega0_scf_now
+                     + Omega0_idm_dr + Omega0_idr)
     Omega0_de = 1.0 - params.Omega_k - Omega0_others
     if has_fld:
         Omega0_fld = Omega0_de
@@ -432,8 +449,8 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     rho_lambda = jnp.full_like(a, Omega0_lambda * H0**2)
 
     rho_tot = rho_g + rho_b + rho_cdm + rho_ur + rho_lambda + rho_fld \
-        + rho_dcdm + rho_dr + rho_scf
-    p_tot = (rho_g + rho_ur + rho_dr) / 3.0 - rho_lambda + p_scf \
+        + rho_dcdm + rho_dr + rho_scf + rho_idm_dr + rho_idr
+    p_tot = (rho_g + rho_ur + rho_dr + rho_idr) / 3.0 - rho_lambda + p_scf \
         + (w_fld * rho_fld if has_fld else 0.0)
     for i in range(n_ncdm):
         rho_tot = rho_tot + rho_ncdm[i]
@@ -448,7 +465,7 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
 
     # p_tot_prime = dp_tot/dtau (used by ncdm fluid approx & RSA sources).
     # radiation: p = rho/3, rho' = -4 aH rho  =>  p' = -(4/3) aH rho
-    p_tot_prime = -(4.0 / 3.0) * aH * (rho_g + rho_ur)
+    p_tot_prime = -(4.0 / 3.0) * aH * (rho_g + rho_ur + rho_idr)
     if has_dcdm:
         Gmpc = params.Gamma_dcdm / 299792.458
         p_tot_prime = p_tot_prime + (-4.0 * aH * rho_dr + a * Gmpc * rho_dcdm) / 3.0
@@ -513,8 +530,8 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     f = Dys[:, 1] / (Dys[:, 0] * aH)
 
     # --- z_eq (radiation-matter equality) -----------------------------------
-    rho_r_tot = rho_g + rho_ur + rho_dr  # (+ relativistic part of ncdm ~ 3p)
-    rho_m_tot = rho_b + rho_cdm + rho_dcdm
+    rho_r_tot = rho_g + rho_ur + rho_dr + rho_idr  # (+ rel. part of ncdm ~ 3p)
+    rho_m_tot = rho_b + rho_cdm + rho_dcdm + rho_idm_dr
     if has_scf:
         # field pressure counts as radiation, the rest as matter
         # (background_functions :364-365)
@@ -536,7 +553,7 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     Omega_r_of_a = rho_r_tot / rho_crit
 
     # --- assemble table ------------------------------------------------------
-    idx = BgIdx(n_ncdm, has_fld, has_dcdm, has_scf)
+    idx = BgIdx(n_ncdm, has_fld, has_dcdm, has_scf, has_idm_dr)
     cols = {
         "a": a, "H": H, "H_prime": H_prime,
         "rho_g": rho_g, "rho_b": rho_b, "rho_cdm": rho_cdm,
@@ -558,6 +575,9 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
         cols["phi_scf"] = phi_scf
         cols["phi_prime_scf"] = phi_prime_scf
         cols["V_scf"], cols["dV_scf"], cols["ddV_scf"] = V_cols
+    if has_idm_dr:
+        cols["rho_idm_dr"] = rho_idm_dr
+        cols["rho_idr"] = rho_idr
     for i in range(n_ncdm):
         cols[f"rho_ncdm{i}"] = rho_ncdm[i]
         cols[f"p_ncdm{i}"] = p_ncdm[i]
@@ -589,8 +609,9 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
         a_today=jnp.asarray(1.0, dtype),
         H0=H0,
         Omega0_m=Omega0_b + Omega0_cdm + (Omega0_ncdm_tot if n_ncdm else 0.0)
-        + (rho_dcdm[-1] / H0**2 if has_dcdm else 0.0),
-        Omega0_r=Omega0_g + Omega0_ur,
+        + (rho_dcdm[-1] / H0**2 if has_dcdm else 0.0)
+        + (Omega0_idm_dr if has_idm_dr else 0.0),
+        Omega0_r=Omega0_g + Omega0_ur + (Omega0_idr if has_idm_dr else 0.0),
         Omega0_g=Omega0_g,
         Omega0_b=Omega0_b,
         Omega0_cdm=Omega0_cdm,

@@ -67,7 +67,11 @@ from functools import lru_cache
 @lru_cache(maxsize=8)
 def _lensing_core(l_unlensed_max: int, l_lensed_max: int, accurate: bool,
                   num_mu_minus_lmax: int):
-    def core(cl_of_l):
+    def core(cl_raw):
+        # l=0,1 padding folded into the jitted program (an eager concatenate
+        # is a device round-trip per call on remote accelerators)
+        pad = jnp.zeros((2, cl_raw.shape[1]), cl_raw.dtype)
+        cl_of_l = jnp.concatenate([pad, cl_raw], axis=0)
         return _lensing_impl(cl_of_l, l_unlensed_max, l_lensed_max, accurate,
                              num_mu_minus_lmax)
 
@@ -76,12 +80,9 @@ def _lensing_core(l_unlensed_max: int, l_lensed_max: int, accurate: bool,
 
 def compute_lensing(sp: SpectraResult, pr: PrecisionParams, l_lensed_max: int) -> LensedResult:
     l_unlensed_max = int(sp.ell[-1])
-    ct = {n: i for i, n in enumerate(CT_TYPES)}
-    pad = jnp.zeros((2, sp.cl.shape[1]))
-    cl_of_l = jnp.concatenate([pad, sp.cl], axis=0)
     core = _lensing_core(l_unlensed_max, l_lensed_max, pr.accurate_lensing,
                          pr.num_mu_minus_lmax)
-    out = core(cl_of_l)
+    out = core(sp.cl)
     return LensedResult(ell=jnp.arange(2, l_lensed_max + 1), cl=out)
 
 

@@ -198,6 +198,18 @@ def rhs_full(tau, y, ctx: PertCtx):
         phip_scf_bg = bgv[bidx["phi_prime_scf"]]
         dV_scf_bg = bgv[bidx["dV_scf"]]
         ddV_scf_bg = bgv[bidx["ddV_scf"]]
+    if idx.has_idm_dr:
+        delta_idm = y[idx.delta_idm_dr]
+        theta_idm = y[idx.theta_idm_dr_pt]
+        delta_idr_v = y[idx.delta_idr]
+        theta_idr_v = y[idx.theta_idr]
+        shear_idr_v = y[idx.shear_idr]
+        rho_idm = bgv[bidx["rho_idm_dr"]]
+        rho_idr_bg = bgv[bidx["rho_idr"]]
+        dmu_idm = thv[ThIdx.ix["dmu_idm_dr"]]
+        dmu_idr_v = thv[ThIdx.ix["dmu_idr"]]
+        cidm2 = thv[ThIdx.ix["cidm_dr2"]]
+        Sinv_idm = 4.0 * rho_idr_bg / (3.0 * rho_idm)
 
     ncdmfa = ctx.ncdmfa_on
     if idx.n_ncdm:
@@ -247,6 +259,14 @@ def rhs_full(tau, y, ctx: PertCtx):
         rho_plus_p_theta = rho_plus_p_theta + rho_dcdm * theta_dc + k * dr_fac * F_dr[1]
         rho_plus_p_shear = rho_plus_p_shear + 2.0 / 3.0 * dr_fac * F_dr[2]
         delta_p = delta_p + 1.0 / 3.0 * dr_fac * F_dr[0]
+    if idx.has_idm_dr:
+        # idm_dr + idr stress energy (perturb_total_stress_energy :6244-6251)
+        delta_rho = delta_rho + rho_idm * delta_idm + rho_idr_bg * delta_idr_v
+        rho_plus_p_theta = rho_plus_p_theta + rho_idm * theta_idm \
+            + 4.0 / 3.0 * rho_idr_bg * theta_idr_v
+        if not idx.idr_fluid:
+            rho_plus_p_shear = rho_plus_p_shear + 4.0 / 3.0 * rho_idr_bg * shear_idr_v
+        delta_p = delta_p + 1.0 / 3.0 * rho_idr_bg * delta_idr_v
     if idx.n_ncdm:
         delta_rho = delta_rho + jnp.sum(rho_delta_nc)
         rho_plus_p_theta = rho_plus_p_theta + jnp.sum(rpt_nc)
@@ -608,6 +628,37 @@ def rhs_full(tau, y, ctx: PertCtx):
         dFd = dFd.at[-1].set(dFd_last)
         dy = jax.lax.dynamic_update_slice(dy, dFd, (idx.F_dr,))
 
+    # interacting dark matter + dark radiation (perturb_derivs :8252-8268 +
+    # :8572-8612). The stiff dmu couplings are handled IMPLICITLY by the IMEX
+    # evolver (stiff_apply/stiff_solve below) instead of the reference's
+    # tca_idm_dr approximation, so the explicit part here carries only the
+    # non-scattering terms.
+    if idx.has_idm_dr:
+        dy = dy.at[idx.delta_idm_dr].set(-(theta_idm + metric_continuity))
+        dy = dy.at[idx.theta_idm_dr_pt].set(
+            -aH * theta_idm + metric_euler + k2 * cidm2 * delta_idm)
+        dy = dy.at[idx.delta_idr].set(-4.0 / 3.0 * (theta_idr_v + metric_continuity))
+        if idx.idr_fluid:
+            dy = dy.at[idx.theta_idr].set(k2 / 4.0 * delta_idr_v + metric_euler)
+        else:
+            dy = dy.at[idx.theta_idr].set(
+                k2 * (delta_idr_v / 4.0 - s2 * shear_idr_v) + metric_euler)
+            F_idr_v = jax.lax.dynamic_slice(y, (idx.F_idr,), (idx.n_F_idr,))
+            dy = dy.at[idx.shear_idr].set(
+                0.5 * (8.0 / 15.0 * (theta_idr_v + metric_shear)
+                       - 3.0 / 5.0 * k * s_l3 / s_l2 * F_idr_v[0]))
+            li = jnp.arange(3, idx.l_max_idr + 1, dtype=y.dtype)
+            sl_i = s_of_l(li)
+            sl_i1 = s_of_l(li + 1.0)
+            Fm1 = jnp.concatenate([jnp.zeros((1,), y.dtype), F_idr_v[:-1]])
+            Fp1 = jnp.concatenate([F_idr_v[1:], jnp.zeros((1,), y.dtype)])
+            dFi = k / (2.0 * li + 1.0) * (li * sl_i * Fm1 - (li + 1.0) * sl_i1 * Fp1)
+            dFi = dFi.at[0].set(k / 7.0 * (6.0 * s_l3 * s_l2 * shear_idr_v
+                                           - 4.0 * s_of_l(4.0) * F_idr_v[1]))
+            dFi = dFi.at[-1].set(k * (s_of_l(float(idx.l_max_idr)) * F_idr_v[-2]
+                                      - (1.0 + idx.l_max_idr) * cotKgen * F_idr_v[-1]))
+            dy = jax.lax.dynamic_update_slice(dy, dFi, (idx.F_idr,))
+
     # scalar field: Klein-Gordon (perturb_derivs :8556-8570)
     if idx.has_scf:
         dy = dy.at[idx.phi_scf_pt].set(dphip_scf)
@@ -642,7 +693,7 @@ def rhs_full(tau, y, ctx: PertCtx):
     theta_cb_gauge = (rho_b * theta_b + rho_cdm * theta_cdm_g) / rho_m_cb
     delta_cb = (rho_b * delta_b + rho_cdm * delta_cdm) / rho_m_cb + 3.0 * aH * theta_cb_gauge / k2
     theta_cb = theta_cb_gauge + k2 * alpha
-    if idx.n_ncdm or idx.has_dcdm:
+    if idx.n_ncdm or idx.has_dcdm or idx.has_idm_dr:
         rho_m = rho_m_cb
         rho_plus_p_m = rho_m_cb
         delta_rho_m = rho_b * delta_b + rho_cdm * delta_cdm
@@ -657,6 +708,11 @@ def rhs_full(tau, y, ctx: PertCtx):
             rho_plus_p_m = rho_plus_p_m + rho_dcdm
             delta_rho_m = delta_rho_m + rho_dcdm * delta_dc
             rho_plus_p_theta_m = rho_plus_p_theta_m + rho_dcdm * theta_dc
+        if idx.has_idm_dr:
+            rho_m = rho_m + rho_idm
+            rho_plus_p_m = rho_plus_p_m + rho_idm
+            delta_rho_m = delta_rho_m + rho_idm * delta_idm
+            rho_plus_p_theta_m = rho_plus_p_theta_m + rho_idm * theta_idm
         theta_m_gauge = rho_plus_p_theta_m / rho_plus_p_m
         delta_m = delta_rho_m / rho_m + 3.0 * aH * theta_m_gauge / k2
         theta_m = theta_m_gauge + k2 * alpha
@@ -687,6 +743,8 @@ def rhs_full(tau, y, ctx: PertCtx):
         rho_tot = rho_tot + rho_dcdm + rho_dr
     if idx.has_scf:
         rho_tot = rho_tot + bgv[bidx["rho_scf"]]
+    if idx.has_idm_dr:
+        rho_tot = rho_tot + rho_idm + rho_idr_bg
     delta_tot = delta_rho / rho_tot
 
     loc = Locals(
@@ -736,6 +794,23 @@ def _stiff_kappa(tau, y_dtype, ctx: PertCtx):
     return jnp.where(on, kap, jnp.zeros_like(kap)), R
 
 
+# ETHOS angular coefficients for l>=2 idr damping (alpha_idm_dr/beta_idr,
+# reference defaults: all entries 1.5, input_module.cpp:1007)
+_ALPHA_IDM_DR = 1.5
+_BETA_IDR = 1.5
+
+
+def _stiff_idm(tau, y_dtype, ctx: PertCtx):
+    """(dmu_idm, dmu_idr, Sinv) for the implicit idm_dr scattering terms."""
+    lntau = jnp.log(jnp.asarray(tau, y_dtype))
+    thv = ctx.th_spline.eval(lntau)
+    bgv = ctx.bg_spline.eval(lntau)
+    dmu = thv[ThIdx.ix["dmu_idm_dr"]]
+    dmu_idr = thv[ThIdx.ix["dmu_idr"]]
+    Sinv = 4.0 * bgv[ctx.bidx["rho_idr"]] / (3.0 * bgv[ctx.bidx["rho_idm_dr"]])
+    return dmu, dmu_idr, Sinv
+
+
 def _s_l2(ctx, dtype):
     k2 = ctx.k * ctx.k
     return jnp.sqrt(jnp.maximum(jnp.asarray(1.0 - 3.0 * ctx.K / k2, dtype), 0.0))
@@ -762,6 +837,19 @@ def stiff_apply(tau, y, ctx: PertCtx):
     outG = outG.at[0].add(kap * 4.0 * P0)
     outG = outG.at[2].add(kap * 0.8 * P0)
     out = jax.lax.dynamic_update_slice(out, outG, (idx.G_g,))
+    if idx.has_idm_dr:
+        # idm_dr <-> idr scattering, treated implicitly instead of the
+        # reference's tca_idm_dr approximation (perturb :8260, :8585, :8593)
+        dmu, dmu_idr, Sinv = _stiff_idm(tau, y.dtype, ctx)
+        th_idm = y[idx.theta_idm_dr_pt]
+        th_idr = y[idx.theta_idr]
+        out = out.at[idx.theta_idm_dr_pt].set(Sinv * dmu * (th_idr - th_idm))
+        out = out.at[idx.theta_idr].set(dmu * (th_idm - th_idr))
+        if not idx.idr_fluid:
+            damp = _ALPHA_IDM_DR * dmu + _BETA_IDR * dmu_idr
+            out = out.at[idx.shear_idr].set(-damp * y[idx.shear_idr])
+            F_i = jax.lax.dynamic_slice(y, (idx.F_idr,), (idx.n_F_idr,))
+            out = jax.lax.dynamic_update_slice(out, -damp * F_i, (idx.F_idr,))
     return out
 
 
@@ -794,6 +882,20 @@ def stiff_solve(tau, gh, r, ctx: PertCtx):
     r_g, r_b = r[idx.theta_g], r[idx.theta_b]
     x = x.at[idx.theta_g].set(((1.0 + a * R) * r_g + a * r_b) / det)
     x = x.at[idx.theta_b].set((a * R * r_g + (1.0 + a) * r_b) / det)
+    if idx.has_idm_dr:
+        dmu, dmu_idr, Sinv = _stiff_idm(tau, r.dtype, ctx)
+        b = jnp.asarray(gh, r.dtype) * dmu
+        # 2x2 {theta_idr, theta_idm}: M = [[1+b, -b], [-b S, 1+b S]],
+        # det = 1 + b(1 + S)
+        det_i = 1.0 + b * (1.0 + Sinv)
+        r_r, r_m = r[idx.theta_idr], r[idx.theta_idm_dr_pt]
+        x = x.at[idx.theta_idr].set(((1.0 + b * Sinv) * r_r + b * r_m) / det_i)
+        x = x.at[idx.theta_idm_dr_pt].set((b * Sinv * r_r + (1.0 + b) * r_m) / det_i)
+        if not idx.idr_fluid:
+            ad = jnp.asarray(gh, r.dtype) * (_ALPHA_IDM_DR * dmu + _BETA_IDR * dmu_idr)
+            x = x.at[idx.shear_idr].set(r[idx.shear_idr] / (1.0 + ad))
+            F_r = jax.lax.dynamic_slice(r, (idx.F_idr,), (idx.n_F_idr,))
+            x = jax.lax.dynamic_update_slice(x, F_r / (1.0 + ad), (idx.F_idr,))
     return x
 
 
@@ -816,6 +918,12 @@ def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
     rho_r = rho_g + rho_ur
     rho_m = rho_b + rho_cdm
     rho_nu = rho_ur
+    if idx.has_idm_dr:
+        rho_idm_i = bgv[bidx["rho_idm_dr"]]
+        rho_idr_i = bgv[bidx["rho_idr"]]
+        rho_m = rho_m + rho_idm_i
+        rho_r = rho_r + rho_idr_i
+        rho_nu = rho_nu + rho_idr_i
     if idx.has_dcdm:
         rho_dcdm_i = bgv[bidx["rho_dcdm"]]
         rho_dr_i = bgv[bidx["rho_dr"]]
@@ -854,6 +962,15 @@ def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
     y = y.at[idx.delta_b].set(0.75 * delta_g)
     y = y.at[idx.theta_b].set(theta_g)
     y = y.at[idx.delta_cdm].set(0.75 * delta_g)
+    if idx.has_idm_dr:
+        # idm_dr/idr adiabatic ICs (perturb_initial_conditions :4880, :5214)
+        y = y.at[idx.delta_idm_dr].set(0.75 * delta_g)
+        y = y.at[idx.theta_idm_dr_pt].set(theta_ur)
+        y = y.at[idx.delta_idr].set(delta_ur)
+        y = y.at[idx.theta_idr].set(theta_ur)
+        if not idx.idr_fluid:
+            y = y.at[idx.shear_idr].set(shear_ur)
+            y = y.at[idx.F_idr].set(l3_ur)
     if idx.has_dcdm:
         # dcdm density like cdm; dr seeded from the ur values weighted by
         # r_dr (perturb_initial_conditions :5255-5267)
@@ -1041,6 +1158,11 @@ def _ic_to_newtonian(y, k, tau, ctx: PertCtx):
         w0 = bgv[bidx["w_fld"]]
         y = y.at[idx.delta_fld].add(3.0 * (1.0 + w0) * aH * alpha)
         y = y.at[idx.theta_fld].add(k2 * alpha)
+    if idx.has_idm_dr:
+        y = y.at[idx.delta_idm_dr].add(-3.0 * aH * alpha)
+        y = y.at[idx.theta_idm_dr_pt].add(k2 * alpha)
+        y = y.at[idx.delta_idr].add(-4.0 * aH * alpha)
+        y = y.at[idx.theta_idr].add(k2 * alpha)
     if idx.has_scf:
         # scf gauge shift (:5166-5175); alpha' from the shear constraint with
         # the early-time ur shear (photons tightly coupled, zero shear)

@@ -44,6 +44,10 @@ class PtIdx:
     # PPF formalism for the fld (Hu 2008): one Gamma variable in the
     # delta_fld slot, constrained delta/theta (perturb :6484-6570)
     use_ppf: bool = False
+    # interacting dark matter <-> dark radiation (ETHOS; perturb :8252-8620)
+    has_idm_dr: bool = False
+    l_max_idr: int = 17
+    idr_fluid: bool = False      # idr_nature = fluid: no shear/hierarchy
 
     # --- photons
     @property
@@ -138,11 +142,48 @@ class PtIdx:
     def n_dcdm_dr(self):
         return (2 + self.n_F_dr) if self.has_dcdm else 0
 
+    # --- interacting dark matter + dark radiation (after dcdm/dr)
+    @property
+    def delta_idm_dr(self):
+        return self.F_ur + self.n_F_ur + self.n_dcdm_dr
+
+    @property
+    def theta_idm_dr_pt(self):
+        return self.delta_idm_dr + 1
+
+    @property
+    def delta_idr(self):
+        return self.delta_idm_dr + 2
+
+    @property
+    def theta_idr(self):
+        return self.delta_idm_dr + 3
+
+    @property
+    def shear_idr(self):
+        return self.delta_idm_dr + 4
+
+    @property
+    def F_idr(self):     # l=3..l_max_idr
+        return self.delta_idm_dr + 5
+
+    @property
+    def n_F_idr(self):
+        if not self.has_idm_dr or self.idr_fluid:
+            return 0
+        return self.l_max_idr - 2
+
+    @property
+    def n_idm_dr(self):
+        # the shear slot is allocated (and kept zero) in fluid mode too, so
+        # the offsets stay fixed
+        return (5 + self.n_F_idr) if self.has_idm_dr else 0
+
     # --- ncdm: per species a (q_size x (l_max_ncdm+1)) block; under the fluid
     # approximation only the first three slots (delta, theta, sigma) evolve
     @property
     def ncdm(self):
-        return self.F_ur + self.n_F_ur + self.n_dcdm_dr
+        return self.F_ur + self.n_F_ur + self.n_dcdm_dr + self.n_idm_dr
 
     @property
     def n_l_ncdm(self):

@@ -319,7 +319,10 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 n_ncdm=n_ncdm, l_max_ncdm=pr.l_max_ncdm, has_fld=params.use_fld,
                 gauge=gauge, sgnK=sgnK, has_dcdm=has_dcdm, l_max_dr=pr.l_max_dr,
                 has_scf=params.Omega_scf != 0.0,
-                use_ppf=params.use_fld and params.use_ppf)
+                use_ppf=params.use_fld and params.use_ppf,
+                has_idm_dr=params.Omega_idm_dr > 0.0,
+                l_max_idr=pr.l_max_idr,
+                idr_fluid=params.idr_nature == "fluid")
     taus_j = jnp.asarray(taus)
     ncdm_ctx = make_ncdm_ctx(params, bg, idx) if n_ncdm else None
 

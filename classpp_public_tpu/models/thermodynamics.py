@@ -505,7 +505,9 @@ class ThIdx:
     index_th_*, source/thermodynamics_module.h)."""
 
     names = ["xe", "dkappa", "ddkappa", "dddkappa", "exp_m_kappa", "g", "dg", "ddg",
-             "Tb", "cb2", "tau_d_depth", "kappa"]
+             "Tb", "cb2", "tau_d_depth", "kappa",
+             # idm_dr scattering rates + idm sound speed (zeros without idm_dr)
+             "dmu_idm_dr", "dmu_idr", "cidm_dr2"]
     ix = {n: i for i, n in enumerate(names)}
     n = len(names)
 
@@ -876,8 +878,43 @@ def _compute_thermodynamics_impl(params: CosmoParams, pr: PrecisionParams,
     d2d = spline_d2(lntau_u, integrand_d)
     taud_u = spline_integrate_reverse(lntau_u, integrand_d, d2d)
 
+    # --- interacting DM <-> dark radiation scattering rates + idm sound speed
+    # (thermodynamics_module.cpp:191-216 + the T_idm_dr march :845-985);
+    # columns are always present (zeros without idm_dr) so ThIdx stays static
+    if params.Omega_idm_dr > 0.0:
+        h2p = params.h * params.h
+        Omega0_idr_v = params.stat_f_idr * params.xi_idr ** 4 * float(bg.Omega0_g)
+        zfac = ((1.0 + z_u) / 1.0e7) ** params.nindex_idm_dr
+        dmu_idm_dr_u = params.a_idm_dr * zfac * params.Omega_idm_dr * h2p
+        dmu_idr_u = params.b_idr * zfac * Omega0_idr_v * h2p
+        # T_idm march, implicit Euler in z (descending z = ascending tau):
+        # dT/dz = 2 a T - (Gamma_heat/H)(T_idr - T), unconditionally stable
+        # across the tight/intermediate/adiabatic regimes of the reference
+        T_idr_u = params.xi_idr * params.T_cmb * (1.0 + z_u)
+        a_u_v = 1.0 / (1.0 + z_u)
+        H_u = bgvals[:, bidx["H"]]
+        Gam_u = (2.0 * Omega0_idr_v * h2p * params.a_idm_dr
+                 * (1.0 + z_u) ** (params.nindex_idm_dr + 1.0)
+                 / 1.0e7 ** params.nindex_idm_dr)
+
+        def t_step(T, i):
+            dz = z_u[i] - z_u[i - 1]
+            gh = Gam_u[i] / H_u[i]
+            T_new = (T - dz * gh * T_idr_u[i]) / (1.0 - 2.0 * a_u_v[i] * dz + gh * dz * -1.0)
+            return T_new, T_new
+
+        _, T_rest = jax.lax.scan(t_step, T_idr_u[0], jnp.arange(1, n_rt))
+        T_idm_u = jnp.concatenate([T_idr_u[:1], T_rest])
+        dTdz_u = 2.0 * a_u_v * T_idm_u - Gam_u / H_u * (T_idr_u - T_idm_u)
+        cidm2_u = const.k_B * T_idm_u / const.eV_SI / params.m_idm \
+            * (1.0 + dTdz_u / (3.0 * T_idm_u))
+    else:
+        dmu_idm_dr_u = jnp.zeros_like(xe_u)
+        dmu_idr_u = jnp.zeros_like(xe_u)
+        cidm2_u = jnp.zeros_like(xe_u)
+
     cols = [xe_u, dkappa_u, ddkappa_u, dddkappa_u, exp_m_kappa, g_u, dg_u, ddg_u,
-            Tb_u, cb2_u, taud_u, kappa_u]
+            Tb_u, cb2_u, taud_u, kappa_u, dmu_idm_dr_u, dmu_idr_u, cidm2_u]
     table_u = jnp.stack(cols, axis=1)
     lntau_spline = UniformSpline.build(lntau_u[0], dlntau, table_u)
 
