@@ -349,7 +349,6 @@ class Cosmology:
 
         try:
             if lv == "background":
-                bg, _ = self._cache.get("bg", (None, None)) or (None, None)
                 bg = self._cache["bg"][0]
                 print(f" -> age = {float(bg.age):.6f} Gyr, conformal age = "
                       f"{float(bg.tau0):.4f} Mpc, Omega0_m = {float(bg.Omega0_m):.6f}",
