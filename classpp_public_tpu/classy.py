@@ -800,15 +800,36 @@ class Class:
         pk = np.asarray(pk_linear_at_z(pert, bg, pm, float(z)))
         return self._pk_interp(k, z, pert.k, pk)
 
+    def _pk_nl_row(self, z, pk_table):
+        """ln P_nl(k) row at redshift z, interpolating ln P linearly in
+        ln(1+z) between the two adjacent tabulated z_pk rows (the reference
+        nonlinear tables are interpolated in tau, nonlinear_module.cpp:383;
+        a nearest-row pick silently returned the wrong redshift to samplers).
+        Raises outside the tabulated range."""
+        nl = self.cosmo.nonlinear
+        zs = np.asarray(nl.z)
+        order = np.argsort(zs)
+        zs_s = zs[order]
+        lnp = np.log(np.asarray(pk_table))[order]
+        if z < zs_s[0] - 1e-10 or z > zs_s[-1] + 1e-10:
+            if abs(z - zs_s[0]) < 1e-8:
+                return lnp[0]
+            if abs(z - zs_s[-1]) < 1e-8:
+                return lnp[-1]
+            raise CosmoSevereError(
+                f"z={z} outside computed nonlinear z_pk range [{zs_s[0]}, {zs_s[-1]}]")
+        if len(zs_s) == 1:
+            return lnp[0]
+        x = np.log1p(zs_s)
+        j = int(np.clip(np.searchsorted(x, np.log1p(z)) - 1, 0, len(x) - 2))
+        w = (np.log1p(z) - x[j]) / (x[j + 1] - x[j])
+        return (1.0 - w) * lnp[j] + w * lnp[j + 1]
+
     def pk(self, k, z):
         """P_m(k,z): nonlinear if 'non linear' was requested, else linear."""
         if self.cosmo.out.non_linear in ("halofit", "hmcode"):
             nl = self.cosmo.nonlinear
-            zs = np.asarray(nl.z)
-            iz = int(np.argmin(np.abs(zs - z)))
-            if abs(zs[iz] - z) > 1e-8:
-                raise CosmoSevereError(f"z={z} not in computed z_pk list {zs}")
-            return self._pk_interp(k, z, nl.k, np.asarray(nl.pk_nl[iz]))
+            return self._pk_interp(k, z, nl.k, np.exp(self._pk_nl_row(z, nl.pk_nl)))
         return self.pk_lin(k, z)
 
     def pk_cb_lin(self, k, z):
@@ -822,9 +843,8 @@ class Class:
     def pk_cb(self, k, z):
         if self.cosmo.out.non_linear in ("halofit", "hmcode"):
             nl = self.cosmo.nonlinear
-            zs = np.asarray(nl.z)
-            iz = int(np.argmin(np.abs(zs - z)))
-            return self._pk_interp(k, z, nl.k, np.asarray(nl.pk_cb_nl[iz]))
+            return self._pk_interp(k, z, nl.k,
+                                   np.exp(self._pk_nl_row(z, nl.pk_cb_nl)))
         return self.pk_cb_lin(k, z)
 
     def get_pk_array(self, k, z, nk, nz, nonlinear=False):
@@ -840,12 +860,10 @@ class Class:
         pert = self.cosmo.perturbations
         if nonlinear and self.cosmo.out.non_linear in ("halofit", "hmcode"):
             nl = self.cosmo.nonlinear
-            z_tab = np.asarray(nl.z)
             lnk_tab = np.log(np.asarray(nl.k))
-            pk_tab = np.log(np.asarray(nl.pk_nl))
             for iz in range(nz):
-                j = int(np.argmin(np.abs(z_tab - zs[min(iz, len(zs) - 1)])))
-                out[iz] = np.exp(np.interp(np.log(k[iz]), lnk_tab, pk_tab[j]))
+                row = self._pk_nl_row(float(zs[min(iz, len(zs) - 1)]), nl.pk_nl)
+                out[iz] = np.exp(np.interp(np.log(k[iz]), lnk_tab, row))
         else:
             lnk_tab = np.log(np.asarray(pert.k))
             for iz in range(nz):

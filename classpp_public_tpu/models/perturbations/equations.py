@@ -290,7 +290,13 @@ def rhs_full(tau, y, ctx: PertCtx):
         delta_p = delta_p + dp_scf
 
     # --- dark-energy fluid: LAST species (the PPF scheme needs the non-fld
-    # sums, perturb_total_stress_energy :6484-6570)
+    # sums, perturb_total_stress_energy :6484-6570).
+    # Ordering note: under RSA the photon/ur contributions in delta_rho /
+    # rho_plus_p_theta above are ZERO at this point — this matches the
+    # reference exactly: perturb_total_stress_energy (which contains the fld
+    # block) sets delta_g=theta_g=0 under RSA (:6121-6123) and the rsa values
+    # are only added later inside perturb_einstein, after h' is known
+    # (perturb_rsa_delta_and_theta :9626-9631) — same place we add them below.
     Gamma_prime_fld = zero
     if idx.has_fld:
         rho_fld = bgv[bidx["rho_fld"]]

@@ -215,7 +215,12 @@ def get_k_schedule(ks: np.ndarray, pr: PrecisionParams,
         for i in range(n_ncdm):
             p_i = bgy[:, bidx[f"p_ncdm{i}"]]
             r_i = bgy[:, bidx[f"rho_ncdm{i}"]]
-            wdev = np.maximum(wdev, np.abs(3.0 * p_i / r_i - 1.0))
+            # guard rows where the background table has not been filled yet
+            # (rho=0): treat them as exactly relativistic instead of letting
+            # NaN flow through the comparison below
+            with np.errstate(invalid="ignore", divide="ignore"):
+                dev_i = np.abs(3.0 * p_i / np.where(r_i > 0.0, r_i, 1.0) - 1.0)
+            wdev = np.maximum(wdev, np.where(r_i > 0.0, dev_i, 0.0))
         j = np.searchsorted(wdev > 3.0 * tol_ncdm_initial_w, True)
         tau_rel = tau_grid[max(j - 1, 1)]
         tau_ini = np.minimum(tau_ini, tau_rel)

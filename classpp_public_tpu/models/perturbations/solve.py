@@ -58,35 +58,71 @@ def make_ncdm_ctx(params, bg, idx):
                       x_fac=jnp.asarray(x_fac), pref=jnp.asarray(pref))
 
 
+class SolverScalars(NamedTuple):
+    """Per-run scalar knobs passed as TRACED jit arguments (not closure
+    constants): tolerance classes (CMB vs P(k)-tail chunks) and per-cosmology
+    scalars then share ONE compiled executable per static (idx, ic, evolver)
+    configuration. Baking these into the lru_cache key was the r2 compile-time
+    blowup: 2 tolerance classes x per-cosmology floats retraced the full
+    Boltzmann graph each time."""
+
+    rtol: jnp.ndarray
+    atol: jnp.ndarray
+    wa_fld: jnp.ndarray
+    cs2_fld: jnp.ndarray
+    K: jnp.ndarray
+    Gamma_dcdm: jnp.ndarray
+    H0: jnp.ndarray
+    eta_flag: jnp.ndarray   # 1.0 = adiabatic+synchronous eta-1 storage offset
+
+    @staticmethod
+    def make(rtol, atol=1e-11, wa_fld=0.0, cs2_fld=1.0, K=0.0, Gamma_dcdm=0.0,
+             H0=1.0, eta_flag=1.0):
+        f = jnp.float64
+        return SolverScalars(*(jnp.asarray(v, f) for v in
+                               (rtol, atol, wa_fld, cs2_fld, K, Gamma_dcdm, H0,
+                                eta_flag)))
+
+
+def _sc_kwargs(sc: SolverScalars):
+    return dict(rtol=sc.rtol, atol=sc.atol, wa_fld=sc.wa_fld, cs2_fld=sc.cs2_fld,
+                K=sc.K, Gamma_dcdm=sc.Gamma_dcdm, H0=sc.H0, eta_flag=sc.eta_flag)
+
+
 @lru_cache(maxsize=16)
-def get_batch_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
+def get_batch_solver(bidx_key, idx, ic="ad", evolver="imex"):
     """jitted vmapped per-k solver head (ICs + pre-phase + first window)."""
-    from ..background import BgIdx
-
-    bidx = BgIdx(*bidx_key)
-    return jax.jit(jax.vmap(
-        partial(solve_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver, K=K,
-                Gamma_dcdm=Gamma_dcdm, H0=H0),
-        in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None)))
-
-
-@lru_cache(maxsize=16)
-def get_window_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
-    """jitted vmapped continuation solver: resumes from a carried (y, h)."""
     from ..background import BgIdx
 
     bidx = BgIdx(*bidx_key)
 
     def fn(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline,
-           ncdm, y, h):
+           ncdm, sc):
         return solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus,
-                           bg_spline, th_spline, ncdm, bidx, idx, rtol,
-                           wa_fld=wa_fld, cs2_fld=cs2_fld, ic=ic, y_carry=(y, h),
-                           atol=atol, evolver=evolver, K=K,
-                           Gamma_dcdm=Gamma_dcdm, H0=H0)
+                           bg_spline, th_spline, ncdm, bidx, idx, ic=ic,
+                           evolver=evolver, **_sc_kwargs(sc))
 
-    return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None, 0, 0)))
+    return jax.jit(jax.vmap(
+        fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None, None)))
+
+
+@lru_cache(maxsize=16)
+def get_window_solver(bidx_key, idx, evolver="imex"):
+    """jitted vmapped continuation solver: resumes from a carried (y, h).
+    ic-independent: initial conditions never run here and the eta offset is
+    the traced sc.eta_flag, so all ICs share this executable."""
+    from ..background import BgIdx
+
+    bidx = BgIdx(*bidx_key)
+
+    def fn(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline,
+           ncdm, y, h, sc):
+        return solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus,
+                           bg_spline, th_spline, ncdm, bidx, idx,
+                           y_carry=(y, h), evolver=evolver, **_sc_kwargs(sc))
+
+    return jax.jit(jax.vmap(
+        fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None, 0, 0, None)))
 
 
 class PerturbResult(NamedTuple):
@@ -104,9 +140,13 @@ K_ETA_SPLIT = 0.02  # 1/Mpc: below this, adiabatic lanes store eta - 1
 
 def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
              bidx, idx, rtol, atol, wa_fld, cs2_fld, ic="ad", evolver="imex",
-             K=0.0, Gamma_dcdm=0.0, H0=1.0):
-    eta_off = ((k < K_ETA_SPLIT).astype(k.dtype)
-               if (ic == "ad" and idx.gauge == "synchronous") else 0.0)
+             K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None):
+    # eta_flag: 1.0 when the low-k eta-1 storage offset applies (adiabatic
+    # synchronous); traced so isocurvature modes share the adiabatic
+    # executable instead of retracing the full Boltzmann graph per ic
+    if eta_flag is None:
+        eta_flag = 1.0 if (ic == "ad" and idx.gauge == "synchronous") else 0.0
+    eta_off = (jnp.asarray(eta_flag) * (k < K_ETA_SPLIT)).astype(k.dtype)
     """Shared per-k integration machinery: flag context + adaptive interval
     integrator with in-loop approximation-switch remaps.
 
@@ -186,12 +226,12 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
 
 def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline, ncdm, bidx, idx, rtol,
                 wa_fld=0.0, cs2_fld=1.0, ic="ad", y_carry=None, atol=1e-11,
-                evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
+                evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None):
     """Integrate one k-mode over all sampling intervals, emitting sources."""
     ctx_at, integrate_interval = _stepper(
         k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
         bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic, evolver=evolver, K=K,
-        Gamma_dcdm=Gamma_dcdm, H0=H0)
+        Gamma_dcdm=Gamma_dcdm, H0=H0, eta_flag=eta_flag)
 
     if y_carry is None:
         # initial conditions at tau_ini (always deep in tight coupling),
@@ -226,61 +266,77 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
 
 def init_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
                ncdm, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11,
-               evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
+               evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None):
     ctx_at, _ = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
                          ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic,
-                         evolver=evolver, K=K, Gamma_dcdm=Gamma_dcdm, H0=H0)
+                         evolver=evolver, K=K, Gamma_dcdm=Gamma_dcdm, H0=H0,
+                         eta_flag=eta_flag)
     y0 = eq.initial_conditions(ic, k, tau_ini, ctx_at(tau_ini))
     return y0, 0.1 * tau_ini
 
 
 def advance_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t_a, t_b, bg_spline, th_spline,
                   ncdm, y, h, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad",
-                  atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
+                  atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0,
+                  eta_flag=None):
     _, integrate_interval = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline,
                                      th_spline, ncdm, bidx, idx, rtol, atol,
                                      wa_fld, cs2_fld, ic=ic, evolver=evolver, K=K,
-                                     Gamma_dcdm=Gamma_dcdm, H0=H0)
+                                     Gamma_dcdm=Gamma_dcdm, H0=H0,
+                                     eta_flag=eta_flag)
     return integrate_interval(y, h, t_a, t_b)
 
 
 def emit_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t, bg_spline, th_spline, ncdm, y,
                bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11,
-               evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
+               evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None):
     ctx_at, _ = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
                          ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic,
-                         evolver=evolver, K=K, Gamma_dcdm=Gamma_dcdm, H0=H0)
+                         evolver=evolver, K=K, Gamma_dcdm=Gamma_dcdm, H0=H0,
+                         eta_flag=eta_flag)
     return eq.compute_sources(t, y, ctx_at(t))
 
 
 @lru_cache(maxsize=16)
-def get_init_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
+def get_init_solver(bidx_key, idx, ic="ad", evolver="imex"):
     bidx = BgIdx(*bidx_key)
+
+    def fn(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
+           ncdm, sc):
+        return init_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline,
+                          th_spline, ncdm, bidx, idx, ic=ic, evolver=evolver,
+                          **_sc_kwargs(sc))
+
     return jax.jit(jax.vmap(
-        partial(init_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver, K=K,
-                Gamma_dcdm=Gamma_dcdm, H0=H0),
-        in_axes=(0, 0, 0, 0, 0, 0, None, None, None)))
+        fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None)))
 
 
 @lru_cache(maxsize=16)
-def get_advance_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
+def get_advance_solver(bidx_key, idx, evolver="imex"):
     bidx = BgIdx(*bidx_key)
+
+    def fn(k, t_tca, t_ufa, t_rsa, t_ncfa, t_a, t_b, bg_spline, th_spline,
+           ncdm, y, h, sc):
+        return advance_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t_a, t_b,
+                             bg_spline, th_spline, ncdm, y, h, bidx, idx,
+                             evolver=evolver, **_sc_kwargs(sc))
+
     return jax.jit(jax.vmap(
-        partial(advance_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver, K=K,
-                Gamma_dcdm=Gamma_dcdm, H0=H0),
-        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, 0, 0)))
+        fn, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, 0, 0, None)))
 
 
 @lru_cache(maxsize=16)
-def get_emit_solver(bidx_key, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0):
+def get_emit_solver(bidx_key, idx, evolver="imex"):
     bidx = BgIdx(*bidx_key)
+
+    def fn(k, t_tca, t_ufa, t_rsa, t_ncfa, t, bg_spline, th_spline, ncdm, y,
+           sc):
+        return emit_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t, bg_spline,
+                          th_spline, ncdm, y, bidx, idx, evolver=evolver,
+                          **_sc_kwargs(sc))
+
     return jax.jit(jax.vmap(
-        partial(emit_one_k, bidx=bidx, idx=idx, rtol=rtol, wa_fld=wa_fld,
-                cs2_fld=cs2_fld, ic=ic, atol=atol, evolver=evolver, K=K,
-                Gamma_dcdm=Gamma_dcdm, H0=H0),
-        in_axes=(0, 0, 0, 0, 0, None, None, None, None, 0)))
+        fn, in_axes=(0, 0, 0, 0, 0, None, None, None, None, 0, None)))
 
 
 def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
@@ -416,34 +472,47 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
             else:
                 n_pre = 12 if any_heavy else 1
                 nwin = max(1, pr.tau_windows * (8 if any_heavy else 1))
-            bounds = np.linspace(0, ntau - 1, nwin + 1).astype(int)
-            kw = dict(wa_fld=params.wa_fld, cs2_fld=params.cs2_fld, atol=atol,
-                      evolver=pr.evolver, K=K_curv,
-                      Gamma_dcdm=params.Gamma_dcdm / 299792.458,
-                      H0=float(bg.H0))
-            init = get_init_solver(bidx.key, idx, rtol_c, ic=ic_name, **kw)
-            adv = get_advance_solver(bidx.key, idx, rtol_c, ic=ic_name, **kw)
-            emit = get_emit_solver(bidx.key, idx, rtol_c, ic=ic_name, **kw)
-            cont = get_window_solver(bidx.key, idx, rtol_c, ic=ic_name, **kw)
+            sc = SolverScalars.make(
+                rtol_c, atol=atol, wa_fld=params.wa_fld, cs2_fld=params.cs2_fld,
+                K=K_curv, Gamma_dcdm=params.Gamma_dcdm / 299792.458,
+                H0=float(bg.H0),
+                eta_flag=1.0 if (ic_name == "ad" and gauge == "synchronous")
+                else 0.0)
+            init = get_init_solver(bidx.key, idx, ic=ic_name, evolver=pr.evolver)
+            adv = get_advance_solver(bidx.key, idx, evolver=pr.evolver)
+            emit = get_emit_solver(bidx.key, idx, evolver=pr.evolver)
+            cont = get_window_solver(bidx.key, idx, evolver=pr.evolver)
             sw = list(args[2:6])
             # pre-phase: ICs at per-lane tau_ini, then advance in shared
             # tau-windows (per-lane spans clamped so late starters wait)
-            y, h = init(*args, bsp, tsp, ncdm_d)
+            y, h = init(*args, bsp, tsp, ncdm_d, sc)
             pts = np.linspace(min(float(sl[1].min()), taus[0]), taus[0], n_pre + 1)
             st = jnp.zeros((cs,), dtype=jnp.int32)
             for j in range(n_pre):
                 t_a = jnp.maximum(args[1], pts[j])
                 t_b = jnp.maximum(args[1], pts[j + 1])
-                y, h, n = adv(args[0], *sw, t_a, t_b, bsp, tsp, ncdm_d, y, h)
+                y, h, n = adv(args[0], *sw, t_a, t_b, bsp, tsp, ncdm_d, y, h, sc)
                 _tick(f"chunk {i0} pre {j}", y)
                 st = st + n
-            pieces = [emit(args[0], *sw, taus_j[0], bsp, tsp, ncdm_d, y)[:, None, :]]
-            for w in range(nwin):
-                src, stw, (y, h) = cont(*args, taus_j[bounds[w]: bounds[w + 1] + 1],
-                                        bsp, tsp, ncdm_d, y, h)
-                _tick(f"chunk {i0} win {w}", src)
+            pieces = [emit(args[0], *sw, taus_j[0], bsp, tsp, ncdm_d, y, sc)[:, None, :]]
+            # uniform window length: every window runs the SAME length-(wlen+1)
+            # tau slice (tail padded by repeating the last tau; the padded
+            # zero-length intervals integrate trivially and their duplicate
+            # source rows are trimmed) so all windows share one executable —
+            # np.linspace bounds gave two window lengths and thus two full
+            # compiles of the continuation head
+            taus_np = np.asarray(taus)
+            wlen = max(1, -(-(ntau - 1) // nwin))
+            for b0 in range(0, ntau - 1, wlen):
+                b1 = min(b0 + wlen, ntau - 1)
+                tw = taus_np[b0: b0 + wlen + 1]
+                if len(tw) < wlen + 1:
+                    tw = np.pad(tw, (0, wlen + 1 - len(tw)), mode="edge")
+                src, stw, (y, h) = cont(*args, jnp.asarray(tw),
+                                        bsp, tsp, ncdm_d, y, h, sc)
+                _tick(f"chunk {i0} win {b0}", src)
                 st = st + stw
-                pieces.append(src)
+                pieces.append(src[:, : b1 - b0])
             n_keep = i1 - i0
             out_src.append(jnp.concatenate(pieces, axis=1)[:n_keep])
             out_steps.append(st[:n_keep])

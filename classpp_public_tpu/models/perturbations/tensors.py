@@ -305,13 +305,19 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa_unused, t_rsa, taus, bg_spline, th_spli
 
 
 @lru_cache(maxsize=4)
-def get_tensor_solver(bidx_key, idx, rtol, K=0.0):
+def get_tensor_solver(bidx_key, idx):
+    """rtol and K ride as TRACED trailing args so different cosmologies /
+    precision settings share one executable (see scalar SolverScalars)."""
     from ..background import BgIdx
 
     bidx = BgIdx(*bidx_key)
+
+    def fn(k, tau_ini, t_tca, t_ufa, t_rsa, taus, bg_spline, th_spline, rtol, K):
+        return solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, taus, bg_spline,
+                           th_spline, bidx, idx, rtol, K=K)
+
     return jax.jit(jax.vmap(
-        partial(solve_one_k, bidx=bidx, idx=idx, rtol=rtol, K=K),
-        in_axes=(0, 0, 0, 0, 0, None, None, None)))
+        fn, in_axes=(0, 0, 0, 0, 0, None, None, None, None, None)))
 
 
 class TensorResult(NamedTuple):
@@ -333,10 +339,11 @@ def compute_tensor_perturbations(params, pr: PrecisionParams, bg, bidx, th,
     sgnK = 0 if params.Omega_k == 0.0 else (1 if K_curv > 0 else -1)
     idx = TnIdx(pr.l_max_g_ten, pr.l_max_pol_g_ten, pr.l_max_ur, params.N_ncdm,
                 sgnK=sgnK)
-    solve = get_tensor_solver(bidx.key, idx, pr.tol_perturb_integration, K=K_curv)
+    solve = get_tensor_solver(bidx.key, idx)
     srcs, _ = solve(jnp.asarray(sched.k), jnp.asarray(sched.tau_ini),
                     jnp.asarray(sched.tau_tca_off), jnp.asarray(sched.tau_ufa_on),
                     jnp.asarray(sched.tau_rsa_on),
-                    jnp.asarray(taus), bg.lntau_spline, th.lntau_spline)
+                    jnp.asarray(taus), bg.lntau_spline, th.lntau_spline,
+                    jnp.float64(pr.tol_perturb_integration), jnp.float64(K_curv))
     return TensorResult(k=jnp.asarray(ks), tau=jnp.asarray(taus), sources=srcs,
                         tau0=bg.tau0)

@@ -148,43 +148,66 @@ def _ark_step(tableau, rhs, stiff_apply, stiff_solve, t, y, h, args):
     the step — steps are set by acoustic-oscillation accuracy alone (the
     reference needs ndf15's variable-order BDF for the same reason,
     tools/evolver_ndf15.cpp:62).
+
+    The s stages run as ONE lax.scan over dense (strictly lower triangular)
+    tableau rows, so rhs/stiff_apply/stiff_solve each appear exactly once in
+    the compiled graph — same trick as rkck_step above; with the large
+    Boltzmann RHS this is the difference between a ~20 s and a ~2 min XLA
+    compile per solver head. The ESDIRK diagonal is the constant gamma, so
+    the per-stage implicit solve uses one shared gh. Stage 0 is explicit
+    (Y_0 = y, standard ESDIRK): the scan computes the solve anyway and
+    discards it via a select. fI is evaluated as stiff_apply(t_i, Y_i), which
+    equals (Y_i - r)/gh exactly because the solve is an exact closed-form
+    inverse of the same J used by stiff_apply (and avoids the cancellation in
+    the subtraction).
     """
     gamma, C, AE, AI, B, BH = tableau
     s = len(C)
     dt = y.dtype
     h_c = jnp.asarray(h, dt)
     gh = gamma * h_c
-    gh_safe = jnp.where(gh > 0, gh, 1.0)  # guard 0-length steps
 
-    f1 = rhs(t, y, args)
-    s1 = stiff_apply(t, y, args)
-    fE = [f1 - s1]
-    fI = [s1]
-    for i in range(1, s):
-        r = y
-        for j in range(i):
-            aE, aI = AE[i][j] if j < len(AE[i]) else 0.0, AI[i][j] if j < len(AI[i]) else 0.0
-            r = r + h_c * (aE * fE[j] + aI * fI[j])
-        t_i = t + C[i] * h
+    import numpy as _np
+    AE_m = _np.zeros((s, s))
+    AI_m = _np.zeros((s, s))
+    for i in range(s):
+        for j, a in enumerate(AE[i]):
+            AE_m[i, j] = a
+        for j, a in enumerate(AI[i]):
+            AI_m[i, j] = a
+    AE_j = jnp.asarray(AE_m, dt)
+    AI_j = jnp.asarray(AI_m, dt)
+    C_v = jnp.asarray(C)
+    hp = jax.lax.Precision.HIGHEST
+
+    def stage(carry, inp):
+        FE, FI = carry
+        i, c_i, aE_row, aI_row = inp
+        r = y + h_c * (jnp.tensordot(aE_row, FE, axes=1, precision=hp)
+                       + jnp.tensordot(aI_row, FI, axes=1, precision=hp))
+        t_i = t + c_i * h
         Y_i = stiff_solve(t_i, gh, r, args)
-        fI_i = (Y_i - r) / gh_safe          # = J(t_i)·Y_i, exactly
+        Y_i = jnp.where(i == 0, y, Y_i)
+        fI_i = stiff_apply(t_i, Y_i, args)
         fE_i = rhs(t_i, Y_i, args) - fI_i
-        fE.append(fE_i)
-        fI.append(fI_i)
+        return (FE.at[i].set(fE_i), FI.at[i].set(fI_i)), None
 
-    y_new = y
-    err = jnp.zeros_like(y)
-    for j in range(s):
-        fj = fE[j] + fI[j]
-        y_new = y_new + h_c * B[j] * fj
-        err = err + h_c * (B[j] - BH[j]) * fj
+    # derive the stage carries from y so they keep y's varying mesh axes
+    # under shard_map (see rkck_step)
+    Z = jnp.zeros((s,) + y.shape, dt) + (y * 0)[None]
+    (FE, FI), _ = jax.lax.scan(stage, (Z, Z), (jnp.arange(s), C_v, AE_j, AI_j))
+    F = FE + FI
+    B_v = jnp.asarray(B, dt)
+    BH_v = jnp.asarray(BH, dt)
+    y_new = y + h_c * jnp.tensordot(B_v, F, axes=1, precision=hp)
+    err = h_c * jnp.tensordot(B_v - BH_v, F, axes=1, precision=hp)
     # stiffness-filtered error estimate: the embedded pair is not stiffly
     # accurate, so the raw (b - bhat) combination is O(kap h y) on slaved
     # components and would collapse the step back to explicit sizes; passing
     # it through (I - gamma h J)^-1 restores a sharp estimate (same filter as
     # SUNDIALS ARKODE applies for ESDIRK embeddings)
     err = stiff_solve(t + h, gh, err, args)
-    return y_new, err, f1
+    return y_new, err, F[0]
 
 
 def ark32_step(rhs, stiff_apply, stiff_solve, t, y, h, args):

@@ -37,11 +37,12 @@ def sources_at_koutput(pipeline):
     ks = np.array(K_OUTPUT)
     sched = pg.get_k_schedule(ks, pr, bg, bidx, th, tau_first_sample=float(taus[0]))
     idx = PtIdx(pr.l_max_g, pr.l_max_pol_g, pr.l_max_ur)
-    solve = ps.get_batch_solver(bidx.key, idx, pr.tol_perturb_integration)
+    solve = ps.get_batch_solver(bidx.key, idx)
+    sc = ps.SolverScalars.make(pr.tol_perturb_integration)
     srcs, nsteps, _ = solve(jnp.asarray(sched.k), jnp.asarray(sched.tau_ini),
                             jnp.asarray(sched.tau_tca_off), jnp.asarray(sched.tau_ufa_on),
                             jnp.asarray(sched.tau_rsa_on), jnp.asarray(sched.tau_ncdmfa_on),
-                            jnp.asarray(taus), bg.lntau_spline, th.lntau_spline, None)
+                            jnp.asarray(taus), bg.lntau_spline, th.lntau_spline, None, sc)
     return taus, np.asarray(srcs), np.asarray(nsteps)
 
 

@@ -23,16 +23,24 @@ SCENARIOS = [
     {"output": "tCl", "lensing": "no", "ic": "ad,cdi"},
     {"output": "tCl,mPk", "lensing": "no", "Omega_Lambda": 0.0,
      "w0_fld": -0.9, "wa_fld": 0.05},
+    {"output": "tCl,mPk", "lensing": "no", "gauge": "newtonian"},
+    {"output": "nCl", "selection_mean": "0.5"},
 ]
 
 
 @pytest.mark.parametrize("extra", SCENARIOS,
-                         ids=["tCl", "lensed", "halofit", "tensors", "iso_cdi", "fld"])
+                         ids=["tCl", "lensed", "halofit", "tensors", "iso_cdi",
+                              "fld", "newtonian", "nCl"])
 def test_scenario(extra):
     c = Class()
     pars = dict(BASE)
     pars.update(extra)
     c.set(pars)
+    if pars["output"] == "nCl":
+        c.compute(["spectra"])
+        nc = c.density_cl(200)
+        assert np.isfinite(nc["dd"]).all() and (nc["dd"][0, 2:] > 0).all()
+        return
     want_cls = "Cl" in pars["output"]
     c.compute(["lensing"] if want_cls else ["nonlinear"])
     if want_cls:
@@ -52,10 +60,10 @@ def test_scenario(extra):
 
 def test_incompatible_inputs_raise():
     for bad in [
-        {"output": "tCl,nCl"},                      # number counts: not yet
-        {"output": "tCl", "gauge": "newtonian"},    # gauge: not yet
+        {"output": "tCl", "modes": "s,v"},          # vector modes: not yet
         {"output": "tCl", "ic": "ad,xyz"},          # unknown ic
-        {"output": "tCl", "P_k_ini type": "inflation_V"},
+        {"output": "tCl", "on the spot": "no"},     # beyond-on-the-spot f(z)
+        {"output": "tCl", "not_a_class_parameter": 1.0},
     ]:
         c = Class()
         pars = dict(BASE)
