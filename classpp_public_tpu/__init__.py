@@ -32,10 +32,30 @@ if _cache_dir.lower() not in ("off", "0", "none", "disable"):
         _cache_dir = (_os.path.join(_root, ".xla_cache")
                       if _os.access(_root, _os.W_OK)
                       else _os.path.expanduser("~/.cache/classpp_tpu/xla"))
+    # per-machine subdirectory: XLA:CPU entries are AOT-compiled against the
+    # build host's exact CPU features and can SIGILL elsewhere — a cache dir
+    # shared across machines (shared FS, repo checkout moved) must never serve
+    # another host's binaries
+    try:
+        import hashlib as _hl
+        import platform as _pf
+
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _flags = [ln for ln in _f if ln.startswith("flags")][0]
+        except Exception:
+            _flags = _pf.processor()
+        _tag = _hl.sha256(f"{_pf.machine()}-{_flags}".encode()).hexdigest()[:12]
+        _cache_dir = _os.path.join(_cache_dir, _tag)
+    except Exception:
+        pass
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERYTHING: on remote-compile platforms even a "fast" compile
+        # pays a tunnel round-trip, and dozens of small jitted helpers add up
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass
 

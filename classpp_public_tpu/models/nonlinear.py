@@ -453,30 +453,36 @@ def compute_nonlinear(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
         return compute_hmcode(pert, bg, bidx, pm, pr, params, z_pk=z_pk,
                               eta_0=hm_eta0, c_min=hm_cmin)
     k = pert.k
+    # ZERO-eager prologue: every scalar/grid below is host numpy (an eager op
+    # on the remote accelerator costs a ~1 s round-trip; r2 spent 9.5 s here).
+    # np.asarray(k) is the one device->host pull; everything else derives
+    # from it or from the host-committed background result.
+    k_np = np.asarray(k)
     z_arr = jnp.asarray(z_pk)
 
     # halofit k grid: log-spaced at halofit_k_per_decade between k bounds
-    n_hf = int(math.log10(float(k[-1]) / float(k[0])) * pr.halofit_k_per_decade) + 1
-    k_hf = np.asarray(k[0]) * 10.0 ** (np.arange(n_hf) / pr.halofit_k_per_decade)
-    k_hf = jnp.asarray(k_hf)
+    n_hf = int(math.log10(k_np[-1] / k_np[0]) * pr.halofit_k_per_decade) + 1
+    k_hf = jnp.asarray(k_np[0] * 10.0 ** (np.arange(n_hf) / pr.halofit_k_per_decade))
 
     w0 = jnp.asarray(params.w0_fld if params.use_fld else -1.0)
     fnu = jnp.asarray(float(bg.Omega0_ncdm_tot) / float(bg.Omega0_m))
     Omega0_m = jnp.asarray(float(bg.Omega0_m))
 
-    import os
-    import time as _time
-    _dbg = os.environ.get("CLASSPP_DEBUG_TIMING")
-    _t0 = _time.time()
+    # primordial P_R(k) in host numpy (analytic: pure math; external/inflation:
+    # small-table interp) — pm.scalar_pk(jnp) would issue ~5 eager device ops
+    if pm.external is not None:
+        lnk_t, lnp_s, _ = (np.asarray(a) for a in pm.external)
+        pk_prim = jnp.asarray(np.exp(np.interp(np.log(k_np), lnk_t, lnp_s)))
+    else:
+        lnk = np.log(k_np / float(pm.k_pivot))
+        pk_prim = jnp.asarray(
+            float(pm.A_s) * np.exp((float(pm.n_s) - 1.0) * lnk
+                                   + 0.5 * float(pm.alpha_s) * lnk**2))
+
     core = _halofit_core(float(pr.halofit_min_k_nonlinear),
                          int(bidx["Omega_m"]), int(bidx["Omega_r"]))
     S_dm = pert.sources[:, :, SrcIdx.ix["delta_m"]]
     S_cb = pert.sources[:, :, SrcIdx.ix["delta_cb"]]
-    pk_prim = pm.scalar_pk(k)
-    if _dbg:
-        jax.block_until_ready(pk_prim)
-        print(f"[nl] slice+prim {_time.time() - _t0:.2f}s", file=__import__('sys').stderr)
-        _t0 = _time.time()
     # pin every input to the accelerator holding the source table: the
     # background tables are host-CPU-committed (pipeline pins setup stages
     # there) and mixed-device args would force the jit onto the host,
@@ -486,14 +492,7 @@ def compute_nonlinear(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
         (S_dm, S_cb, jnp.asarray(pert.tau), jnp.asarray(k), k_hf, pk_prim,
          bg.loga, bg.tau_of_loga, bg.lntau_spline, z_arr, w0, fnu, Omega0_m,
          jnp.asarray(params.h)), dev)
-    if _dbg:
-        jax.block_until_ready(args)
-        print(f"[nl] device_put {_time.time() - _t0:.2f}s", file=__import__('sys').stderr)
-        _t0 = _time.time()
     pk_lin, pk_cb, pk_nl, pk_cb_nl, k_nl, sigma8 = core(*args)
-    if _dbg:
-        jax.block_until_ready(pk_nl)
-        print(f"[nl] core {_time.time() - _t0:.2f}s", file=__import__('sys').stderr)
 
     return PkResult(k=k, z=z_arr, pk_lin=pk_lin, pk_nl=pk_nl,
                     pk_cb_lin=pk_cb, pk_cb_nl=pk_cb_nl, k_nl=k_nl, sigma8=sigma8)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config.params import CosmoParams
 
@@ -68,9 +69,12 @@ def compute_primordial(params: CosmoParams, iso: dict = None,
                        external: tuple = None) -> PrimordialResult:
     # tensor tilt: inflationary consistency n_t = -r/8 (1 - n_s/... ) is the
     # 'scc' option; round-1 uses the user-provided n_t (default 0 when r=0).
+    # host numpy scalars, NOT device arrays: downstream stages read these with
+    # float(...) (a per-scalar round-trip on remote accelerators) and pass
+    # them into jitted calls (where numpy scalars are equally valid operands)
     return PrimordialResult(
-        A_s=jnp.asarray(params.A_s), n_s=jnp.asarray(params.n_s),
-        alpha_s=jnp.asarray(params.alpha_s), k_pivot=jnp.asarray(params.k_pivot),
-        r=jnp.asarray(params.r), n_t=jnp.asarray(params.n_t),
-        alpha_t=jnp.asarray(params.alpha_t), iso=iso, external=external,
+        A_s=np.float64(params.A_s), n_s=np.float64(params.n_s),
+        alpha_s=np.float64(params.alpha_s), k_pivot=np.float64(params.k_pivot),
+        r=np.float64(params.r), n_t=np.float64(params.n_t),
+        alpha_t=np.float64(params.alpha_t), iso=iso, external=external,
     )

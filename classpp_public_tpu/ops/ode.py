@@ -194,8 +194,13 @@ def _ark_step(tableau, rhs, stiff_apply, stiff_solve, t, y, h, args):
 
     # derive the stage carries from y so they keep y's varying mesh axes
     # under shard_map (see rkck_step)
+    # unroll: 1 = smallest graph (fastest compile), s = fully unrolled
+    # (fastest runtime: XLA fuses across stages); CLASSPP_ARK_UNROLL tunes it
+    import os as _os
+    unroll = int(_os.environ.get("CLASSPP_ARK_UNROLL", "1"))
     Z = jnp.zeros((s,) + y.shape, dt) + (y * 0)[None]
-    (FE, FI), _ = jax.lax.scan(stage, (Z, Z), (jnp.arange(s), C_v, AE_j, AI_j))
+    (FE, FI), _ = jax.lax.scan(stage, (Z, Z), (jnp.arange(s), C_v, AE_j, AI_j),
+                               unroll=min(max(unroll, 1), s))
     F = FE + FI
     B_v = jnp.asarray(B, dt)
     BH_v = jnp.asarray(BH, dt)
