@@ -94,6 +94,7 @@ def _timed(fn, n=2):
 
 def main():
     detail = {}
+    t_start = time.time()
     # headline: Planck row 2, min of two runs (second is compile-cached)
     t0 = time.time()
     run_planck()
@@ -106,19 +107,31 @@ def main():
     detail["planck_row2"] = {"first_s": round(first, 3), "second_s": round(second, 3),
                              "stages_s": stages, "baseline_s": BASELINE_SECONDS}
 
-    if not os.environ.get("CLASSPP_BENCH_FAST"):
+    # extra rows only if the headline left budget: row 3 (ncdm) compiles a
+    # fresh solver-head family (~minutes cold) and must never push the whole
+    # bench past the driver's wall-clock cap — the headline metric is row 2
+    budget_s = float(os.environ.get("CLASSPP_BENCH_BUDGET", "540"))
+
+    def over_budget(need):
+        return time.time() - t_start + need > budget_s
+
+    if not os.environ.get("CLASSPP_BENCH_FAST") and not over_budget(2.5 * second):
         try:
             t = _timed(run_row1)
             detail["lcdm_row1"] = {"warm_s": round(t, 3), "baseline_s": BASELINE_ROW1,
                                    "vs_baseline": round(BASELINE_ROW1 / t, 3)}
         except Exception as e:  # pragma: no cover
             detail["lcdm_row1"] = {"error": f"{type(e).__name__}: {e}"}
-        try:
-            t = _timed(run_row3)
-            detail["ncdm_row3"] = {"warm_s": round(t, 3), "baseline_s": BASELINE_ROW3,
-                                   "vs_baseline": round(BASELINE_ROW3 / t, 3)}
-        except Exception as e:  # pragma: no cover
-            detail["ncdm_row3"] = {"error": f"{type(e).__name__}: {e}"}
+        # row 3 compiles new (ncdm) solver heads: needs a much bigger margin
+        if not over_budget(10.0 * second):
+            try:
+                t = _timed(run_row3)
+                detail["ncdm_row3"] = {"warm_s": round(t, 3), "baseline_s": BASELINE_ROW3,
+                                       "vs_baseline": round(BASELINE_ROW3 / t, 3)}
+            except Exception as e:  # pragma: no cover
+                detail["ncdm_row3"] = {"error": f"{type(e).__name__}: {e}"}
+        else:
+            detail["ncdm_row3"] = {"skipped": "over time budget"}
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:

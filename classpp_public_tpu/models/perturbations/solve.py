@@ -66,8 +66,8 @@ class SolverScalars(NamedTuple):
     blowup: 2 tolerance classes x per-cosmology floats retraced the full
     Boltzmann graph each time."""
 
-    rtol: jnp.ndarray
-    atol: jnp.ndarray
+    rtol: jnp.ndarray       # PER-LANE (vmapped axis 0): CMB lanes tight,
+    atol: jnp.ndarray       # P(k)-tail lanes loose — one launch, two classes
     wa_fld: jnp.ndarray
     cs2_fld: jnp.ndarray
     K: jnp.ndarray
@@ -77,11 +77,25 @@ class SolverScalars(NamedTuple):
 
     @staticmethod
     def make(rtol, atol=1e-11, wa_fld=0.0, cs2_fld=1.0, K=0.0, Gamma_dcdm=0.0,
-             H0=1.0, eta_flag=1.0):
+             H0=1.0, eta_flag=1.0, lanes=None):
+        """rtol/atol may be scalars (broadcast to `lanes`) or per-lane
+        arrays; the rest are cosmology scalars."""
         f = jnp.float64
-        return SolverScalars(*(jnp.asarray(v, f) for v in
-                               (rtol, atol, wa_fld, cs2_fld, K, Gamma_dcdm, H0,
-                                eta_flag)))
+        rtol = jnp.asarray(rtol, f)
+        atol = jnp.asarray(atol, f)
+        if lanes is not None:
+            rtol = jnp.broadcast_to(rtol, (lanes,))
+            atol = jnp.broadcast_to(atol, (lanes,))
+        return SolverScalars(rtol, atol,
+                             *(jnp.asarray(v, f) for v in
+                               (wa_fld, cs2_fld, K, Gamma_dcdm, H0, eta_flag)))
+
+    @classmethod
+    def axes(cls):
+        """vmap in_axes spec: rtol/atol ride the lane axis, the rest are
+        broadcast cosmology scalars."""
+        return cls(rtol=0, atol=0, wa_fld=None, cs2_fld=None, K=None,
+                   Gamma_dcdm=None, H0=None, eta_flag=None)
 
 
 def _sc_kwargs(sc: SolverScalars):
@@ -103,7 +117,8 @@ def get_batch_solver(bidx_key, idx, ic="ad", evolver="imex"):
                            evolver=evolver, **_sc_kwargs(sc))
 
     return jax.jit(jax.vmap(
-        fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None, None)))
+        fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None,
+                     SolverScalars.axes())))
 
 
 @lru_cache(maxsize=16)
@@ -122,7 +137,8 @@ def get_window_solver(bidx_key, idx, evolver="imex"):
                            y_carry=(y, h), evolver=evolver, **_sc_kwargs(sc))
 
     return jax.jit(jax.vmap(
-        fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None, 0, 0, None)))
+        fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None, 0, 0,
+                     SolverScalars.axes())))
 
 
 class PerturbResult(NamedTuple):
@@ -308,7 +324,8 @@ def get_init_solver(bidx_key, idx, ic="ad", evolver="imex"):
                           **_sc_kwargs(sc))
 
     return jax.jit(jax.vmap(
-        fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None)))
+        fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None,
+                     SolverScalars.axes())))
 
 
 @lru_cache(maxsize=16)
@@ -322,7 +339,8 @@ def get_advance_solver(bidx_key, idx, evolver="imex"):
                              evolver=evolver, **_sc_kwargs(sc))
 
     return jax.jit(jax.vmap(
-        fn, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, 0, 0, None)))
+        fn, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, 0, 0,
+                     SolverScalars.axes())))
 
 
 @lru_cache(maxsize=16)
@@ -336,7 +354,8 @@ def get_emit_solver(bidx_key, idx, evolver="imex"):
                           **_sc_kwargs(sc))
 
     return jax.jit(jax.vmap(
-        fn, in_axes=(0, 0, 0, 0, 0, None, None, None, None, 0, None)))
+        fn, in_axes=(0, 0, 0, 0, 0, None, None, None, None, 0,
+                     SolverScalars.axes())))
 
 
 def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
@@ -388,16 +407,15 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
         lockstep waste) and the tau range in windows (bounded per-launch
         execution for device watchdogs); (y, h) carries across windows."""
         nk = len(sched.k)
-        # multi-device: widen the chunk so every device carries k_chunk_size
-        # lanes and shard the lane axis over the mesh (GSPMD splits the one
-        # jitted lockstep program across chips with no collectives)
+        # multi-device: shard the lane axis over the mesh (GSPMD splits the
+        # one jitted lockstep program across chips with no collectives); the
+        # lane count is padded to a multiple of 8*n_dev so every device gets
+        # equal lanes and small config tweaks reuse the compiled shapes
         from ...parallel.mesh import make_mesh, n_compute_devices, shard_lanes
         n_dev = n_compute_devices()
         mesh = make_mesh() if n_dev > 1 else None
-        cs = min(pr.k_chunk_size * n_dev, nk + (-nk) % n_dev)
+        cs = nk + (-nk) % (8 * n_dev)
         ntau = len(taus)
-        out_src = []
-        out_steps = []
         per_k = [np.asarray(sched.k), np.asarray(sched.tau_ini),
                  np.asarray(sched.tau_tca_off), np.asarray(sched.tau_ufa_on),
                  np.asarray(sched.tau_rsa_on), np.asarray(sched.tau_ncdmfa_on)]
@@ -422,102 +440,85 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 t0 = _time.time()
                 jax.block_until_ready(x)
                 print(f"[pert] {tag}: {_time.time() - t0:.2f}s", flush=True)
-        # chunk boundaries: never mix CMB lanes with the P(k)-only tail in one
-        # chunk — the tail runs at its own (looser) tolerance, and a mixed
-        # chunk would pin every launch to the most expensive tail lane while
-        # forcing the tight CMB tolerance on it
-        n_cmb_lanes = int(np.searchsorted(np.asarray(sched.k), k_max_cmb,
-                                          side="right")) if has_cls else nk
-        starts = sorted({*range(0, min(n_cmb_lanes, nk), cs),
-                         *range(min(n_cmb_lanes, nk), nk, cs)})
-        for i0 in starts:
-            i1 = min(i0 + cs, nk if i0 >= n_cmb_lanes else max(n_cmb_lanes, i0 + 1))
-            i1 = min(i1, nk)
-            sl = [a[i0:i1] for a in per_k]
-            pad = cs - len(sl[0])
-            if pad:
-                sl = [np.pad(a, (0, pad), mode="edge") for a in sl]
-            args = [jnp.asarray(a) for a in sl]
-            if pr.perturb_dtype == "float32":
-                args[0] = args[0].astype(jnp.float32)
-            if mesh is not None:
-                args = shard_lanes(mesh, args)
-            # P(k)-only modes (k above the CMB range) carry fully Silk-damped
-            # photon perturbations; a looser absolute floor avoids resolving
-            # sub-1e-8 oscillations that cannot affect delta_m. Their
-            # oscillation-limited stepping is ~uniform per unit tau, so the
-            # pre-sampling phase and the sampled range both get many windows
-            # (each device launch stays bounded in wall-clock).
-            # windowing is driven by the most expensive lane in the chunk
-            # (any high-k lane needs its pre-phase split to stay under the
-            # per-interval step cap and device launch bounds); the looser
-            # error floor applies only when EVERY lane is beyond the CMB range
-            any_heavy = sl[0][-1] > k_max_cmb
-            # chunks are split at the CMB/P(k) boundary above, so a chunk
-            # whose first lane is beyond k_max_cmb is purely P(k)-only
-            all_heavy = sl[0][0] > k_max_cmb
-            atol = 3e-8 if all_heavy else 1e-11
-            # P(k)-only lanes answer to the 1e-2 P(k) contract, not the 3e-3
-            # C_l one: a looser rtol cuts the step count of the k>k_cmb tail
-            # (the most expensive chunk on the device)
-            rtol_c = rtol * 30.0 if all_heavy else rtol
-            if _dbg:
-                print(f"[pert] chunk {i0}: k=[{sl[0][0]:.3f},{sl[0][-1]:.3f}] "
-                      f"all_heavy={all_heavy} rtol={rtol_c:.1e}", flush=True)
-            if pr.evolver == "imex":
-                # stiff path: step counts are oscillation-limited (~1e3/lane),
-                # so a couple of windows suffice to bound launch wall-clock
-                n_pre = 2 if any_heavy else 1
-                nwin = max(1, pr.tau_windows // 2)
-            else:
-                n_pre = 12 if any_heavy else 1
-                nwin = max(1, pr.tau_windows * (8 if any_heavy else 1))
-            sc = SolverScalars.make(
-                rtol_c, atol=atol, wa_fld=params.wa_fld, cs2_fld=params.cs2_fld,
-                K=K_curv, Gamma_dcdm=params.Gamma_dcdm / 299792.458,
-                H0=float(bg.H0),
-                eta_flag=1.0 if (ic_name == "ad" and gauge == "synchronous")
-                else 0.0)
-            init = get_init_solver(bidx.key, idx, ic=ic_name, evolver=pr.evolver)
-            adv = get_advance_solver(bidx.key, idx, evolver=pr.evolver)
-            emit = get_emit_solver(bidx.key, idx, evolver=pr.evolver)
-            cont = get_window_solver(bidx.key, idx, evolver=pr.evolver)
-            sw = list(args[2:6])
-            # pre-phase: ICs at per-lane tau_ini, then advance in shared
-            # tau-windows (per-lane spans clamped so late starters wait)
-            y, h = init(*args, bsp, tsp, ncdm_d, sc)
-            pts = np.linspace(min(float(sl[1].min()), taus[0]), taus[0], n_pre + 1)
-            st = jnp.zeros((cs,), dtype=jnp.int32)
-            for j in range(n_pre):
-                t_a = jnp.maximum(args[1], pts[j])
-                t_b = jnp.maximum(args[1], pts[j + 1])
-                y, h, n = adv(args[0], *sw, t_a, t_b, bsp, tsp, ncdm_d, y, h, sc)
-                _tick(f"chunk {i0} pre {j}", y)
-                st = st + n
-            pieces = [emit(args[0], *sw, taus_j[0], bsp, tsp, ncdm_d, y, sc)[:, None, :]]
-            # uniform window length: every window runs the SAME length-(wlen+1)
-            # tau slice (tail padded by repeating the last tau; the padded
-            # zero-length intervals integrate trivially and their duplicate
-            # source rows are trimmed) so all windows share one executable —
-            # np.linspace bounds gave two window lengths and thus two full
-            # compiles of the continuation head
-            taus_np = np.asarray(taus)
-            wlen = max(1, -(-(ntau - 1) // nwin))
-            for b0 in range(0, ntau - 1, wlen):
-                b1 = min(b0 + wlen, ntau - 1)
-                tw = taus_np[b0: b0 + wlen + 1]
-                if len(tw) < wlen + 1:
-                    tw = np.pad(tw, (0, wlen + 1 - len(tw)), mode="edge")
-                src, stw, (y, h) = cont(*args, jnp.asarray(tw),
-                                        bsp, tsp, ncdm_d, y, h, sc)
-                _tick(f"chunk {i0} win {b0}", src)
-                st = st + stw
-                pieces.append(src[:, : b1 - b0])
-            n_keep = i1 - i0
-            out_src.append(jnp.concatenate(pieces, axis=1)[:n_keep])
-            out_steps.append(st[:n_keep])
-        src_all = jnp.concatenate(out_src, axis=0).astype(jnp.float64)
-        return src_all, jnp.concatenate(out_steps, axis=0)
+        # ONE merged launch over the whole (padded) k-grid: per-lane rtol/atol
+        # carry the two tolerance classes (CMB lanes tight, P(k)-tail lanes
+        # loose — the tail answers to the 1e-2 P(k) contract, not the 3e-3
+        # C_l one, and its Silk-damped sub-1e-8 photon oscillations cannot
+        # affect delta_m). Merging removes the per-chunk serialization: the
+        # device now pays max-steps-over-all-lanes per interval instead of
+        # the sum over chunks of per-chunk maxima (~2x fewer sequential RHS
+        # evaluations for the Planck config), and the extra lanes are free on
+        # the VPU (the lockstep state is latency-bound, not FLOP-bound).
+        kv = per_k[0]
+        rtol_lane = np.where(kv > k_max_cmb, rtol * 30.0, rtol) if has_cls \
+            else np.full_like(kv, rtol * 30.0)
+        atol_lane = np.where(kv > k_max_cmb, 3e-8, 1e-11) if has_cls \
+            else np.full_like(kv, 3e-8)
+        if _dbg:
+            print(f"[pert] merged launch: nk={nk} cs={cs} "
+                  f"n_loose={(rtol_lane > rtol).sum()}", flush=True)
+        if pr.evolver == "imex":
+            # stiff path: step counts are oscillation-limited (~1e3-1e4/lane),
+            # so a couple of windows suffice to bound launch wall-clock
+            n_pre = 2 if kv[-1] > k_max_cmb else 1
+            nwin = max(1, pr.tau_windows // 2)
+        else:
+            n_pre = 12
+            nwin = max(1, pr.tau_windows * 8)
+        sl = per_k + [rtol_lane, atol_lane]
+        pad = cs - nk
+        if pad:
+            sl = [np.pad(a, (0, pad), mode="edge") for a in sl]
+        args = [jnp.asarray(a) for a in sl[:6]]
+        if pr.perturb_dtype == "float32":
+            args[0] = args[0].astype(jnp.float32)
+        sc = SolverScalars.make(
+            sl[6], atol=sl[7], wa_fld=params.wa_fld, cs2_fld=params.cs2_fld,
+            K=K_curv, Gamma_dcdm=params.Gamma_dcdm / 299792.458,
+            H0=float(bg.H0),
+            eta_flag=1.0 if (ic_name == "ad" and gauge == "synchronous")
+            else 0.0)
+        if mesh is not None:
+            args = shard_lanes(mesh, args)
+            sc = sc._replace(**dict(zip(
+                ("rtol", "atol"), shard_lanes(mesh, [sc.rtol, sc.atol]))))
+        init = get_init_solver(bidx.key, idx, ic=ic_name, evolver=pr.evolver)
+        adv = get_advance_solver(bidx.key, idx, evolver=pr.evolver)
+        emit = get_emit_solver(bidx.key, idx, evolver=pr.evolver)
+        cont = get_window_solver(bidx.key, idx, evolver=pr.evolver)
+        sw = list(args[2:6])
+        # pre-phase: ICs at per-lane tau_ini, then advance in shared
+        # tau-windows (per-lane spans clamped so late starters wait)
+        y, h = init(*args, bsp, tsp, ncdm_d, sc)
+        pts = np.linspace(min(float(sl[1].min()), taus[0]), taus[0], n_pre + 1)
+        st = jnp.zeros((cs,), dtype=jnp.int32)
+        for j in range(n_pre):
+            t_a = jnp.maximum(args[1], pts[j])
+            t_b = jnp.maximum(args[1], pts[j + 1])
+            y, h, n = adv(args[0], *sw, t_a, t_b, bsp, tsp, ncdm_d, y, h, sc)
+            _tick(f"pre {j}", y)
+            st = st + n
+        pieces = [emit(args[0], *sw, taus_j[0], bsp, tsp, ncdm_d, y, sc)[:, None, :]]
+        # uniform window length: every window runs the SAME length-(wlen+1)
+        # tau slice (tail padded by repeating the last tau; the padded
+        # zero-length intervals integrate trivially and their duplicate
+        # source rows are trimmed) so all windows share one executable —
+        # np.linspace bounds gave two window lengths and thus two full
+        # compiles of the continuation head
+        taus_np = np.asarray(taus)
+        wlen = max(1, -(-(ntau - 1) // nwin))
+        for b0 in range(0, ntau - 1, wlen):
+            b1 = min(b0 + wlen, ntau - 1)
+            tw = taus_np[b0: b0 + wlen + 1]
+            if len(tw) < wlen + 1:
+                tw = np.pad(tw, (0, wlen + 1 - len(tw)), mode="edge")
+            src, stw, (y, h) = cont(*args, jnp.asarray(tw),
+                                    bsp, tsp, ncdm_d, y, h, sc)
+            _tick(f"win {b0}", src)
+            st = st + stw
+            pieces.append(src[:, : b1 - b0])
+        src_all = jnp.concatenate(pieces, axis=1)[:nk].astype(jnp.float64)
+        return src_all, st[:nk]
 
     sources, nsteps = run_ic("ad")
     sources_iso = None

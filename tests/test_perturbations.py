@@ -38,7 +38,7 @@ def sources_at_koutput(pipeline):
     sched = pg.get_k_schedule(ks, pr, bg, bidx, th, tau_first_sample=float(taus[0]))
     idx = PtIdx(pr.l_max_g, pr.l_max_pol_g, pr.l_max_ur)
     solve = ps.get_batch_solver(bidx.key, idx)
-    sc = ps.SolverScalars.make(pr.tol_perturb_integration)
+    sc = ps.SolverScalars.make(pr.tol_perturb_integration, lanes=len(sched.k))
     srcs, nsteps, _ = solve(jnp.asarray(sched.k), jnp.asarray(sched.tau_ini),
                             jnp.asarray(sched.tau_tca_off), jnp.asarray(sched.tau_ufa_on),
                             jnp.asarray(sched.tau_rsa_on), jnp.asarray(sched.tau_ncdmfa_on),

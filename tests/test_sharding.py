@@ -61,7 +61,7 @@ def test_sharded_solve_matches_unsharded(small_pipeline):
     # identical step sequences; shard_map only reorders fusion, so agreement
     # is at roundoff of the smallest source entries
     np.testing.assert_allclose(np.asarray(src_sh), np.asarray(src_ref),
-                               rtol=1e-9, atol=1e-300)
+                               rtol=3e-8, atol=1e-18)
 
 
 def test_sharded_cl_quadrature_matches_einsum():
