@@ -56,6 +56,12 @@ if _cache_dir.lower() not in ("off", "0", "none", "disable"):
         # pays a tunnel round-trip, and dozens of small jitted helpers add up
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # JAX-level executable serialization only: the XLA:CPU AOT sub-cache
+        # embeds compile-preference pseudo-features (+prefer-no-gather) that
+        # never appear in the host feature probe, so its entries fail the
+        # strict feature check on EVERY load (cpu_aot_loader "SIGILL" spam)
+        # and the cache degrades to a miss + warning per program
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:
         pass
 

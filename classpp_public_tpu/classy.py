@@ -67,8 +67,6 @@ _UNIMPLEMENTED_PARAMS = frozenset({
     # misc reference features
     "pk_eq", "headers_in_output", "bessel file", "l_max_vectors",
     "temperature contributions", "early/late isw redshift",
-    "number count contributions", "selection_bias",
-    "selection_magnification_bias", "dNdz_selection", "dNdz_evolution",
     "varying_alpha", "varying_fundamental_constants",
 })
 
@@ -293,6 +291,18 @@ class Class:
         if "Omega_Lambda" in p and float(p["Omega_Lambda"]) == 0.0:
             p.pop("Omega_Lambda")
             kw["use_fld"] = True
+        # fluid equation of state: CLP (default) or EDE tracker
+        # (input_module.cpp:1287-1316)
+        if "fluid_equation_of_state" in p:
+            v = str(p.pop("fluid_equation_of_state")).strip()
+            if "ede" in v.lower():
+                kw["fluid_eos"] = "EDE"
+                kw["Omega_EDE"] = float(p.pop("Omega_EDE", 0.0))
+            elif "clp" in v.lower():
+                kw["fluid_eos"] = "CLP"
+            else:
+                raise CosmoSevereError(
+                    f"incomprehensible fluid_equation_of_state {v!r}")
 
         # output selection
         out = OutputSelection()
@@ -319,15 +329,35 @@ class Class:
             out.selection_width = tuple(w)
             out.l_lss_max = int(float(p.pop("l_max_lss", 300)))
             out.non_diagonal = int(float(p.pop("non_diagonal", 0)))
-            if "number count contributions" in p or "number_count_contributions" in p:
-                contrib = str(p.pop("number count contributions",
-                                    p.pop("number_count_contributions", "density")))
-                extras = [c.strip() for c in contrib.replace(",", " ").split()
-                          if c.strip() not in ("density", "dens")]
-                if extras:
-                    raise CosmoSevereError(
-                        f"number count contributions {extras} not implemented "
-                        "(density term only; ref transfer_module.cpp:1845)")
+            # contributions: density, rsd, lensing, gr (input_module :1678;
+            # default density-only :1699)
+            contrib = str(p.pop("number count contributions",
+                                p.pop("number_count_contributions", "density")))
+            got = []
+            for name in ("density", "rsd", "lensing", "gr"):
+                if name in contrib:
+                    got.append(name)
+            extras = [c.strip() for c in contrib.replace(",", " ").split()
+                      if c.strip() and c.strip() not in
+                      ("density", "dens", "rsd", "lensing", "gr")]
+            if extras or not got:
+                raise CosmoSevereError(
+                    f"unknown number count contributions {extras} "
+                    "(supported: density, rsd, lensing, gr)")
+            out.nc_contributions = tuple(got)
+            if "selection_bias" in p:
+                out.selection_bias = tuple(_parse_list(p.pop("selection_bias")))
+            if "selection_magnification_bias" in p:
+                out.magnification_bias = tuple(
+                    _parse_list(p.pop("selection_magnification_bias")))
+            # dN/dz from file or the built-in analytic ansatz
+            # (transfer_dNdz_analytic :2252)
+            if "dNdz_selection" in p:
+                v = str(p.pop("dNdz_selection")).strip()
+                out.dndz = "analytic" if v.lower() == "analytic" else v
+            if "dNdz_evolution" in p:
+                v = str(p.pop("dNdz_evolution")).strip()
+                out.dndz_evo = "analytic" if v.lower() == "analytic" else v
         out.lensing = _parse_bool(p.pop("lensing", "yes" if out.lCl else "no"))
         out.l_scalar_max = int(float(p.pop("l_max_scalars", 2500)))
         if "P_k_max_1/Mpc" in p:
@@ -364,16 +394,12 @@ class Class:
         modes = str(p.pop("modes", "s"))
         out.modes = tuple(m.strip() for m in modes.replace(",", " ").split())
         if abs(kw.get("Omega_k", 0.0)) > 1e-12:
-            # open-universe scalars + tensors are implemented (curved
-            # hierarchies + hyperspherical transfer); newtonian gauge with
-            # K != 0 is not yet
+            # open + closed scalars/tensors are implemented (curved
+            # hierarchies + hyperspherical transfer, discrete-nu q-list for
+            # K > 0); newtonian gauge with K != 0 is not yet
             if gauge != "synchronous":
                 raise CosmoSevereError(
                     "Omega_k != 0 implemented in synchronous gauge only")
-            if kw.get("Omega_k", 0.0) < 0.0:
-                raise CosmoSevereError(
-                    "closed models (Omega_k < 0) not implemented yet "
-                    "(discrete nu spectrum; transfer_module.cpp:930)")
         if "v" in out.modes:
             raise CosmoSevereError("vector modes not implemented")
         if "l_max_tensors" in p:

@@ -60,6 +60,10 @@ class CosmoParams:
     w0_fld: float = -1.0
     wa_fld: float = 0.0
     use_fld: bool = False            # if True, close budget with fld instead of Lambda
+    # fluid equation of state: "CLP" (w0 + wa(1-a)) or "EDE" (early dark
+    # energy tracker, eq. 10-11 of 1706.00730; background_module.cpp:612)
+    fluid_eos: str = "CLP"
+    Omega_EDE: float = 0.0           # EDE plateau amplitude (input :1314)
     cs2_fld: float = 1.0
     use_ppf: bool = False            # PPF formalism (reference default yes;
                                      # here opt-in: non-PPF matches it away

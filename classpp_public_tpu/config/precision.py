@@ -153,9 +153,12 @@ class PrecisionParams:
     # --- transfer / bessel (precisions.h:335-406)
     l_linstep: int = 40
     l_logstep: float = 1.12
-    hyper_x_min: float = 1.0e-5
-    hyper_sampling_flat: float = 8.0
-    hyper_phi_min_abs: float = 1.0e-10
+    # closed-universe q-list (precisions.h:346,365-378): integer-nu sampling
+    # below hyper_flat_approximation_nu with the q_logstep_trapzd step, then
+    # a q_numstep_transition-step blend into the flat/open spline stepping
+    hyper_flat_approximation_nu: float = 4000.0
+    q_logstep_trapzd: float = 20.0
+    q_numstep_transition: float = 250.0
     q_linstep: float = 0.45
     q_logstep_spline: float = 170.0
     transfer_neglect_delta_k_S_t0: float = 0.15
@@ -168,6 +171,7 @@ class PrecisionParams:
     transfer_neglect_late_source: float = 400.0
     l_switch_limber: float = 10.0
     # number counts / selection windows (precisions.h:400-411)
+    selection_tophat_edge: float = 0.1
     l_switch_limber_for_nc_local_over_z: float = 100.0
     l_switch_limber_for_nc_los_over_z: float = 30.0
     selection_cut_at_sigma: float = 5.0

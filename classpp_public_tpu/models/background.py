@@ -42,7 +42,7 @@ class BgIdx:
         self.key = (n_ncdm, has_fld, has_dcdm, has_scf, has_idm_dr)
         names = ["a", "H", "H_prime", "rho_g", "rho_b", "rho_cdm", "rho_lambda", "rho_ur"]
         if has_fld:
-            names += ["rho_fld", "w_fld"]
+            names += ["rho_fld", "w_fld", "w_prime_fld"]
         if has_dcdm:
             names += ["rho_dcdm", "rho_dr"]
         if has_scf:
@@ -435,17 +435,50 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     if has_fld:
         Omega0_fld = Omega0_de
         Omega0_lambda = jnp.asarray(0.0, dtype)
-        w_fld = params.w0_fld + params.wa_fld * (1.0 - a)
-        rho_fld = (
-            Omega0_fld * H0**2
-            * a ** (-3.0 * (1.0 + params.w0_fld + params.wa_fld))
-            * jnp.exp(3.0 * params.wa_fld * (a - 1.0))
-        )
+        if params.fluid_eos == "EDE":
+            # early dark energy tracker (background_w_fld EDE branch,
+            # background_module.cpp:625-667; Omega_ede(a) from eq. 10 of
+            # 1706.00730, w(a) from eq. 11). dw/da keeps the reference's
+            # d2Omega/da2 = 0 approximation for bit-parity.
+            w0 = params.w0_fld
+            Oede = params.Omega_EDE
+            O0 = Omega0_fld
+            am3w = a ** (-3.0 * w0)
+            a3w = a ** (3.0 * w0)
+            den = O0 + (1.0 - O0) * a3w
+            Om_ede = (O0 - Oede * (1.0 - am3w)) / den + Oede * (1.0 - am3w)
+            dOm_da = (-Oede * 3.0 * w0 * am3w / a / den
+                      - (O0 - Oede * (1.0 - am3w)) * (1.0 - O0)
+                      * 3.0 * w0 * a3w / a / den**2
+                      + Oede * 3.0 * w0 * am3w / a)
+            # a_eq as the reference computes it: LCDM-like r/m ratio
+            Om_r_eq = Omega0_g * (1.0 + 3.046 * 7.0 / 8.0 * (4.0 / 11.0) ** (4.0 / 3.0))
+            Om_m_eq = Omega0_b + Omega0_cdm + Omega0_idm_dr
+            a_eq = Om_r_eq / Om_m_eq
+            w_fld = (-dOm_da * a / Om_ede / 3.0 / (1.0 - Om_ede)
+                     + a_eq / 3.0 / (a + a_eq))
+            dw_da = (-dOm_da / 3.0 / (1.0 - Om_ede) / Om_ede
+                     + dOm_da * dOm_da * a / 3.0
+                     / (1.0 - Om_ede) ** 2 / Om_ede
+                     + a_eq / 3.0 / (a + a_eq) ** 2)
+            # rho_fld(a) = Omega0_fld H0^2 exp(3 int_lna^0 (1+w) dln a')
+            integ = 3.0 * (1.0 + w_fld)
+            F = spline_integrate(loga, integ, spline_d2(loga, integ))
+            rho_fld = Omega0_fld * H0**2 * jnp.exp(F[-1] - F)
+        else:
+            w_fld = params.w0_fld + params.wa_fld * (1.0 - a)
+            dw_da = jnp.full_like(a, -params.wa_fld)
+            rho_fld = (
+                Omega0_fld * H0**2
+                * a ** (-3.0 * (1.0 + params.w0_fld + params.wa_fld))
+                * jnp.exp(3.0 * params.wa_fld * (a - 1.0))
+            )
     else:
         Omega0_lambda = Omega0_de
         Omega0_fld = jnp.asarray(0.0, dtype)
         rho_fld = jnp.zeros_like(a)
         w_fld = jnp.full_like(a, -1.0)
+        dw_da = jnp.zeros_like(a)
     rho_lambda = jnp.full_like(a, Omega0_lambda * H0**2)
 
     rho_tot = rho_g + rho_b + rho_cdm + rho_ur + rho_lambda + rho_fld \
@@ -470,9 +503,10 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
         Gmpc = params.Gamma_dcdm / 299792.458
         p_tot_prime = p_tot_prime + (-4.0 * aH * rho_dr + a * Gmpc * rho_dcdm) / 3.0
     if has_fld:
-        # p_fld = w rho_fld; w' = -wa da/dtau = -wa a^2 H; rho_fld' = -3 aH (1+w) rho_fld
-        w_prime = -params.wa_fld * a * a * H
-        p_tot_prime = p_tot_prime + w_prime * rho_fld + w_fld * (-3.0 * aH * (1.0 + w_fld) * rho_fld)
+        # p_fld = w rho_fld; w' = (dw/da) a^2 H; rho_fld' = -3 aH (1+w) rho_fld
+        w_prime_fld = dw_da * a * a * H
+        p_tot_prime = p_tot_prime + w_prime_fld * rho_fld \
+            + w_fld * (-3.0 * aH * (1.0 + w_fld) * rho_fld)
     if has_scf:
         # p_scf' = phi'(-phi' H/a - 2/3 dV) (background_functions :564-568)
         p_tot_prime = p_tot_prime + phi_prime_scf * (
@@ -566,6 +600,7 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     if has_fld:
         cols["rho_fld"] = rho_fld
         cols["w_fld"] = w_fld
+        cols["w_prime_fld"] = w_prime_fld
     if has_dcdm:
         cols["rho_dcdm"] = rho_dcdm
         cols["rho_dr"] = rho_dr

@@ -301,8 +301,9 @@ def rhs_full(tau, y, ctx: PertCtx):
     if idx.has_fld:
         rho_fld = bgv[bidx["rho_fld"]]
         w_fld = bgv[bidx["w_fld"]]
-        # CLP: dw/da = -wa  =>  w' = -wa a' = -wa a^2 H
-        w_prime_fld = -ctx.wa_fld * aH * a
+        # w'(tau) from the background table (CLP: -wa a^2 H; EDE: analytic
+        # dw/da of the tracker, background.py fld block)
+        w_prime_fld = bgv[bidx["w_prime_fld"]]
         cs2_fld = ctx.cs2_fld
         if idx.use_ppf:
             # PPF formalism (Hu 2008; :6484-6562, synchronous gauge). One

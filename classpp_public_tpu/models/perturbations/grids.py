@@ -44,6 +44,11 @@ def get_k_list(params: CosmoParams, pr: PrecisionParams, bg, th,
     if K < 0.0:
         # q^2 = k^2 + (1+m)K must stay positive (m=0 scalars, 2 tensors)
         k_min = math.sqrt(-(1.0 + m_mode) * K + (pr.k_min_tau0 / tau0 / ang) ** 2)
+    elif K > 0.0:
+        # closed: the discrete spectrum starts at nu=3, q=3 sqrt(K), i.e.
+        # k = sqrt((8-m)K) (reference perturb_get_k_list :1689; the transfer
+        # module later interpolates sources at the exact integer-nu k's)
+        k_min = math.sqrt((8.0 - m_mode - 1.0e-4) * K)
     else:
         k_min = pr.k_min_tau0 / tau0
     k_max_cmb = pr.k_max_tau0_over_l_max * l_scalar_max / tau0 / ang if has_cls else k_min

@@ -229,6 +229,23 @@ class PtIdx:
     def size(self):
         return self.eta + 1
 
+    @property
+    def radiation_slices(self):
+        """(start, stop) index ranges of the relativistic hierarchies
+        (photons + polarization, ur, dr, idr). Used by the P(k)-tail
+        per-component error floor: these components are Silk-damped to
+        sub-1e-4 amplitudes at k >> k_D and feed back on delta_m only
+        through the (radiation-suppressed) late-time metric, so their
+        oscillations need not be resolved to rtol for the 1e-2 P(k)
+        contract."""
+        out = [(self.delta_g, self.G_g + self.n_G_g),
+               (self.delta_ur, self.F_ur + self.n_F_ur)]
+        if self.has_dcdm:
+            out.append((self.F_dr, self.F_dr + self.n_F_dr))
+        if self.has_idm_dr:
+            out.append((self.delta_idr, self.F_idr + self.n_F_idr))
+        return tuple(out)
+
 
 class SrcIdx:
     """Source-type columns (analog of index_tp_*, perturbations_module.h)."""

@@ -414,8 +414,10 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
         from ...parallel.mesh import make_mesh, n_compute_devices, shard_lanes
         n_dev = n_compute_devices()
         mesh = make_mesh() if n_dev > 1 else None
-        cs = nk + (-nk) % (8 * n_dev)
+        cs = min(pr.k_chunk_size * n_dev, nk + (-nk) % n_dev)
         ntau = len(taus)
+        out_src = []
+        out_steps = []
         per_k = [np.asarray(sched.k), np.asarray(sched.tau_ini),
                  np.asarray(sched.tau_tca_off), np.asarray(sched.tau_ufa_on),
                  np.asarray(sched.tau_rsa_on), np.asarray(sched.tau_ncdmfa_on)]
@@ -440,85 +442,111 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 t0 = _time.time()
                 jax.block_until_ready(x)
                 print(f"[pert] {tag}: {_time.time() - t0:.2f}s", flush=True)
-        # ONE merged launch over the whole (padded) k-grid: per-lane rtol/atol
-        # carry the two tolerance classes (CMB lanes tight, P(k)-tail lanes
-        # loose — the tail answers to the 1e-2 P(k) contract, not the 3e-3
-        # C_l one, and its Silk-damped sub-1e-8 photon oscillations cannot
-        # affect delta_m). Merging removes the per-chunk serialization: the
-        # device now pays max-steps-over-all-lanes per interval instead of
-        # the sum over chunks of per-chunk maxima (~2x fewer sequential RHS
-        # evaluations for the Planck config), and the extra lanes are free on
-        # the VPU (the lockstep state is latency-bound, not FLOP-bound).
-        kv = per_k[0]
-        rtol_lane = np.where(kv > k_max_cmb, rtol * 30.0, rtol) if has_cls \
-            else np.full_like(kv, rtol * 30.0)
-        atol_lane = np.where(kv > k_max_cmb, 3e-8, 1e-11) if has_cls \
-            else np.full_like(kv, 3e-8)
-        if _dbg:
-            print(f"[pert] merged launch: nk={nk} cs={cs} "
-                  f"n_loose={(rtol_lane > rtol).sum()}", flush=True)
-        if pr.evolver == "imex":
-            # stiff path: step counts are oscillation-limited (~1e3-1e4/lane),
-            # so a couple of windows suffice to bound launch wall-clock
-            n_pre = 2 if kv[-1] > k_max_cmb else 1
-            nwin = max(1, pr.tau_windows // 2)
-        else:
-            n_pre = 12
-            nwin = max(1, pr.tau_windows * 8)
-        sl = per_k + [rtol_lane, atol_lane]
-        pad = cs - nk
-        if pad:
-            sl = [np.pad(a, (0, pad), mode="edge") for a in sl]
-        args = [jnp.asarray(a) for a in sl[:6]]
-        if pr.perturb_dtype == "float32":
-            args[0] = args[0].astype(jnp.float32)
-        sc = SolverScalars.make(
-            sl[6], atol=sl[7], wa_fld=params.wa_fld, cs2_fld=params.cs2_fld,
-            K=K_curv, Gamma_dcdm=params.Gamma_dcdm / 299792.458,
-            H0=float(bg.H0),
-            eta_flag=1.0 if (ic_name == "ad" and gauge == "synchronous")
-            else 0.0)
-        if mesh is not None:
-            args = shard_lanes(mesh, args)
-            sc = sc._replace(**dict(zip(
-                ("rtol", "atol"), shard_lanes(mesh, [sc.rtol, sc.atol]))))
-        init = get_init_solver(bidx.key, idx, ic=ic_name, evolver=pr.evolver)
-        adv = get_advance_solver(bidx.key, idx, evolver=pr.evolver)
-        emit = get_emit_solver(bidx.key, idx, evolver=pr.evolver)
-        cont = get_window_solver(bidx.key, idx, evolver=pr.evolver)
-        sw = list(args[2:6])
-        # pre-phase: ICs at per-lane tau_ini, then advance in shared
-        # tau-windows (per-lane spans clamped so late starters wait)
-        y, h = init(*args, bsp, tsp, ncdm_d, sc)
-        pts = np.linspace(min(float(sl[1].min()), taus[0]), taus[0], n_pre + 1)
-        st = jnp.zeros((cs,), dtype=jnp.int32)
-        for j in range(n_pre):
-            t_a = jnp.maximum(args[1], pts[j])
-            t_b = jnp.maximum(args[1], pts[j + 1])
-            y, h, n = adv(args[0], *sw, t_a, t_b, bsp, tsp, ncdm_d, y, h, sc)
-            _tick(f"pre {j}", y)
-            st = st + n
-        pieces = [emit(args[0], *sw, taus_j[0], bsp, tsp, ncdm_d, y, sc)[:, None, :]]
-        # uniform window length: every window runs the SAME length-(wlen+1)
-        # tau slice (tail padded by repeating the last tau; the padded
-        # zero-length intervals integrate trivially and their duplicate
-        # source rows are trimmed) so all windows share one executable —
-        # np.linspace bounds gave two window lengths and thus two full
-        # compiles of the continuation head
-        taus_np = np.asarray(taus)
-        wlen = max(1, -(-(ntau - 1) // nwin))
-        for b0 in range(0, ntau - 1, wlen):
-            b1 = min(b0 + wlen, ntau - 1)
-            tw = taus_np[b0: b0 + wlen + 1]
-            if len(tw) < wlen + 1:
-                tw = np.pad(tw, (0, wlen + 1 - len(tw)), mode="edge")
-            src, stw, (y, h) = cont(*args, jnp.asarray(tw),
-                                    bsp, tsp, ncdm_d, y, h, sc)
-            _tick(f"win {b0}", src)
-            st = st + stw
-            pieces.append(src[:, : b1 - b0])
-        src_all = jnp.concatenate(pieces, axis=1)[:nk].astype(jnp.float64)
-        return src_all, st[:nk]
+        # chunk boundaries: never mix CMB lanes with the P(k)-only tail in
+        # one chunk (the tail's looser tolerances would be pinned by the CMB
+        # class). Chunks stay at k_chunk_size lanes — measured on TPU v5e,
+        # per-step cost grows beyond one (8,128) VPU register tile, so a
+        # single merged launch over the whole k-grid LOSES (59.7 s vs 40.7 s
+        # on the Planck config) despite halving the sequential step count.
+        # Tolerances ride per-lane/per-component as traced arrays:
+        #   rtol (cs,), atol (cs, nstate) — so every chunk still shares ONE
+        # compiled executable per solver head.
+        # k_max_cmb > 0 also for nCl-only configs (k_max_cl_extra); lanes
+        # below it keep the tight C_l-class tolerances
+        n_cmb_lanes = int(np.searchsorted(np.asarray(sched.k), k_max_cmb,
+                                          side="right")) if k_max_cmb > 0 else 0
+        starts = sorted({*range(0, min(n_cmb_lanes, nk), cs),
+                         *range(min(n_cmb_lanes, nk), nk, cs)})
+        nstate = idx.size
+        # P(k)-tail per-component error floor: the relativistic hierarchies
+        # are Silk-damped to sub-1e-4 amplitudes at k >> k_D and only feed
+        # delta_m through the radiation-suppressed late metric; a 1e-4
+        # absolute floor stops the controller resolving those oscillations
+        # (measured: 8117 -> 1823 steps on the k = 11.3 lane with delta_m
+        # moving by 1.3e-4, far inside the 1e-2 P(k) contract).
+        atol_rad = np.full(nstate, 3e-8)
+        for s0, s1 in idx.radiation_slices:
+            atol_rad[s0:s1] = 1e-4
+        for i0 in starts:
+            i1 = min(i0 + cs, nk if i0 >= n_cmb_lanes else max(n_cmb_lanes, i0 + 1))
+            i1 = min(i1, nk)
+            sl = [a[i0:i1] for a in per_k]
+            pad = cs - len(sl[0])
+            if pad:
+                sl = [np.pad(a, (0, pad), mode="edge") for a in sl]
+            args = [jnp.asarray(a) for a in sl]
+            if pr.perturb_dtype == "float32":
+                args[0] = args[0].astype(jnp.float32)
+            if mesh is not None:
+                args = shard_lanes(mesh, args)
+            any_heavy = sl[0][-1] > k_max_cmb
+            all_heavy = sl[0][0] > k_max_cmb
+            # P(k)-only lanes answer to the 1e-2 P(k) contract, not the 3e-3
+            # C_l one: looser rtol + the radiation atol floor cut the step
+            # count of the k > k_cmb tail (the most expensive chunk)
+            rtol_c = np.full(cs, rtol * 30.0 if all_heavy else rtol)
+            atol_c = np.broadcast_to(
+                atol_rad if all_heavy else np.full(nstate, 1e-11),
+                (cs, nstate))
+            if _dbg:
+                print(f"[pert] chunk {i0}: k=[{sl[0][0]:.3f},{sl[0][-1]:.3f}] "
+                      f"all_heavy={all_heavy}", flush=True)
+            if pr.evolver == "imex":
+                # stiff path: step counts are oscillation-limited
+                # (~1e3/lane), so a couple of windows bound launch wall-clock
+                n_pre = 2 if any_heavy else 1
+                nwin = max(1, pr.tau_windows // 2)
+            else:
+                n_pre = 12 if any_heavy else 1
+                nwin = max(1, pr.tau_windows * (8 if any_heavy else 1))
+            sc = SolverScalars.make(
+                rtol_c, atol=atol_c, wa_fld=params.wa_fld,
+                cs2_fld=params.cs2_fld, K=K_curv,
+                Gamma_dcdm=params.Gamma_dcdm / 299792.458, H0=float(bg.H0),
+                eta_flag=1.0 if (ic_name == "ad" and gauge == "synchronous")
+                else 0.0)
+            if mesh is not None:
+                sc = sc._replace(**dict(zip(
+                    ("rtol", "atol"), shard_lanes(mesh, [sc.rtol, sc.atol]))))
+            init = get_init_solver(bidx.key, idx, ic=ic_name, evolver=pr.evolver)
+            adv = get_advance_solver(bidx.key, idx, evolver=pr.evolver)
+            emit = get_emit_solver(bidx.key, idx, evolver=pr.evolver)
+            cont = get_window_solver(bidx.key, idx, evolver=pr.evolver)
+            sw = list(args[2:6])
+            # pre-phase: ICs at per-lane tau_ini, then advance in shared
+            # tau-windows (per-lane spans clamped so late starters wait)
+            y, h = init(*args, bsp, tsp, ncdm_d, sc)
+            pts = np.linspace(min(float(sl[1].min()), taus[0]), taus[0], n_pre + 1)
+            st = jnp.zeros((cs,), dtype=jnp.int32)
+            for j in range(n_pre):
+                t_a = jnp.maximum(args[1], pts[j])
+                t_b = jnp.maximum(args[1], pts[j + 1])
+                y, h, n = adv(args[0], *sw, t_a, t_b, bsp, tsp, ncdm_d, y, h, sc)
+                _tick(f"chunk {i0} pre {j}", y)
+                st = st + n
+            pieces = [emit(args[0], *sw, taus_j[0], bsp, tsp, ncdm_d, y, sc)[:, None, :]]
+            # uniform window length: every window runs the SAME
+            # length-(wlen+1) tau slice (tail padded by repeating the last
+            # tau; the padded zero-length intervals integrate trivially and
+            # their duplicate source rows are trimmed) so all windows share
+            # one executable
+            taus_np = np.asarray(taus)
+            wlen = max(1, -(-(ntau - 1) // nwin))
+            for b0 in range(0, ntau - 1, wlen):
+                b1 = min(b0 + wlen, ntau - 1)
+                tw = taus_np[b0: b0 + wlen + 1]
+                if len(tw) < wlen + 1:
+                    tw = np.pad(tw, (0, wlen + 1 - len(tw)), mode="edge")
+                src, stw, (y, h) = cont(*args, jnp.asarray(tw),
+                                        bsp, tsp, ncdm_d, y, h, sc)
+                _tick(f"chunk {i0} win {b0}", src)
+                st = st + stw
+                pieces.append(src[:, : b1 - b0])
+            n_keep = i1 - i0
+            out_src.append(jnp.concatenate(pieces, axis=1)[:n_keep])
+            out_steps.append(st[:n_keep])
+        src_all = jnp.concatenate(out_src, axis=0).astype(jnp.float64)
+        return src_all, jnp.concatenate(out_steps, axis=0)
 
     sources, nsteps = run_ic("ad")
     sources_iso = None

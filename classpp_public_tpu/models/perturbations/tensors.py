@@ -219,7 +219,7 @@ def tensor_ic(idx: TnIdx, gw_ini: float = 1.0, k=None, K: float = 0.0):
         if idx.sgnK < 0:
             q2 = jnp.maximum(k2 + 3.0 * K, 0.0)
             amp = amp * jnp.sqrt(jnp.tanh(math.pi / 2.0 * jnp.sqrt(q2)
-                                          / math.sqrt(-K)))
+                                          / jnp.sqrt(-K)))
             amp = jnp.where(k2 + 3.0 * K >= 0.0, amp, 0.0)
     return y.at[idx.gw].set(amp)
 

@@ -67,6 +67,44 @@ def get_q_list(pr: PrecisionParams, k_min: float, k_max: float,
     return np.array(qs)
 
 
+def get_q_list_closed(pr: PrecisionParams, q_max: float, tau0: float,
+                      tau_rec: float, K: float) -> np.ndarray:
+    """Closed-case q sampling (transfer_get_q_list :1013-1060): the physical
+    spectrum is discrete, q = nu sqrt(K) with integer nu >= 3. Below
+    hyper_flat_approximation_nu the list keeps exact integer nu's (with the
+    finer q_logstep_trapzd subsampling step); above it the step blends over
+    q_numstep_transition points into the flat/open spline stepping, where
+    non-integer nu's are fine because the sum over modes is indistinguishable
+    from an integral."""
+    sqK = math.sqrt(K)
+    q_period = 2.0 * math.pi / (tau0 - tau_rec)
+    qs = [3.0 * sqK]
+    nu = 3
+    last_step, last_index = sqK, 1
+    i = 1
+    while qs[-1] < q_max:
+        qp = qs[-1]
+        if nu < pr.hyper_flat_approximation_nu:
+            q = qp + q_period * pr.q_linstep * qp \
+                / (qp + pr.q_linstep / pr.q_logstep_trapzd)
+            nu_prop = int(q / sqK)
+            nu = nu + 1 if nu_prop <= nu + 1 else nu_prop
+            q = nu * sqK
+            last_step = q - qp
+            last_index = i + 1
+        else:
+            q_step = q_period * pr.q_linstep * qp \
+                / (qp + pr.q_linstep / pr.q_logstep_spline)
+            f = (i - last_index) / pr.q_numstep_transition
+            q = qp + ((1.0 - f) * last_step + f * q_step if f < 1.0
+                      else q_step)
+        qs.append(q)
+        i += 1
+    if qs[-1] > q_max and len(qs) > 2:
+        qs.pop()
+    return np.array(qs)
+
+
 class TransferResult(NamedTuple):
     l: jnp.ndarray          # (nl,) multipoles
     q: jnp.ndarray          # (nq,) generalized wavenumber
@@ -154,6 +192,11 @@ def compute_transfer(pert, th, pr: PrecisionParams, l_max: int,
     if sgnK == 0:
         q = get_q_list(pr, float(k[0]), float(k[-1]), tau0, float(th.tau_rec))
         k_of_q = q
+    elif sgnK > 0:
+        # discrete closed spectrum: q = nu sqrt(K), nu = 3, 4, ... (subsampled)
+        q_max = math.sqrt(float(k[-1]) ** 2 + K)
+        q = get_q_list_closed(pr, q_max, tau0, float(th.tau_rec), K)
+        k_of_q = np.sqrt(np.maximum(q * q - K, float(k[0]) ** 2))
     else:
         q_min = math.sqrt(max(float(k[0]) ** 2 + K, 1e-12 * float(k[0]) ** 2))
         q_max = math.sqrt(float(k[-1]) ** 2 + K)
@@ -350,12 +393,22 @@ def _transfer_scan_curved(W, Sq, taus, tau0, qj, l_emit, emit_idx,
         sq_l = sqK(l)
         sq_lm1 = sqK(l - 1.0)
         pl = ((2.0 * l - 1.0) * cotK * pm1 - sq_lm1 * pm2) / sq_l
-        # forbidden-region mask in the flat-equivalent variable beta sinK
+        # forbidden-region mask in the flat-equivalent variable beta sinK;
+        # closed universe: Phi_l^nu = 0 for l >= nu = beta (discrete spectrum
+        # truncation, hyperspherical.c closed case). The cutoff uses a
+        # half-integer guard: beta is integer-nu only up to float roundoff
+        # (nu*sqrt(K)/sqrt(K) = 11.000000000000002), and at l = nu the
+        # recurrence divides by sqrtK(l) ~ 1e-7, so a bare l < beta lets one
+        # exploded lane through per integer nu = l
         xf = beta * sinK
         mask = l <= xf + 6.0 * jnp.cbrt(xf) + 2.0
+        if sgnK > 0:
+            mask = mask & (l + 0.5 < beta)
         pl = jnp.where(mask, pl, 0.0)
-        # series prefactor ln prod_{n<=l} (sqrtK[n]/beta)
-        lnC_new = lnC + 0.5 * jnp.log1p(-Ktilde * l * l / beta2)
+        # series prefactor ln prod_{n<=l} (sqrtK[n]/beta); clamp keeps the
+        # log real when l >= beta in the closed case (the factor is then 0)
+        lnC_new = lnC + 0.5 * jnp.log1p(
+            jnp.maximum(-Ktilde * l * l / beta2, -1.0 + 1e-14))
         ei = emit_idx[l_int]
 
         def do_emit(acc):
@@ -472,6 +525,11 @@ def compute_transfer_tensor(tpert, th, pr: PrecisionParams, l_max: int,
     if sgnK == 0:
         q = get_q_list(pr, float(k[0]), float(k[-1]), tau0, float(th.tau_rec))
         k_of_q = q
+    elif sgnK > 0:
+        # closed tensors: q^2 = k^2 + 3K, discrete nu >= 3
+        q_max = math.sqrt(float(k[-1]) ** 2 + 3.0 * K)
+        q = get_q_list_closed(pr, q_max, tau0, float(th.tau_rec), K)
+        k_of_q = np.sqrt(np.maximum(q * q - 3.0 * K, float(k[0]) ** 2))
     else:
         q_min = math.sqrt(max(float(k[0]) ** 2 + 3.0 * K, 1e-10 * float(k[0]) ** 2))
         q_max = math.sqrt(float(k[-1]) ** 2 + 3.0 * K)
@@ -555,8 +613,11 @@ def _tensor_scan_curved(W, taus, tau0, qj, l_emit, emit_idx, lmax_scan, n_l,
         pl = ((2.0 * l - 1.0) * cotK_x * pm1 - sqK(l - 1.0) * pm2) / sq_l
         xf = beta * sinK
         mask = l <= xf + 6.0 * jnp.cbrt(xf) + 2.0
+        if sgnK > 0:
+            mask = mask & (l + 0.5 < beta)
         pl = jnp.where(mask, pl, 0.0)
-        lnC_new = lnC + 0.5 * jnp.log1p(-Ktilde * l * l / beta2)
+        lnC_new = lnC + 0.5 * jnp.log1p(
+            jnp.maximum(-Ktilde * l * l / beta2, -1.0 + 1e-14))
         ei = emit_idx[l_int]
 
         def do_emit(acc):

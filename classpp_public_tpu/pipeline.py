@@ -52,6 +52,11 @@ class OutputSelection:
     selection_kind: str = "gaussian"
     l_lss_max: int = 300
     non_diagonal: int = 0
+    nc_contributions: tuple = ("density",)
+    selection_bias: tuple = (1.0,)
+    magnification_bias: tuple = (0.0,)
+    dndz: str = None          # None | "analytic" | file path
+    dndz_evo: str = None
 
     @property
     def has_cls(self) -> bool:
@@ -280,7 +285,11 @@ class Cosmology:
                 self.perturbations, bg, bidx, self.primordial, self.pr,
                 self.out.selection_mean, self.out.selection_width,
                 kind=self.out.selection_kind, l_max=self.out.l_lss_max,
-                non_diag=self.out.non_diagonal)
+                non_diag=self.out.non_diagonal,
+                contributions=self.out.nc_contributions,
+                selection_bias=self.out.selection_bias,
+                magnification_bias=self.out.magnification_bias,
+                dndz=self.out.dndz, dndz_evo=self.out.dndz_evo)
         return self._cache["nc"]
 
     @property

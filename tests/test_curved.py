@@ -89,13 +89,72 @@ def test_pk_vs_golden(computed, g8s):
     assert rel.max() < 1e-2, (rel.max(), ks[sel][::5][rel.argmax()])
 
 
-def test_closed_raises():
-    from classpp_public_tpu import CosmoSevereError
+# --- closed universe (Omega_k < 0, K > 0): discrete-nu spectrum -------------
+# golden: tests/golden/gen/g18_closed.ini (Omega_k = -0.01, s+t, lensed)
 
+CLOSED_PARAMS = dict(PARAMS, Omega_k=-0.01, modes="s,t", r=0.1,
+                     l_max_tensors=500)
+
+
+@pytest.fixture(scope="module")
+def g18():
+    return Golden(GOLDEN_DIR / "g18_closed.npz")
+
+
+@pytest.fixture(scope="module")
+def computed_closed():
     c = Class()
-    c.set(dict(PARAMS, Omega_k=-0.01))
-    with pytest.raises(CosmoSevereError):
-        c.compute()
+    c.set(dict(CLOSED_PARAMS))
+    c.compute(["lensing"])
+    return c
+
+
+def test_closed_raw_cl_vs_golden(computed_closed, g18):
+    cols = [str(c) for c in g18.cols("cl")]
+    T = g18.table("cl")
+    lr = T[:, 0]
+    cl = computed_closed.raw_cl(2500)
+    ell = cl["ell"][2:]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    for name, col, tol, lmax_cmp in [("tt", "TT", 3e-3, 2500),
+                                     ("ee", "EE", 3e-3, 2500),
+                                     ("pp", "phiphi", 3e-2, 2000)]:
+        m = ell <= lmax_cmp
+        mine = fac[m] * cl[name][2:][m]
+        ref = np.interp(ell[m], lr, T[:, cols.index(col)])
+        rel = np.abs(mine / ref - 1)
+        assert rel.max() < tol, (name, rel.max(), ell[m][rel.argmax()])
+    # BB: primordial tensors through the closed hyperspherical tensor scan
+    m = (ell >= 2) & (ell <= 400)
+    mine = fac[m] * cl["bb"][2:][m]
+    ref = np.interp(ell[m], lr, T[:, cols.index("BB")])
+    rel = np.abs(mine / ref - 1)
+    assert rel.max() < 1e-2, ("bb", rel.max(), ell[m][rel.argmax()])
+
+
+def test_closed_lensed_cl_vs_golden(computed_closed, g18):
+    cols = [str(c) for c in g18.cols("cl_lensed")]
+    T = g18.table("cl_lensed")
+    lr = T[:, 0]
+    cl = computed_closed.lensed_cl(2400)
+    ell = cl["ell"][2:]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    for name, col in [("tt", "TT"), ("ee", "EE")]:
+        mine = fac * cl[name][2:]
+        ref = np.interp(ell, lr, T[:, cols.index(col)])
+        rel = np.abs(mine / ref - 1)
+        assert rel.max() < 3e-3, (name, rel.max(), ell[rel.argmax()])
+
+
+def test_closed_pk_vs_golden(computed_closed, g18):
+    h = computed_closed.h()
+    T = g18.table("pk")
+    ks = T[:, 0] * h
+    sel = (ks > 1e-3) & (ks < 0.9)
+    mine = np.array([computed_closed.pk_lin(kk, 0.0) for kk in ks[sel][::5]])
+    ref = T[sel, 1][::5] / h**3
+    rel = np.abs(mine / ref - 1)
+    assert rel.max() < 1e-2, (rel.max(), ks[sel][::5][rel.argmax()])
 
 
 @pytest.fixture(scope="module")

@@ -107,3 +107,55 @@ def test_density_lensing_cross_small(computed, g7):
     den = np.sqrt(T[m, idd] * T[m, ill])
     rel = np.abs(mine - T[m, ic]) / den
     assert rel.max() < 1e-2, (rel.max(), ell[rel.argmax()])
+
+
+# --- full contribution set: density + rsd + lensing + gr, with per-bin
+# galaxy bias and magnification bias (tests/golden/gen/g19_ncl_full.ini)
+
+FULL_PARAMS = dict(PARAMS)
+FULL_PARAMS.update({
+    "number count contributions": "density, rsd, lensing, gr",
+    "selection_bias": "1.2, 1.5",
+    "selection_magnification_bias": "0.1, 0.15",
+})
+
+
+@pytest.fixture(scope="module")
+def g19():
+    return Golden(GOLDEN_DIR / "g19_ncl_full.npz")
+
+
+@pytest.fixture(scope="module")
+def computed_full():
+    c = Class()
+    c.set(dict(FULL_PARAMS))
+    c.compute(["spectra"])
+    return c
+
+
+@pytest.mark.parametrize("key", ["dens[1]-dens[1]", "dens[2]-dens[2]"])
+def test_full_contributions_auto(computed_full, g19, key):
+    _compare(computed_full, g19, key, key, 1e-2)
+
+
+def test_full_contributions_cross(computed_full, g19):
+    cols = [str(c) for c in g19.cols("cl")]
+    T = g19.table("cl")
+    lr = T[:, 0].astype(int)
+    m = (lr >= 2) & (lr <= 300)
+    cl = computed_full.raw_cl(300)
+    ell = lr[m]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    mine = cl["dens[1]-dens[2]"][ell] * fac
+    i12 = [i for i, c in enumerate(cols) if "dens[1]-dens[2]" in c][0]
+    i11 = [i for i, c in enumerate(cols) if "dens[1]-dens[1]" in c][0]
+    i22 = [i for i, c in enumerate(cols) if "dens[2]-dens[2]" in c][0]
+    den = np.sqrt(T[m, i11] * T[m, i22])
+    rel = np.abs(mine - T[m, i12]) / den
+    assert rel.max() < 1e-2, (rel.max(), ell[rel.argmax()])
+
+
+@pytest.mark.parametrize("key", [
+    "dens[1]-lens[1]", "dens[1]-lens[2]", "dens[2]-lens[2]"])
+def test_full_density_lensing_cross(computed_full, g19, key):
+    _compare(computed_full, g19, key, key, 2e-2)
