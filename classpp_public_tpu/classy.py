@@ -56,17 +56,11 @@ _UNIMPLEMENTED_PARAMS = frozenset({
     # interacting dark matter / dark radiation: per-l angular coefficient
     # lists are fixed at the ETHOS default 1.5 (input :1007)
     "alpha_idm_dr", "beta_idr", "alpha_dark", "beta_dark",
-    # energy injection: only the beyond-on-the-spot deposition is missing
-    "on the spot",
-    # inflation-ODE primordial: H(phi) / V-to-end parametrizations missing
-    # (inflation_V with V_i is implemented)
-    "H_0", "H_1", "H_2", "H_3", "H_4", "phi_end", "full_potential",
+    # inflation-ODE primordial (inflation_V / inflation_H / inflation_V_end
+    # all implemented; these two aliases belong to other CLASS forks)
     "inflation_parametrization", "primordial_spec_type",
-    # fluid DE extensions (PPF and CLP implemented; EDE w(a) is not)
-    "fluid_equation_of_state", "EDE",
     # misc reference features
-    "pk_eq", "headers_in_output", "bessel file", "l_max_vectors",
-    "temperature contributions", "early/late isw redshift",
+    "headers_in_output", "bessel file", "l_max_vectors",
     "varying_alpha", "varying_fundamental_constants",
 })
 
@@ -124,18 +118,30 @@ class Class:
             kw["A_s"] = float(np.exp(float(p.pop("ln10^{10}A_s")))) * 1e-10
         if "A_s" in p:
             kw["A_s"] = float(p.pop("A_s"))
+        # per-term temperature source switches (input_module.cpp:1643-1670)
+        if "temperature contributions" in p:
+            v = str(p.pop("temperature contributions")).lower()
+            sw = tuple(1.0 if t in v else 0.0
+                       for t in ("tsw", "eisw", "lisw", "dop", "pol"))
+            if not any(sw):
+                raise CosmoSevereError(
+                    "'temperature contributions' removed all contributions "
+                    "(valid tokens: tsw, eisw, lisw, dop, pol)")
+            kw["temp_contributions"] = sw
+        if "early/late isw redshift" in p:
+            kw["eisw_lisw_split_z"] = float(p.pop("early/late isw redshift"))
+        if "pk_eq" in p:
+            kw["pk_eq"] = _parse_bool(p.pop("pk_eq"))
         if "use_ppf" in p:
             v = str(p.pop("use_ppf")).strip().lower()
             kw["use_ppf"] = v in ("yes", "y", "true", "1")
             if kw["use_ppf"] and str(p.get("gauge", "synchronous")).startswith("new"):
                 raise CosmoSevereError(
                     "use_ppf implemented in synchronous gauge only")
-        if "on the spot" in p:
-            v = str(p.pop("on the spot")).strip().lower()
-            if v in ("no", "n", "false", "0"):
-                raise CosmoSevereError(
-                    "only on-the-spot energy deposition implemented "
-                    "(thermodynamics_module.cpp:1817)")
+        if "on the spot" in p or "on_the_spot" in p:
+            v = str(p.pop("on the spot", p.pop("on_the_spot", "yes"))).strip().lower()
+            p.pop("on_the_spot", None)
+            kw["on_the_spot"] = v not in ("no", "n", "false", "0")
         for name in ("n_s", "alpha_s", "k_pivot", "T_cmb", "N_ur", "Omega_k",
                      "w0_fld", "wa_fld", "cs2_fld", "c_gamma_over_c_fld",
                      "tau_reio", "z_reio", "YHe",
@@ -208,12 +214,45 @@ class Class:
         # ncdm
         n_ncdm = int(p.pop("N_ncdm", 0) or 0)
         if n_ncdm > 0:
-            masses = _parse_list(p.pop("m_ncdm", "0.06"))
-            kw["m_ncdm"] = tuple(masses)
             if "T_ncdm" in p:
                 kw["T_ncdm"] = tuple(_parse_list(p.pop("T_ncdm")))
             if "deg_ncdm" in p:
                 kw["deg_ncdm"] = tuple(_parse_list(p.pop("deg_ncdm")))
+            if "ksi_ncdm" in p:
+                kw["ksi_ncdm"] = tuple(_parse_list(p.pop("ksi_ncdm")))
+            # tabulated phase-space distributions from file
+            # (use_ncdm_psd_files + ncdm_psd_filenames, input_module :439-460)
+            if "use_ncdm_psd_files" in p or "ncdm_psd_filenames" in p:
+                use = [int(float(x)) for x in
+                       _parse_list(p.pop("use_ncdm_psd_files", "1"))]
+                names = [x.strip() for x in
+                         str(p.pop("ncdm_psd_filenames", "")).split(",")]
+                files = []
+                for i in range(n_ncdm):
+                    u = use[i] if i < len(use) else use[-1]
+                    files.append((names[min(i, len(names) - 1)] if u and names
+                                  and names[0] else ""))
+                kw["ncdm_psd_files"] = tuple(files)
+            if "ncdm_psd_parameters" in p:
+                raise CosmoSevereError(
+                    "ncdm_psd_parameters belongs to the reference's "
+                    "commented-out example block (non_cold_dark_matter.cpp"
+                    ":128-160, inside if(_FALSE_)) and has no effect there; "
+                    "use a tabulated PSD file instead")
+            if "m_ncdm" in p or not any(x in p for x in
+                                        ("Omega_ncdm", "omega_ncdm")):
+                masses = _parse_list(p.pop("m_ncdm", "0.06"))
+                kw["m_ncdm"] = tuple(masses)
+            else:
+                # Omega_ncdm / omega_ncdm given: invert the momentum integral
+                # for the mass per species (background_ncdm_M_from_Omega,
+                # tools/non_cold_dark_matter.cpp:893)
+                om = _parse_list(p.pop("Omega_ncdm", "")) or \
+                    [v / (h * h) for v in _parse_list(p.pop("omega_ncdm", ""))]
+                p.pop("omega_ncdm", None)
+                kw["m_ncdm"] = tuple(
+                    self._m_ncdm_from_omega(dict(kw), i, float(om[i]), h)
+                    for i in range(len(om)))
         # decaying dark matter -> dark radiation
         if any(x in p for x in ("Omega_dcdmdr", "omega_dcdmdr", "Omega_ini_dcdm",
                                 "omega_ini_dcdm", "Gamma_dcdm")):
@@ -401,7 +440,13 @@ class Class:
                 raise CosmoSevereError(
                     "Omega_k != 0 implemented in synchronous gauge only")
         if "v" in out.modes:
-            raise CosmoSevereError("vector modes not implemented")
+            # exact reference parity: the reference itself aborts with
+            # "Vectors not coded yet" (perturbations_module.cpp:581
+            # class_test) — vector indices exist there but perturb_init
+            # refuses every has_vectors run
+            raise CosmoSevereError(
+                "vector modes not implemented (the reference aborts on them "
+                "too: 'Vectors not coded yet', perturbations_module.cpp:581)")
         if "l_max_tensors" in p:
             out.l_tensor_max = int(float(p.pop("l_max_tensors")))
         if "t" in out.modes:
@@ -424,12 +469,31 @@ class Class:
             if icn in ics:
                 f = float(p.pop(f"f_{icn}", 1.0))
                 n = float(p.pop(f"n_{icn}", 1.0))
-                self._iso_primordial[icn] = (f, n)
-        for key in list(p.keys()):
-            if key.startswith("c_ad_") or key.startswith("n_ad_"):
-                if float(p[key]) != 0.0:
-                    raise CosmoSevereError("correlated isocurvature not yet implemented")
-                p.pop(key)
+                a = float(p.pop(f"alpha_{icn}", 0.0))
+                self._iso_primordial[icn] = (f, n, a)
+        # correlated isocurvature: c_X_Y in [-1, 1] plus cross tilt n_X_Y and
+        # running alpha_X_Y (input_module class_read c_ad_cdi etc.;
+        # primordial_module.cpp:775-890)
+        self._iso_corr = {}
+        _ic_order = ("ad", "bi", "cdi", "nid", "niv")
+        for i1, x in enumerate(_ic_order):
+            for y in _ic_order[i1 + 1:]:
+                ckey, nkey, akey = f"c_{x}_{y}", f"n_{x}_{y}", f"alpha_{x}_{y}"
+                if ckey in p or nkey in p or akey in p:
+                    c = float(p.pop(ckey, 0.0))
+                    n12 = float(p.pop(nkey, 0.0))
+                    a12 = float(p.pop(akey, 0.0))
+                    if not -1.0 <= c <= 1.0:
+                        raise CosmoSevereError(
+                            f"{ckey} = {c} outside [-1, 1] (inconsistent "
+                            "isocurvature cross-correlation)")
+                    if c != 0.0 and not (x in ics or x == "ad") \
+                            or c != 0.0 and y not in ics:
+                        raise CosmoSevereError(
+                            f"{ckey} given but ic does not include both "
+                            f"{x!r} and {y!r}")
+                    if c != 0.0:
+                        self._iso_corr[(x, y)] = (c, n12, a12)
 
         pk_ini_type = str(p.pop("P_k_ini type", p.pop("Pk_ini_type", "analytic_Pk"))).strip()
         self._external_pk_command = None
@@ -448,6 +512,36 @@ class Class:
             if Vs[0] <= 0.0:
                 raise CosmoSevereError("inflation_V requires V_0 > 0")
             self._inflation_model = (pot, Vs)
+        elif pk_ini_type == "inflation_H":
+            # numerical spectra from the Hubble-flow H(phi) Taylor expansion
+            # (input_module.cpp:2272-2280, primordial_module.cpp:1019)
+            Hs = tuple(float(p.pop(f"H_{i}", 0.0)) for i in range(5))
+            if Hs[0] <= 0.0:
+                raise CosmoSevereError("inflation_H requires H_0 > 0")
+            self._inflation_model = ("hubble", Hs)
+        elif pk_ini_type == "inflation_V_end":
+            # potential given around/through the end of inflation; the pivot
+            # field value is searched from the amount of inflation after it
+            # (input_module.cpp:2288-2340, primordial_module.cpp:2324)
+            pot = str(p.pop("full_potential", "polynomial")).strip()
+            if pot not in ("polynomial", "higgs_inflation"):
+                raise CosmoSevereError(
+                    f"full_potential {pot!r} not recognized "
+                    "(polynomial, higgs_inflation)")
+            phi_end = float(p.pop("phi_end", 0.0))
+            Vs = tuple(float(p.pop(f"Vparam{i}", 0.0)) for i in range(5))
+            if "ln_aH_ratio" in p:
+                v = str(p.pop("ln_aH_ratio")).strip().lower()
+                if "N_star" in p:
+                    raise CosmoSevereError(
+                        "only one of ln_aH_ratio or N_star can be given")
+                method, target = (("ln_aH_ratio_auto", 0.0) if v == "auto"
+                                  else ("ln_aH_ratio", float(v)))
+            else:
+                # reference default: N_star = 60 (input_module.cpp:3380)
+                method, target = "N_star", float(p.pop("N_star", 60.0))
+            self._inflation_model = ("V_end", (pot, Vs, phi_end, method,
+                                               target))
         elif pk_ini_type == "two_scales":
             # amplitudes at two scales instead of (A_s, n_s)
             # (input_module.cpp:1847-1905, adiabatic branch)
@@ -471,9 +565,15 @@ class Class:
         elif pk_ini_type not in ("analytic_Pk",):
             raise CosmoSevereError(
                 f"P_k_ini type {pk_ini_type!r} not implemented "
-                "(analytic_Pk, external_Pk, inflation_V, two_scales)")
+                "(analytic_Pk, external_Pk, inflation_V, inflation_H, "
+                "inflation_V_end, two_scales)")
 
         # precision overrides
+        if "sBBN file" in p:
+            # strip any reference-style /bbn/ directory prefix; our tables
+            # ship in classpp_public_tpu/data
+            v = str(p.pop("sBBN file")).strip()
+            p["sBBN_file"] = v.rsplit("/", 1)[-1] if not v.startswith("/") else v
         pr = PrecisionParams()
         pr_fields = {f.name for f in dataclasses.fields(PrecisionParams)}
         for key in list(p.keys()):
@@ -539,10 +639,57 @@ class Class:
         cosmo = Cosmology(params, pr, out)
         cosmo.sigma8_target = sigma8_target
         cosmo.iso_primordial = getattr(self, "_iso_primordial", {}) or None
+        cosmo.iso_corr = getattr(self, "_iso_corr", {}) or None
         cosmo.external_pk_command = self._external_pk_command
         cosmo.inflation_model = self._inflation_model
         cosmo.verbosity = verbosity
         return cosmo
+
+    @staticmethod
+    def _m_ncdm_from_omega(kw: dict, i: int, omega_target: float, h: float):
+        """Invert Omega_ncdm_i -> m_ncdm_i [eV] via bisection on the momentum
+        integral (background_ncdm_M_from_Omega,
+        tools/non_cold_dark_matter.cpp:893). Background-only: each iteration
+        is one 128-node quadrature, not a pipeline rebuild."""
+        import types
+
+        import numpy as np
+
+        from . import constants as const
+        from .models.background import _RHO_INTEGRAL_0, ncdm_psd_weights
+
+        T_cmb = float(kw.get("T_cmb", 2.7255))
+        T_list = kw.get("T_ncdm", ())
+        deg_list = kw.get("deg_ncdm", ())
+        T_ratio = T_list[i] if i < len(T_list) else 0.71611
+        deg = deg_list[i] if i < len(deg_list) else 1.0
+        ns = types.SimpleNamespace(
+            N_ncdm=i + 1, ksi_ncdm=kw.get("ksi_ncdm", ()),
+            ncdm_psd_files=kw.get("ncdm_psd_files", ()))
+        qn, wn, _ = ncdm_psd_weights(ns, 128, gauss=False)
+        w_i = wn[i]
+        H0 = h / 2997.92458
+        Omega_g = const.rho_gamma_class_units(T_cmb) / H0**2
+        T0_eV = const.k_B * T_cmb * T_ratio / const.eV_SI
+
+        def omega_of_m(m):
+            x = m / T0_eV
+            i_rho = np.sum(qn**2 * np.sqrt(qn**2 + x**2) * w_i) / _RHO_INTEGRAL_0
+            return deg * (7.0 / 8.0) * T_ratio**4 * Omega_g * i_rho
+
+        lo, hi = 0.0, 1.0
+        while omega_of_m(hi) < omega_target and hi < 1.0e6:
+            hi *= 10.0
+        if omega_of_m(hi) < omega_target:
+            raise CosmoSevereError(
+                f"cannot match Omega_ncdm={omega_target} with any mass")
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            if omega_of_m(mid) < omega_target:
+                lo = mid
+            else:
+                hi = mid
+        return 0.5 * (lo + hi)
 
     @staticmethod
     def _validate_physics(params: CosmoParams):

@@ -65,6 +65,8 @@ class CosmoParams:
     fluid_eos: str = "CLP"
     Omega_EDE: float = 0.0           # EDE plateau amplitude (input :1314)
     cs2_fld: float = 1.0
+    pk_eq: bool = False              # Pk_equal halofit extension for (w0,wa)
+                                     # models (nonlinear_module.cpp:4064)
     use_ppf: bool = False            # PPF formalism (reference default yes;
                                      # here opt-in: non-PPF matches it away
                                      # from w = -1 crossings)
@@ -73,6 +75,11 @@ class CosmoParams:
     m_ncdm: Tuple[float, ...] = ()   # masses in eV (one per species)
     deg_ncdm: Tuple[float, ...] = () # degeneracy per species (default 1)
     T_ncdm: Tuple[float, ...] = ()   # per-species T_ncdm/T_cmb (default 0.71611)
+    ksi_ncdm: Tuple[float, ...] = ()       # chemical potential / T (default 0)
+    ncdm_psd_files: Tuple[str, ...] = ()   # per-species tabulated f0(q) file
+                                           # ("" = analytic FD), 2 columns
+                                           # q, f0 in reference units
+                                           # (psd_FD_single.dat format)
     # decaying cold dark matter -> dark radiation (reference
     # background_module.cpp dcdm block + tools/dark_radiation.cpp).
     # Either Omega_ini_dcdm ("would-be" Omega today without decay) or
@@ -139,6 +146,15 @@ class CosmoParams:
     annihilation_zmin: float = 30.0
     annihilation_f_halo: float = 0.0
     annihilation_z_halo: float = 30.0
+    # on-the-spot energy deposition; False enables the delayed-deposition
+    # redshift convolution (thermodynamics_energy_injection, :1810-1870)
+    on_the_spot: bool = True
+
+    # temperature contributions (tsw, eisw, lisw, dop, pol) switches and the
+    # early/late ISW split redshift (perturb_sources :6826-6895; input
+    # "temperature contributions" / "early/late isw redshift")
+    temp_contributions: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 1.0)
+    eisw_lisw_split_z: float = 120.0
 
     # fixed physics options (static / hashable)
     gauge: str = "synchronous"       # or "newtonian"
@@ -180,11 +196,30 @@ class CosmoParams:
     def N_eff(self) -> float:
         """Effective relativistic species count in the early universe:
         N_ur plus each (then-relativistic) ncdm species weighted by
-        deg*(T_ncdm/(4/11)^{1/3})^4 (reference NonColdDarkMatter::GetNeff,
-        tools/non_cold_dark_matter.cpp). Used for the BBN YHe table lookup."""
+        deg*(T_ncdm/(4/11)^{1/3})^4 times its massless-limit density integral
+        relative to standard FD (reference NonColdDarkMatter::GetNeff,
+        tools/non_cold_dark_matter.cpp:1010 — the rho integral carries the
+        full f0, so chemical potential / tabulated PSDs boost Neff, e.g.
+        ksi != 0 by 1 + 30/7 (ksi/pi)^2 + 15/7 (ksi/pi)^4). Used for the BBN
+        YHe table lookup."""
         t_std = (4.0 / 11.0) ** (1.0 / 3.0)
+        psd_nonstd = any(getattr(self, "ksi_ncdm", ()) or ()) \
+            or any(getattr(self, "ncdm_psd_files", ()) or ())
+        if self.N_ncdm and psd_nonstd:
+            import math
+
+            import numpy as np
+
+            from ..models.background import ncdm_psd_weights
+
+            qn, wn, _ = ncdm_psd_weights(self, 256, gauss=False)
+            I0 = 7.0 * math.pi**4 / 120.0
+            fac = [float(np.sum(qn**3 * wn[i])) / I0
+                   for i in range(self.N_ncdm)]
+        else:
+            fac = [1.0] * self.N_ncdm
         return self.N_ur + sum(
-            self.deg_ncdm_of(i) * (self.T_ncdm_of(i) / t_std) ** 4
+            self.deg_ncdm_of(i) * (self.T_ncdm_of(i) / t_std) ** 4 * fac[i]
             for i in range(self.N_ncdm))
 
     def replace(self, **kw) -> "CosmoParams":

@@ -149,6 +149,12 @@ class PrecisionParams:
     primordial_inflation_attractor_maxit: int = 10
     primordial_inflation_tol_curvature: float = 1.0e-3
     primordial_inflation_aH_ini_target: float = 0.9
+    # inflation_V_end pivot search (precisions.h:324-328)
+    primordial_inflation_end_dphi: float = 1.0e-10
+    primordial_inflation_end_logstep: float = 10.0
+    primordial_inflation_small_epsilon: float = 0.1
+    primordial_inflation_small_epsilon_tol: float = 0.01
+    primordial_inflation_extra_efolds: float = 2.0
 
     # --- transfer / bessel (precisions.h:335-406)
     l_linstep: int = 40
@@ -183,6 +189,14 @@ class PrecisionParams:
     nonlinear_min_k_max: float = 20.0
     halofit_min_k_nonlinear: float = 1.0e-4
     halofit_k_per_decade: float = 80.0
+    # Pk_equal method (precisions.h:454-455): effective (w0, Omega_m)(z)
+    # tables for halofit in (w0, wa) models
+    pk_eq_z_max: float = 5.0
+    pk_eq_tol: float = 1.0e-7
+    # BBN table for YHe=BBN (precisions.h:76): name of a file shipped in
+    # classpp_public_tpu/data (sBBN.dat, sBBN_2017.dat,
+    # sBBN_2017_marcucci.dat) or an absolute path
+    sBBN_file: str = "sBBN_2017.dat"
     halofit_sigma_precision: float = 0.05
     halofit_tol_sigma: float = 1.0e-6
 

@@ -116,21 +116,85 @@ _Q_NCDM, _WF_NCDM = _ncdm_quadrature()
 _RHO_INTEGRAL_0 = 7.0 * math.pi**4 / 120.0  # ∫ q^3/(e^q+1) dq
 
 
-def ncdm_momenta(x):
+def ncdm_psd_f0(params, i, q):
+    """Normalized phase-space distribution f~0(q) for species i on momenta q
+    (numpy, host). Convention: FD with zero chemical potential gives
+    1/(e^q+1), i.e. (2 pi)^3/2 times the reference's f0 (which carries the
+    1/(2pi)^3 and the particle+antiparticle factor 2;
+    tools/non_cold_dark_matter.cpp:55-118). Sources, in priority order:
+    a per-species tabulated file (2 columns q, f0_ref; constant below the
+    table, Boltzmann-tail extrapolated above, :70-100), or the analytic FD
+    form with chemical potential ksi_ncdm."""
+    q = np.asarray(q, dtype=np.float64)
+    files = getattr(params, "ncdm_psd_files", ()) or ()
+    fname = files[i] if i < len(files) else None
+    if fname:
+        tab = np.loadtxt(fname)
+        qt, f0t = tab[:, 0], tab[:, 1] * (2.0 * math.pi) ** 3 / 2.0
+        from scipy.interpolate import CubicSpline  # scipy ships in the image
+        cs = CubicSpline(qt, f0t)
+        out = np.where(q < qt[0], f0t[0], np.nan_to_num(cs(q)))
+        # Boltzmann tail beyond the table (:78-84)
+        dq = qt[-1] - qt[-2]
+        df = f0t[-1] - f0t[-2]
+        tail = f0t[-1] * np.exp(-(qt[-1] - q) * df / f0t[-1] / dq)
+        return np.where(q > qt[-1], tail, out)
+    ksis = getattr(params, "ksi_ncdm", ()) or ()
+    ksi = ksis[i] if i < len(ksis) else 0.0
+    return 0.5 * (1.0 / (np.exp(q - ksi) + 1.0)
+                  + 1.0 / (np.exp(q + ksi) + 1.0))
+
+
+def ncdm_psd_weights(params, nq, gauss=True):
+    """Per-species quadrature data on shared momentum nodes:
+    (q (nq,), w (ns, nq), dlnf0 (ns, nq)) with w = weight * f~0(q) such that
+    sums Σ w q^2 eps reproduce ∫ q^2 eps f~0 dq. Replaces the reference's
+    per-species adaptive q-grids (tools/quadrature.c get_qsampling) with
+    fixed nodes + per-species weights — static shapes for the jitted
+    hierarchy."""
+    from numpy.polynomial.laguerre import laggauss
+
+    if gauss:
+        qn, wn = laggauss(nq)
+        base_w = wn * np.exp(qn)      # GL: ∫ g(q) dq = Σ wn e^q g(qn)
+    else:
+        qn = np.linspace(1e-5, _NCDM_QMAX, nq)
+        base_w = quad.trapz_weights_np(qn)
+    ws, dls = [], []
+    dq = 1e-4
+    for i in range(params.N_ncdm):
+        f0 = ncdm_psd_f0(params, i, qn)
+        f_hi = ncdm_psd_f0(params, i, qn * (1.0 + dq))
+        f_lo = ncdm_psd_f0(params, i, qn * (1.0 - dq))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dln = np.where(f0 > 0.0,
+                           (f_hi - f_lo) / (2.0 * dq * np.maximum(f0, 1e-300)),
+                           0.0)
+        ws.append(base_w * f0)
+        dls.append(dln)
+    return (qn, np.asarray(ws).reshape(params.N_ncdm, nq),
+            np.asarray(dls).reshape(params.N_ncdm, nq))
+
+
+def ncdm_momenta(x, q=None, wf=None):
     """Dimensionless FD integrals at mass-to-temperature ratio x = a m / T0.
 
-    Returns (I_rho, I_p, I_pseudo_p) normalized so that I_rho(0) = I_p(0)*3 = 1:
+    Returns (I_rho, I_p, I_pseudo_p) normalized so that I_rho(0) = I_p(0)*3 = 1
+    for the standard FD distribution:
       I_rho = ∫ q^2 eps f0 / I0,  eps = sqrt(q^2+x^2)
       I_p   = (1/3) ∫ q^4/eps f0 / I0
       I_pp  = (1/3) ∫ q^6/eps^3 f0 / I0   (pseudo-pressure, ncdm fluid approx;
                reference background_ncdm_momenta, tools/non_cold_dark_matter.cpp)
+    q/wf override the default FD nodes/weighted-f0 for non-standard PSDs
+    (tabulated file or chemical potential; ncdm_psd_weights).
     """
     x = jnp.asarray(x)
-    q = _Q_NCDM
+    if q is None:
+        q, wf = _Q_NCDM, _WF_NCDM
     eps = jnp.sqrt(q**2 + x[..., None] ** 2)
-    i_rho = jnp.sum(q**2 * eps * _WF_NCDM, axis=-1) / _RHO_INTEGRAL_0
-    i_p = jnp.sum(q**4 / eps * _WF_NCDM, axis=-1) / (3.0 * _RHO_INTEGRAL_0)
-    i_pp = jnp.sum(q**6 / eps**3 * _WF_NCDM, axis=-1) / (3.0 * _RHO_INTEGRAL_0)
+    i_rho = jnp.sum(q**2 * eps * wf, axis=-1) / _RHO_INTEGRAL_0
+    i_p = jnp.sum(q**4 / eps * wf, axis=-1) / (3.0 * _RHO_INTEGRAL_0)
+    i_pp = jnp.sum(q**6 / eps**3 * wf, axis=-1) / (3.0 * _RHO_INTEGRAL_0)
     return i_rho, i_p, i_pp
 
 
@@ -262,12 +326,20 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     pp_ncdm = []
     Omega0_ncdm_tot = jnp.asarray(0.0, dtype)
     rho_ncdm0_list = []
+    psd_nonstd = any(getattr(params, "ksi_ncdm", ()) or ()) \
+        or any(getattr(params, "ncdm_psd_files", ()) or ())
+    if n_ncdm and psd_nonstd:
+        qn_psd, wn_psd, _ = ncdm_psd_weights(params, _NCDM_NQ, gauss=False)
     for i in range(n_ncdm):
         T_ratio = params.T_ncdm_of(i)
         deg = params.deg_ncdm_of(i)
         T0_eV = const.k_B * params.T_cmb * T_ratio / const.eV_SI  # T_ncdm today in eV
         x = a * params.m_ncdm[i] / T0_eV
-        i_rho, i_p, i_pp = ncdm_momenta(x)
+        if psd_nonstd:
+            i_rho, i_p, i_pp = ncdm_momenta(x, q=jnp.asarray(qn_psd),
+                                            wf=jnp.asarray(wn_psd[i]))
+        else:
+            i_rho, i_p, i_pp = ncdm_momenta(x)
         pref = deg * (7.0 / 8.0) * T_ratio**4 * rho_g0 / a**4
         r_i = pref * i_rho
         p_i = pref * i_p

@@ -397,14 +397,18 @@ def compute_hmcode(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
 
 
 @lru_cache(maxsize=8)
-def _halofit_core(min_k_nl: float, iOm: int, iOr: int):
+def _halofit_core(min_k_nl: float, iOm: int, iOr: int, pk_eq: bool = False):
     """One jitted XLA program for the whole halofit stage: source-table
     interpolation at every z, the sigma(R) inversion, both total/cb ratios
     and sigma8. Eager dispatch is a network round-trip per op on remote
-    accelerators, so the stage must be a single call."""
+    accelerators, so the stage must be a single call.
+
+    pk_eq: consume per-z effective (w0, Omega_m) tables (Pk_equal method,
+    0810.0190 / 1601.07230; reference nonlinear_halofit :2372-2402 uses
+    Omega_v = 1 - Omega_m_eff) instead of the true background columns."""
 
     def core(S_dm, S_cb, taus, k, k_hf, pk_prim, loga, tau_of_loga, spl,
-             z_arr, w0, fnu, Omega0_m, h):
+             z_arr, w0_z, fnu, Omega0_m, h, om_eff_z):
         tau_q = jnp.interp(-jnp.log1p(z_arr), loga, tau_of_loga)
         anorm_k = 2.0 * math.pi**2 / k**3 * pk_prim
 
@@ -417,22 +421,28 @@ def _halofit_core(min_k_nl: float, iOm: int, iOr: int):
         pk_cb = pk_of(S_cb)
 
         lnk_grid = jnp.log(k)
-        bgv = spl.eval(jnp.log(tau_q))
-        Om = bgv[:, iOm]
-        Ov = 1.0 - Om - bgv[:, iOr]
+        if pk_eq:
+            Om = om_eff_z
+            Ov = 1.0 - Om
+        else:
+            bgv = spl.eval(jnp.log(tau_q))
+            Om = bgv[:, iOm]
+            Ov = 1.0 - Om - bgv[:, iOr]
 
-        def one_z(pk_lin_z, pk_target_z, Om_z, Ov_z, fnu_z):
+        def one_z(pk_lin_z, pk_target_z, Om_z, Ov_z, w0_1, fnu_z):
             d2 = spline_d2(lnk_grid, jnp.log(pk_lin_z))
             pk_hf = jnp.exp(spline_eval(lnk_grid, jnp.log(pk_lin_z), d2,
                                         jnp.log(k_hf)))
-            return _halofit_one_z(k_hf, pk_hf, k, pk_target_z, Om_z, Ov_z, w0,
-                                  fnu_z, Omega0_m, h, min_k_nl)
+            return _halofit_one_z(k_hf, pk_hf, k, pk_target_z, Om_z, Ov_z,
+                                  w0_1, fnu_z, Omega0_m, h, min_k_nl)
 
-        pk_nl, k_nl = jax.vmap(lambda p, om, ov: one_z(p, p, om, ov, fnu))(
-            pk_lin, Om, Ov)
+        pk_nl, k_nl = jax.vmap(lambda p, om, ov, w1: one_z(p, p, om, ov, w1,
+                                                           fnu))(
+            pk_lin, Om, Ov, w0_z)
         pk_cb_nl, _ = jax.vmap(
-            lambda p, pc, om, ov: one_z(p, pc, om, ov, jnp.asarray(0.0)))(
-            pk_lin, pk_cb, Om, Ov)
+            lambda p, pc, om, ov, w1: one_z(p, pc, om, ov, w1,
+                                            jnp.asarray(0.0)))(
+            pk_lin, pk_cb, Om, Ov, w0_z)
         # note: reference computes the cb ratio from the cb spectrum with fnu=0
 
         # sigma8 at z=0
@@ -446,9 +456,58 @@ def _halofit_core(min_k_nl: float, iOm: int, iOr: int):
     return jax.jit(core)
 
 
+def _pk_eq_tables(params, bg, pr, tau_rec, z_pk):
+    """Pk_equal effective (w0, Omega_m)(z) tables (prepare_pk_eq,
+    nonlinear_module.cpp:4064-4190): for 10 nodes z_i up to pk_eq_z_max,
+    find the constant-w model (w0_eff, wa=0) whose conformal distance
+    z_i -> recombination matches the true (w0, wa) model, then store its
+    Omega_m(z_i). Host numpy: each iteration is a 4k-point trapezoid of
+    1/(a^2 H), not a pipeline rebuild (the reference rebuilds background +
+    thermodynamics per trial model; z_rec is fixed here — recombination
+    physics does not feel late dark energy)."""
+    N = 10
+    zs = np.exp(np.log(1.0 + pr.pk_eq_z_max) / (N - 1) * np.arange(N)) - 1.0
+    loga_t = np.asarray(bg.loga)
+    tau_t = np.asarray(bg.tau_of_loga)
+    tau_z_true = np.interp(-np.log1p(zs), loga_t, tau_t)
+    a_rec = np.exp(np.interp(tau_rec, tau_t, loga_t))
+    Om_m = float(bg.Omega0_m)
+    Om_r = float(bg.Omega0_r)
+    Om_k = float(params.Omega_k)
+    Om_de = 1.0 - Om_m - Om_r - Om_k
+
+    def chi_to_rec(a_i, w0):
+        la = np.linspace(np.log(a_rec), np.log(a_i), 4096)
+        a = np.exp(la)
+        E = np.sqrt(Om_m * a**-3 + Om_r * a**-4 + Om_k * a**-2
+                    + Om_de * a ** (-3.0 * (1.0 + w0)))
+        return np.trapezoid(1.0 / (a * E), la) / float(bg.H0)
+
+    w_eff = np.empty(N)
+    om_eff = np.empty(N)
+    for i, z in enumerate(zs):
+        a_i = 1.0 / (1.0 + z)
+        chi_true = tau_z_true[i] - tau_rec
+        w0 = float(params.w0_fld)
+        for _ in range(100):
+            err = 1.0 - chi_to_rec(a_i, w0) / chi_true
+            if abs(err) <= pr.pk_eq_tol:
+                break
+            w0 *= (1.0 + err) ** 10.0
+        w_eff[i] = w0
+        E2 = (Om_m * a_i**-3 + Om_r * a_i**-4 + Om_k * a_i**-2
+              + Om_de * a_i ** (-3.0 * (1.0 + w0)))
+        om_eff[i] = Om_m * a_i**-3 / E2
+    # interpolate at the requested z_pk values
+    zq = np.asarray(z_pk, dtype=np.float64)
+    w0_z = np.interp(zq, zs, w_eff)
+    om_z = np.interp(zq, zs, om_eff)
+    return jnp.asarray(w0_z), jnp.asarray(om_z)
+
+
 def compute_nonlinear(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
                       params, z_pk=(0.0,), method="halofit",
-                      hm_eta0=0.603, hm_cmin=3.13) -> PkResult:
+                      hm_eta0=0.603, hm_cmin=3.13, tau_rec=None) -> PkResult:
     if method == "hmcode":
         return compute_hmcode(pert, bg, bidx, pm, pr, params, z_pk=z_pk,
                               eta_0=hm_eta0, c_min=hm_cmin)
@@ -464,7 +523,14 @@ def compute_nonlinear(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
     n_hf = int(math.log10(k_np[-1] / k_np[0]) * pr.halofit_k_per_decade) + 1
     k_hf = jnp.asarray(k_np[0] * 10.0 ** (np.arange(n_hf) / pr.halofit_k_per_decade))
 
-    w0 = jnp.asarray(params.w0_fld if params.use_fld else -1.0)
+    nz = len(np.atleast_1d(np.asarray(z_pk)))
+    use_pk_eq = bool(getattr(params, "pk_eq", False) and params.use_fld
+                     and params.wa_fld != 0.0 and tau_rec is not None)
+    if use_pk_eq:
+        w0_z, om_eff_z = _pk_eq_tables(params, bg, pr, tau_rec, z_pk)
+    else:
+        w0_z = jnp.full((nz,), params.w0_fld if params.use_fld else -1.0)
+        om_eff_z = jnp.zeros((nz,))
     fnu = jnp.asarray(float(bg.Omega0_ncdm_tot) / float(bg.Omega0_m))
     Omega0_m = jnp.asarray(float(bg.Omega0_m))
 
@@ -480,7 +546,8 @@ def compute_nonlinear(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
                                    + 0.5 * float(pm.alpha_s) * lnk**2))
 
     core = _halofit_core(float(pr.halofit_min_k_nonlinear),
-                         int(bidx["Omega_m"]), int(bidx["Omega_r"]))
+                         int(bidx["Omega_m"]), int(bidx["Omega_r"]),
+                         pk_eq=use_pk_eq)
     S_dm = pert.sources[:, :, SrcIdx.ix["delta_m"]]
     S_cb = pert.sources[:, :, SrcIdx.ix["delta_cb"]]
     # pin every input to the accelerator holding the source table: the
@@ -490,8 +557,8 @@ def compute_nonlinear(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
     dev = getattr(S_dm, "device", None) or jax.devices()[0]
     args = jax.device_put(
         (S_dm, S_cb, jnp.asarray(pert.tau), jnp.asarray(k), k_hf, pk_prim,
-         bg.loga, bg.tau_of_loga, bg.lntau_spline, z_arr, w0, fnu, Omega0_m,
-         jnp.asarray(params.h)), dev)
+         bg.loga, bg.tau_of_loga, bg.lntau_spline, z_arr, w0_z, fnu, Omega0_m,
+         jnp.asarray(params.h), om_eff_z), dev)
     pk_lin, pk_cb, pk_nl, pk_cb_nl, k_nl, sigma8 = core(*args)
 
     return PkResult(k=k, z=z_arr, pk_lin=pk_lin, pk_nl=pk_nl,

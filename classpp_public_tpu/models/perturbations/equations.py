@@ -39,9 +39,9 @@ class NcdmCtx(NamedTuple):
     the FD normalization so the massless limit reproduces (7/8)(T/Tg)^4 rho_g.
     """
 
-    q: jnp.ndarray        # (nq,)
-    w: jnp.ndarray        # (nq,) quadrature weights including f0(q)
-    dlnf0: jnp.ndarray    # (nq,) dln f0 / dln q
+    q: jnp.ndarray        # (nq,) shared momentum nodes
+    w: jnp.ndarray        # (ns, nq) per-species weights including f~0(q)
+    dlnf0: jnp.ndarray    # (ns, nq) per-species dln f0 / dln q
     x_fac: jnp.ndarray    # (ns,) m/T_ncdm0 (dimensionless)
     pref: jnp.ndarray     # (ns,) normalization (class units Mpc^-2)
 
@@ -70,6 +70,9 @@ class PertCtx(NamedTuple):
     # eta decays far below 1 (critical for the f32 state path; exact no-op
     # in f64)
     eta_off: float = 0.0
+    # temperature-contribution switches (sw, eisw, lisw, dop, pol, split_z);
+    # None = all on (perturb_sources :6826-6895)
+    tswitch: object = None
     # spatial curvature K [Mpc^-2] = -Omega_k H0^2 (reference pba->K); the
     # flat/open/closed branch is trace-time via idx.sgnK
     K: float = 0.0
@@ -219,11 +222,11 @@ def rhs_full(tau, y, ctx: PertCtx):
         eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)   # (ns, nq)
         fac = nc.pref / a2 / a2                                             # (ns,)
         # exact momentum integrals (perturb_total_stress_energy :6347-6395)
-        qw = nc.w * nc.q**2
-        rho_delta_ex = fac * jnp.sum(qw[None, :] * eps * Psi[:, :, 0], axis=1)
-        rpt_ex = k * fac * jnp.sum(qw[None, :] * nc.q[None, :] * Psi[:, :, 1], axis=1)
-        rps_ex = 2.0 / 3.0 * fac * jnp.sum(qw[None, :] * nc.q[None, :] ** 2 / eps * Psi[:, :, 2], axis=1)
-        dp_ex = fac / 3.0 * jnp.sum(qw[None, :] * nc.q[None, :] ** 2 / eps * Psi[:, :, 0], axis=1)
+        qw = nc.w * nc.q[None, :] ** 2                                  # (ns, nq)
+        rho_delta_ex = fac * jnp.sum(qw * eps * Psi[:, :, 0], axis=1)
+        rpt_ex = k * fac * jnp.sum(qw * nc.q[None, :] * Psi[:, :, 1], axis=1)
+        rps_ex = 2.0 / 3.0 * fac * jnp.sum(qw * nc.q[None, :] ** 2 / eps * Psi[:, :, 2], axis=1)
+        dp_ex = fac / 3.0 * jnp.sum(qw * nc.q[None, :] ** 2 / eps * Psi[:, :, 0], axis=1)
         # per-species background quantities
         rho_nc = jnp.stack([bgv[bidx[f"rho_ncdm{i}"]] for i in range(ns)])
         p_nc = jnp.stack([bgv[bidx[f"p_ncdm{i}"]] for i in range(ns)])
@@ -573,7 +576,7 @@ def rhs_full(tau, y, ctx: PertCtx):
     # --- ncdm (perturb_derivs :8725-8894)
     if idx.n_ncdm:
         qk_eps = k * nc.q[None, :] / eps                      # (ns, nq)
-        dl0 = nc.dlnf0[None, :]
+        dl0 = nc.dlnf0
         # exact Boltzmann hierarchy on the momentum grid
         lsn = jnp.arange(0, nl, dtype=y.dtype)                # l values
         sl_n = s_of_l(lsn)
@@ -1006,7 +1009,7 @@ def adiabatic_ic(k, tau, ctx: PertCtx, curvature_ini=1.0):
         nc = ctx.ncdm
         ns, nq, nl = idx.n_ncdm, idx.q_size_ncdm, idx.n_l_ncdm
         eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)
-        dl0 = jnp.broadcast_to(nc.dlnf0[None, :], (ns, nq))
+        dl0 = nc.dlnf0
         Psi = jnp.zeros((ns, nq, nl), y.dtype)
         Psi = Psi.at[:, :, 0].set(-0.25 * delta_ur * dl0)
         Psi = Psi.at[:, :, 1].set(-eps / (3.0 * nc.q[None, :] * k) * theta_ur * dl0)
@@ -1108,7 +1111,7 @@ def isocurvature_ic(kind, k, tau, ctx: PertCtx, entropy_ini=1.0):
         nc = ctx.ncdm
         ns, nq, nl = idx.n_ncdm, idx.q_size_ncdm, idx.n_l_ncdm
         eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)
-        dl0 = jnp.broadcast_to(nc.dlnf0[None, :], (ns, nq))
+        dl0 = nc.dlnf0
         Psi = jnp.zeros((ns, nq, nl), y.dtype)
         Psi = Psi.at[:, :, 0].set(-0.25 * dur * dl0)
         Psi = Psi.at[:, :, 1].set(-eps / (3.0 * nc.q[None, :] * k) * tur * dl0)
@@ -1200,7 +1203,7 @@ def _ic_to_newtonian(y, k, tau, ctx: PertCtx):
         nc = ctx.ncdm
         ns, nq, nl = idx.n_ncdm, idx.q_size_ncdm, idx.n_l_ncdm
         eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)
-        dl0 = jnp.broadcast_to(nc.dlnf0[None, :], (ns, nq))
+        dl0 = nc.dlnf0
         Psi = jax.lax.dynamic_slice(y, (idx.ncdm,), (idx.n_ncdm_block,)).reshape(ns, nq, nl)
         Psi = Psi.at[:, :, 0].set(-0.25 * y[idx.delta_ur] * dl0)
         Psi = Psi.at[:, :, 1].set(-eps / (3.0 * nc.q[None, :] * k) * y[idx.theta_ur] * dl0)
@@ -1264,13 +1267,13 @@ def remap_ncdmfa_on(y, tau, ctx: PertCtx):
     Psi = jax.lax.dynamic_slice(y, (idx.ncdm,), (idx.n_ncdm_block,)).reshape(ns, nq, nl)
     eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)
     fac = nc.pref / a**4
-    qw = nc.w * nc.q**2
+    qw = nc.w * nc.q[None, :] ** 2                                # (ns, nq)
     rho_nc = jnp.stack([bgv[ctx.bidx[f"rho_ncdm{i}"]] for i in range(ns)])
     p_nc = jnp.stack([bgv[ctx.bidx[f"p_ncdm{i}"]] for i in range(ns)])
     k = ctx.k
-    delta = fac * jnp.sum(qw[None, :] * eps * Psi[:, :, 0], axis=1) / rho_nc
-    theta = k * fac * jnp.sum(qw[None, :] * nc.q[None, :] * Psi[:, :, 1], axis=1) / (rho_nc + p_nc)
-    shear = 2.0 / 3.0 * fac * jnp.sum(qw[None, :] * nc.q[None, :] ** 2 / eps * Psi[:, :, 2], axis=1) / (rho_nc + p_nc)
+    delta = fac * jnp.sum(qw * eps * Psi[:, :, 0], axis=1) / rho_nc
+    theta = k * fac * jnp.sum(qw * nc.q[None, :] * Psi[:, :, 1], axis=1) / (rho_nc + p_nc)
+    shear = 2.0 / 3.0 * fac * jnp.sum(qw * nc.q[None, :] ** 2 / eps * Psi[:, :, 2], axis=1) / (rho_nc + p_nc)
     Psi_new = jnp.zeros((ns, nq, nl), y.dtype)
     Psi_new = Psi_new.at[:, 0, 0].set(delta)
     Psi_new = Psi_new.at[:, 0, 1].set(theta)
@@ -1310,21 +1313,33 @@ def compute_sources(tau, y, ctx: PertCtx):
     dg = L.dg
     emk = L.exp_m_kappa
 
+    # temperature-contribution switches (perturb_sources :6826-6895):
+    # s_sw/s_dop/s_pol gate the Sachs-Wolfe, Doppler and polarization terms;
+    # the ISW term splits into early/late at z = split_z
+    if ctx.tswitch is None:
+        s_sw = s_dop = s_pol = s_isw = 1.0
+    else:
+        ts = ctx.tswitch
+        s_sw, s_dop, s_pol = ts[0], ts[3], ts[4]
+        z_here = 1.0 / L.a - 1.0
+        s_isw = jnp.where(z_here >= ts[5], ts[1], ts[2])
+
     if ctx.idx.gauge == "newtonian":
         # perturb_sources :6848-6860 (newtonian efficient form)
-        t0 = (g * (L.delta_g_eff / 4.0 + L.psi)
-              + g * (L.phi - L.psi) + emk * 2.0 * L.phi_prime
-              + (g * L.theta_b_prime + dg * y[idx.theta_b]) / k2)
-        t1 = emk * k * (L.psi - L.phi)
+        t0 = (s_sw * g * (L.delta_g_eff / 4.0 + L.psi)
+              + s_isw * (g * (L.phi - L.psi) + emk * 2.0 * L.phi_prime)
+              + s_dop * (g * L.theta_b_prime + dg * y[idx.theta_b]) / k2)
+        t1 = s_isw * emk * k * (L.psi - L.phi)
     else:
         # perturb_sources :6874-6895 (synchronous efficient form)
-        t0 = (g * (L.delta_g_eff / 4.0 + L.alpha_prime)
-              + g * (L.eta - L.alpha_prime - 2.0 * L.aH * L.alpha)
-              + emk * 2.0 * (L.eta_prime - L.aH_prime * L.alpha - L.aH * L.alpha_prime)
-              + g * (L.theta_b_prime / k2 + L.alpha_prime)
-              + dg * (y[idx.theta_b] / k2 + L.alpha))
-        t1 = emk * k * (L.alpha_prime + 2.0 * L.aH * L.alpha - L.eta)
-    t2 = g * L.P
+        t0 = (s_sw * g * (L.delta_g_eff / 4.0 + L.alpha_prime)
+              + s_isw * (g * (L.eta - L.alpha_prime - 2.0 * L.aH * L.alpha)
+                         + emk * 2.0 * (L.eta_prime - L.aH_prime * L.alpha
+                                        - L.aH * L.alpha_prime))
+              + s_dop * (g * (L.theta_b_prime / k2 + L.alpha_prime)
+                         + dg * (y[idx.theta_b] / k2 + L.alpha)))
+        t1 = s_isw * emk * k * (L.alpha_prime + 2.0 * L.aH * L.alpha - L.eta)
+    t2 = s_pol * g * L.P
     p = jnp.sqrt(6.0) * g * L.P
 
     phi = L.phi

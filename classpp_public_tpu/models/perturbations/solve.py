@@ -34,17 +34,19 @@ from .indices import PtIdx, SrcIdx
 
 
 def make_ncdm_ctx(params, bg, idx):
-    """Build the shared ncdm phase-space context (Gauss-Laguerre momentum grid
-    with Fermi-Dirac weights; reference tools/quadrature.c get_qsampling)."""
+    """Build the shared ncdm phase-space context: Gauss-Laguerre momentum
+    NODES shared across species, with PER-SPECIES weights w = GLweight e^q
+    f~0(q) and dln f0/dln q — the general-PSD redesign of the reference's
+    per-species adaptive q-grids (tools/quadrature.c get_qsampling). The
+    default FD path reproduces the analytic weights exactly; tabulated-file
+    or chemical-potential PSDs ride the same static shapes
+    (background.ncdm_psd_weights)."""
     import math
 
-    from numpy.polynomial.laguerre import laggauss
-
     from ... import constants as const
+    from ..background import ncdm_psd_weights
 
-    qn, wn = laggauss(idx.q_size_ncdm)
-    wf = wn / (1.0 + np.exp(-qn))          # GL weight * e^q * f0(q)
-    dlnf0 = -qn / (1.0 + np.exp(-qn))      # FD: dln f0/dln q = -q e^q f0
+    qn, wf, dlnf0 = ncdm_psd_weights(params, idx.q_size_ncdm, gauss=True)
     I0 = 7.0 * math.pi**4 / 120.0
     rho_g0 = const.rho_gamma_class_units(params.T_cmb)
     x_fac, pref = [], []
@@ -54,7 +56,8 @@ def make_ncdm_ctx(params, bg, idx):
         T0_eV = const.k_B * params.T_cmb * T_ratio / const.eV_SI
         x_fac.append(params.m_ncdm[i] / T0_eV)
         pref.append(deg * (7.0 / 8.0) * T_ratio**4 * rho_g0 / I0)
-    return eq.NcdmCtx(q=jnp.asarray(qn), w=jnp.asarray(wf), dlnf0=jnp.asarray(dlnf0),
+    return eq.NcdmCtx(q=jnp.asarray(qn), w=jnp.asarray(wf),
+                      dlnf0=jnp.asarray(dlnf0),
                       x_fac=jnp.asarray(x_fac), pref=jnp.asarray(pref))
 
 
@@ -74,10 +77,14 @@ class SolverScalars(NamedTuple):
     Gamma_dcdm: jnp.ndarray
     H0: jnp.ndarray
     eta_flag: jnp.ndarray   # 1.0 = adiabatic+synchronous eta-1 storage offset
+    # temperature-contribution switches (sw, eisw, lisw, dop, pol) + the
+    # early/late ISW split redshift (perturb_sources :6826-6895; defaults
+    # all-on + z_split = 120)
+    tswitch: jnp.ndarray = None
 
     @staticmethod
     def make(rtol, atol=1e-11, wa_fld=0.0, cs2_fld=1.0, K=0.0, Gamma_dcdm=0.0,
-             H0=1.0, eta_flag=1.0, lanes=None):
+             H0=1.0, eta_flag=1.0, lanes=None, tswitch=None):
         """rtol/atol may be scalars (broadcast to `lanes`) or per-lane
         arrays; the rest are cosmology scalars."""
         f = jnp.float64
@@ -86,21 +93,25 @@ class SolverScalars(NamedTuple):
         if lanes is not None:
             rtol = jnp.broadcast_to(rtol, (lanes,))
             atol = jnp.broadcast_to(atol, (lanes,))
+        if tswitch is None:
+            tswitch = (1.0, 1.0, 1.0, 1.0, 1.0, 120.0)
         return SolverScalars(rtol, atol,
                              *(jnp.asarray(v, f) for v in
-                               (wa_fld, cs2_fld, K, Gamma_dcdm, H0, eta_flag)))
+                               (wa_fld, cs2_fld, K, Gamma_dcdm, H0, eta_flag)),
+                             jnp.asarray(tswitch, f))
 
     @classmethod
     def axes(cls):
         """vmap in_axes spec: rtol/atol ride the lane axis, the rest are
         broadcast cosmology scalars."""
         return cls(rtol=0, atol=0, wa_fld=None, cs2_fld=None, K=None,
-                   Gamma_dcdm=None, H0=None, eta_flag=None)
+                   Gamma_dcdm=None, H0=None, eta_flag=None, tswitch=None)
 
 
 def _sc_kwargs(sc: SolverScalars):
     return dict(rtol=sc.rtol, atol=sc.atol, wa_fld=sc.wa_fld, cs2_fld=sc.cs2_fld,
-                K=sc.K, Gamma_dcdm=sc.Gamma_dcdm, H0=sc.H0, eta_flag=sc.eta_flag)
+                K=sc.K, Gamma_dcdm=sc.Gamma_dcdm, H0=sc.H0, eta_flag=sc.eta_flag,
+                tswitch=sc.tswitch)
 
 
 @lru_cache(maxsize=16)
@@ -156,7 +167,7 @@ K_ETA_SPLIT = 0.02  # 1/Mpc: below this, adiabatic lanes store eta - 1
 
 def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
              bidx, idx, rtol, atol, wa_fld, cs2_fld, ic="ad", evolver="imex",
-             K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None):
+             K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None, tswitch=None):
     # eta_flag: 1.0 when the low-k eta-1 storage offset applies (adiabatic
     # synchronous); traced so isocurvature modes share the adiabatic
     # executable instead of retracing the full Boltzmann graph per ic
@@ -186,7 +197,7 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
                           bg_spline=bg_spline, th_spline=th_spline, bidx=bidx, idx=idx,
                           ncdmfa_on=t >= t_ncfa, ncdm=ncdm,
                           wa_fld=wa_fld, cs2_fld=cs2_fld, eta_off=eta_off, K=K,
-                          Gamma_dcdm=Gamma_dcdm, H0=H0)
+                          Gamma_dcdm=Gamma_dcdm, H0=H0, tswitch=tswitch)
 
     # embedded-error order sets the controller exponent
     err_exp = -0.25 if evolver == "imex" else -0.2
@@ -242,12 +253,13 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
 
 def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline, ncdm, bidx, idx, rtol,
                 wa_fld=0.0, cs2_fld=1.0, ic="ad", y_carry=None, atol=1e-11,
-                evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None):
+                evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None,
+                tswitch=None):
     """Integrate one k-mode over all sampling intervals, emitting sources."""
     ctx_at, integrate_interval = _stepper(
         k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
         bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic, evolver=evolver, K=K,
-        Gamma_dcdm=Gamma_dcdm, H0=H0, eta_flag=eta_flag)
+        Gamma_dcdm=Gamma_dcdm, H0=H0, eta_flag=eta_flag, tswitch=tswitch)
 
     if y_carry is None:
         # initial conditions at tau_ini (always deep in tight coupling),
@@ -282,11 +294,12 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
 
 def init_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
                ncdm, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11,
-               evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None):
+               evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None,
+               tswitch=None):
     ctx_at, _ = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
                          ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic,
                          evolver=evolver, K=K, Gamma_dcdm=Gamma_dcdm, H0=H0,
-                         eta_flag=eta_flag)
+                         eta_flag=eta_flag, tswitch=tswitch)
     y0 = eq.initial_conditions(ic, k, tau_ini, ctx_at(tau_ini))
     return y0, 0.1 * tau_ini
 
@@ -294,22 +307,23 @@ def init_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
 def advance_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t_a, t_b, bg_spline, th_spline,
                   ncdm, y, h, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad",
                   atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0,
-                  eta_flag=None):
+                  eta_flag=None, tswitch=None):
     _, integrate_interval = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline,
                                      th_spline, ncdm, bidx, idx, rtol, atol,
                                      wa_fld, cs2_fld, ic=ic, evolver=evolver, K=K,
                                      Gamma_dcdm=Gamma_dcdm, H0=H0,
-                                     eta_flag=eta_flag)
+                                     eta_flag=eta_flag, tswitch=tswitch)
     return integrate_interval(y, h, t_a, t_b)
 
 
 def emit_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t, bg_spline, th_spline, ncdm, y,
                bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11,
-               evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None):
+               evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None,
+               tswitch=None):
     ctx_at, _ = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
                          ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic,
                          evolver=evolver, K=K, Gamma_dcdm=Gamma_dcdm, H0=H0,
-                         eta_flag=eta_flag)
+                         eta_flag=eta_flag, tswitch=tswitch)
     return eq.compute_sources(t, y, ctx_at(t))
 
 
@@ -390,6 +404,12 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
     K_curv = float(-params.Omega_k * float(bg.H0) ** 2)
     sgnK = 0 if params.Omega_k == 0.0 else (1 if K_curv > 0 else -1)
     has_dcdm = (params.Omega_ini_dcdm > 0.0) or (params.Omega_dcdmdr > 0.0)
+    # non-standard PSDs (chemical potential / tabulated f0): the 16-node
+    # Gauss-Laguerre grid is tuned for the e^-q FD tail; double the nodes so
+    # the modified tail stays resolved (reference: adaptive per-species
+    # q-sampling, tools/quadrature.c get_qsampling)
+    psd_nonstd = any(getattr(params, "ksi_ncdm", ()) or ()) \
+        or any(getattr(params, "ncdm_psd_files", ()) or ())
     idx = PtIdx(l_max_g=pr.l_max_g, l_max_pol_g=pr.l_max_pol_g, l_max_ur=pr.l_max_ur,
                 n_ncdm=n_ncdm, l_max_ncdm=pr.l_max_ncdm, has_fld=params.use_fld,
                 gauge=gauge, sgnK=sgnK, has_dcdm=has_dcdm, l_max_dr=pr.l_max_dr,
@@ -397,7 +417,8 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 use_ppf=params.use_fld and params.use_ppf,
                 has_idm_dr=params.Omega_idm_dr > 0.0,
                 l_max_idr=pr.l_max_idr,
-                idr_fluid=params.idr_nature == "fluid")
+                idr_fluid=params.idr_nature == "fluid",
+                q_size_ncdm=32 if psd_nonstd else 16)
     taus_j = jnp.asarray(taus)
     ncdm_ctx = make_ncdm_ctx(params, bg, idx) if n_ncdm else None
 
@@ -504,7 +525,10 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 cs2_fld=params.cs2_fld, K=K_curv,
                 Gamma_dcdm=params.Gamma_dcdm / 299792.458, H0=float(bg.H0),
                 eta_flag=1.0 if (ic_name == "ad" and gauge == "synchronous")
-                else 0.0)
+                else 0.0,
+                tswitch=tuple(getattr(params, "temp_contributions",
+                                      (1.0,) * 5))
+                + (getattr(params, "eisw_lisw_split_z", 120.0),))
             if mesh is not None:
                 sc = sc._replace(**dict(zip(
                     ("rtol", "atol"), shard_lanes(mesh, [sc.rtol, sc.atol]))))

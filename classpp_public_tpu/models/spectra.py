@@ -65,24 +65,41 @@ def compute_spectra(tr: TransferResult, pm: PrimordialResult, l_max: int,
     ], axis=1)                               # (nl, nct)
 
     if tr_iso:
-        # uncorrelated isocurvature modes: add each auto-spectrum with its
-        # primordial amplitude (spectra_cls ic-pair loop, spectra_module.cpp:856)
+        # isocurvature ic pairs (spectra_cls ic1-ic2 loop, spectra_module.cpp
+        # :856 + cl_total :305-308: C_l = sum_diag + 2 sum_offdiag, with the
+        # TE/Tphi/Ephi products symmetrized 0.5(X1 Y2 + X2 Y1), :1155-1183)
+        rows = {"ad": (t_total, e, p)}
         for ic, tri in tr_iso.items():
-            pki = pm.iso_pk(ic, q)
-            meas_i = 4.0 * jnp.pi / q * pki * w
             di = tri.delta
-            t_i = di[:, ix["t0"]] + di[:, ix["t1"]] + di[:, ix["t2"]]
-            e_i = di[:, ix["e"]]
-            p_i = di[:, ix["lcmb"]]
+            rows[ic] = (di[:, ix["t0"]] + di[:, ix["t1"]] + di[:, ix["t2"]],
+                        di[:, ix["e"]], di[:, ix["lcmb"]])
 
-            def quad_i(a, b):
-                return jnp.sum(meas_i[None, :] * a * b, axis=-1)
+        def add_pair(pk_pair, r1, r2, factor):
+            t1, e1, p1 = rows[r1]
+            t2, e2, p2 = rows[r2]
+            meas_i = factor * 4.0 * jnp.pi / q * pk_pair * w
 
-            cl_list = cl_list + jnp.stack([
-                quad_i(t_i, t_i), quad_i(e_i, e_i), quad_i(t_i, e_i),
-                jnp.zeros((di.shape[0],)),
-                quad_i(p_i, p_i), quad_i(t_i, p_i), quad_i(e_i, p_i),
+            def quad_i(a, b, a2, b2):
+                return jnp.sum(meas_i[None, :]
+                               * 0.5 * (a * b2 + a2 * b), axis=-1)
+
+            return jnp.stack([
+                quad_i(t1, t1, t2, t2), quad_i(e1, e1, e2, e2),
+                quad_i(t1, e1, t2, e2),
+                jnp.zeros((t1.shape[0],)),
+                quad_i(p1, p1, p2, p2), quad_i(t1, p1, t2, p2),
+                quad_i(e1, p1, e2, p2),
             ], axis=1)
+
+        for ic in tr_iso:
+            cl_list = cl_list + add_pair(pm.iso_pk(ic, q), ic, ic, 1.0)
+        names = ["ad"] + list(tr_iso.keys())
+        for i1 in range(len(names)):
+            for i2 in range(i1 + 1, len(names)):
+                pk12 = pm.cross_pk(names[i1], names[i2], q)
+                if pk12 is not None:
+                    cl_list = cl_list + add_pair(pk12, names[i1], names[i2],
+                                                 2.0)
 
     # spline over l to all integer multipoles
     l_f = tr.l.astype(jnp.float64)

@@ -101,17 +101,25 @@ class RecfastCtx(NamedTuple):
     # (thermodynamics_module.cpp:1755-1795)
     inj: tuple = (0.0,) * 8
     rho_cdm_J: jnp.ndarray = 0.0
+    # beyond-on-the-spot deposition: UniformSpline of ln(energy_rate) on the
+    # x = -log1p(z) axis (None means on-the-spot; thermodynamics_module.cpp
+    # :1810-1870 delayed-deposition redshift convolution)
+    inj_conv: object = None
 
 
 # ---------------------------------------------------------------------------
 # BBN helium abundance
 
 
-@lru_cache(maxsize=1)
-def _bbn_table():
-    """sBBN_2017.dat layout: header line "n_omegab n_dneff", then rows
-    (omega_b, DeltaNeff, YHe) grouped by DeltaNeff with omega_b varying fastest."""
-    path = Path(__file__).parent.parent / "data" / "sBBN_2017.dat"
+@lru_cache(maxsize=4)
+def _bbn_table(fname: str = "sBBN_2017.dat"):
+    """sBBN_*.dat layout: header line "n_omegab n_dneff", then rows
+    (omega_b, DeltaNeff, YHe) grouped by DeltaNeff with omega_b varying
+    fastest. fname: shipped table name (sBBN.dat / sBBN_2017.dat /
+    sBBN_2017_marcucci.dat; reference precisions.h:76 sBBN_file) or an
+    absolute path."""
+    path = Path(fname) if fname.startswith("/") \
+        else Path(__file__).parent.parent / "data" / fname
     rows = []
     with open(path) as f:
         for line in f:
@@ -125,12 +133,13 @@ def _bbn_table():
     return omegab, dneff, yp
 
 
-def helium_from_bbn_np(omega_b: float, N_eff: float) -> float:
+def helium_from_bbn_np(omega_b: float, N_eff: float,
+                       fname: str = "sBBN_2017.dat") -> float:
     """YHe from the standard BBN table by bilinear interpolation (reference
     thermodynamics_helium_from_bbn, thermodynamics_module.cpp:1535;
     data table bbn/sBBN_2017.dat). N_eff must count ALL relativistic species
     at BBN, including (then-relativistic) ncdm."""
-    omegab_g, dneff_g, yp = _bbn_table()
+    omegab_g, dneff_g, yp = _bbn_table(fname)
     dneff = N_eff - 3.046
     # bilinear interpolation
     i = np.clip(np.searchsorted(omegab_g, omega_b) - 1, 0, len(omegab_g) - 2)
@@ -149,7 +158,8 @@ def helium_from_bbn_np(omega_b: float, N_eff: float) -> float:
 
 
 def make_recfast_ctx(params: CosmoParams, pr: PrecisionParams, bg: BackgroundResult, idx: BgIdx) -> RecfastCtx:
-    YHe = params.YHe if params.YHe is not None else helium_from_bbn_np(params.omega_b, params.N_eff)
+    YHe = params.YHe if params.YHe is not None else helium_from_bbn_np(
+        params.omega_b, params.N_eff, getattr(pr, "sBBN_file", "sBBN_2017.dat"))
     H0_s = params.H0 * const.c_SI / const.Mpc_over_m
     mu_H = 1.0 / (1.0 - YHe)
     fHe = YHe / (const.not4 * (1.0 - YHe))
@@ -186,20 +196,74 @@ def make_recfast_ctx(params: CosmoParams, pr: PrecisionParams, bg: BackgroundRes
            float(params.annihilation_variation), float(params.annihilation_z),
            float(params.annihilation_zmax), float(params.annihilation_zmin),
            float(params.annihilation_f_halo), float(params.annihilation_z_halo))
+    # beyond-on-the-spot deposition: precompute the delayed-deposition
+    # convolution E(z) = int dz' G(z,z') E_ots(z') on a dense z grid
+    # (thermodynamics_energy_injection :1810-1870; Green's function
+    # G = factor (1+z)^8/(1+z')^7.5 exp(2/3 factor ((1+z)^1.5-(1+z')^1.5))).
+    # Vectorized via z' = (1+z)u - 1:
+    # E(z) = int_1 du (3A/2) u^-7.5 e^{-A(u^1.5-1)} E_ots((1+z)u-1),
+    # A = 2/3 factor (1+z)^1.5 — one (nz, nu) weighted sum instead of the
+    # reference's per-evolver-step dz'=1 trapezoid loop.
+    inj_conv = None
+    if not getattr(params, "on_the_spot", True) and inj[0] > 0.0:
+        om_m = float(bg.Omega0_b) + float(bg.Omega0_cdm)
+        factor = (const.sigma_T * Nnow / (float(bg.H0) / const.Mpc_over_m)
+                  / math.sqrt(om_m))
+        # exact replica of the reference's discrete loop, vectorized over a
+        # dense z grid: trapezoid with dz' = 1 (half weight on the first
+        # point), STOPPING after the first step whose integrand drops to
+        # <= 2% of the first — the truncation is part of the reference
+        # result (E differs by up to 4x at z~1500 without it)
+        nz_c, nstep = 1024, 4096
+        zg = np.expm1(np.linspace(0.0, math.log1p(2.0e4), nz_c))
+        zc = zg[:, None]
+
+        def integrand(zp):
+            ots = np.asarray(_ots_rate(inj, rho_cdm_J, jnp.asarray(zp)))
+            return (factor * (1.0 + zc) ** 8 / (1.0 + zp) ** 7.5
+                    * np.exp(np.minimum(
+                        2.0 / 3.0 * factor
+                        * ((1.0 + zc) ** 1.5 - (1.0 + zp) ** 1.5), 700.0))
+                    * ots)
+
+        first = integrand(zc)[:, 0]
+        zp = zc + np.arange(1.0, nstep + 1.0)[None, :]
+        integ = integrand(zp)                                 # (nz, nstep)
+        below = integ <= 0.02 * first[:, None]
+        stop = np.argmax(below, axis=1)                       # first True
+        stop = np.where(below.any(axis=1), stop, nstep - 1)
+        keep = np.arange(nstep)[None, :] <= stop[:, None]     # inclusive
+        E = 0.5 * first + np.sum(np.where(keep, integ, 0.0), axis=1)
+        # resample ln E on the uniform -log1p(z) axis the runtime eval uses
+        x = -np.log1p(zg)
+        xu = np.linspace(x[-1], x[0], nz_c)
+        lnE = np.interp(xu, x[::-1], np.log(np.maximum(E, 1e-300))[::-1])
+        inj_conv = UniformSpline.build(
+            jnp.asarray(xu[0]), jnp.asarray(xu[1] - xu[0]),
+            jnp.asarray(lnE)[:, None])
     return RecfastCtx(
         fHe=f(fHe), Nnow=f(Nnow), Tnow=f(params.T_cmb), fu=f(fu), H0_s=f(H0_s),
         CDB=f(CDB), CDB_He=f(CDB_He), CB1=f(CB1), CB1_He1=f(CB1_He1), CB1_He2=f(CB1_He2),
         CR=f(CR), CK=f(CK), CK_He=f(CK_He), CL=f(CL), CL_He=f(CL_He), CT=f(CT),
         Bfact=f(Bfact), H_of_z=H_of_z, YHe=f(YHe),
-        inj=inj, rho_cdm_J=f(rho_cdm_J),
+        inj=inj, rho_cdm_J=f(rho_cdm_J), inj_conv=inj_conv,
     )
 
 
 def _energy_injection_rate(ctx: RecfastCtx, z):
-    """On-the-spot DM annihilation/decay energy injection rate [J/m^3/s]
+    """DM annihilation/decay energy injection rate [J/m^3/s]: on-the-spot
+    analytic form, or the precomputed delayed-deposition convolution when
+    `on the spot = no` (thermodynamics_energy_injection :1810-1870)."""
+    if ctx.inj_conv is not None:
+        return jnp.exp(ctx.inj_conv.eval(-jnp.log1p(z))[..., 0])
+    return _ots_rate(ctx.inj, ctx.rho_cdm_J, z)
+
+
+def _ots_rate(inj, rho_cdm_J, z):
+    """On-the-spot injection rate [J/m^3/s]
     (thermodynamics_onthespot_energy_injection, :1755-1795). jnp-only: the
     injection parameters are traced leaves of the jitted recfast call."""
-    ann, dec, var, z0, zmax, zmin, f_halo, z_halo = ctx.inj
+    ann, dec, var, z0, zmax, zmin, f_halo, z_halo = inj
     lz0 = jnp.log((z0 + 1.0) / (zmax + 1.0))
     ann_z = jnp.where(
         z > zmax,
@@ -213,9 +277,9 @@ def _energy_injection_rate(ctx: RecfastCtx, z):
     erfc = (1.0 + 0.278393 * u_min + 0.230389 * u_min ** 2
             + 0.000972 * u_min ** 3 + 0.078108 * u_min ** 4) ** -4
     zp3 = (1.0 + z) ** 3
-    return (ctx.rho_cdm_J ** 2 / const.c_SI ** 2 * zp3
+    return (rho_cdm_J ** 2 / const.c_SI ** 2 * zp3
             * (zp3 * ann_z + f_halo * erfc)
-            + ctx.rho_cdm_J * zp3 * dec)
+            + rho_cdm_J * zp3 * dec)
 
 
 def _hubble_si(ctx: RecfastCtx, z):

@@ -162,7 +162,8 @@ class Cosmology:
                 # (primordial_module.cpp:1087); tabulated like external_Pk
                 import numpy as np
 
-                from .models.inflation import compute_inflation_spectrum
+                from .models.inflation import (compute_inflation_spectrum,
+                                               compute_inflation_spectrum_H)
 
                 pert = self.perturbations
                 k_min = float(pert.k[0]) * 0.8
@@ -170,12 +171,28 @@ class Cosmology:
                 n_lnk = int(np.log10(k_max / k_min)
                             * self.pr.k_per_decade_primordial) + 2
                 lnk = np.linspace(np.log(k_min), np.log(k_max), n_lnk)
-                pk_s, pk_t = compute_inflation_spectrum(
-                    infl[0], infl[1], self.params.k_pivot, lnk, self.pr)
+                if infl[0] == "hubble":
+                    pk_s, pk_t = compute_inflation_spectrum_H(
+                        infl[1], self.params.k_pivot, lnk, self.pr)
+                elif infl[0] == "V_end":
+                    # inflation_V_end: pivot field value from the end of
+                    # inflation (primordial_inflation_find_phi_pivot :2324)
+                    from .models.inflation import find_phi_pivot
+
+                    pot_kind, Vs, phi_end, method, target = infl[1]
+                    phi_piv = find_phi_pivot((pot_kind, Vs), phi_end, method,
+                                             target, self.pr)
+                    pk_s, pk_t = compute_inflation_spectrum(
+                        pot_kind, Vs, self.params.k_pivot, lnk, self.pr,
+                        phi_pivot=phi_piv)
+                else:
+                    pk_s, pk_t = compute_inflation_spectrum(
+                        infl[0], infl[1], self.params.k_pivot, lnk, self.pr)
                 ext = (jnp.asarray(lnk), jnp.log(jnp.asarray(pk_s)),
                        jnp.log(jnp.asarray(pk_t)))
             pm = compute_primordial(self.params, iso=getattr(self, "iso_primordial", None),
-                                    external=ext)
+                                    external=ext,
+                                    iso_corr=getattr(self, "iso_corr", None))
             if self.sigma8_target is not None:
                 # sigma8 -> A_s rescaling (reference Cosmology::GetPrimordialModule,
                 # cosmology.cpp:39-54). The source functions are A_s-independent
@@ -188,7 +205,8 @@ class Cosmology:
                 s8 = float(sigma_R(pert.k, pk0, 8.0 / self.params.h)[0])
                 new_As = float(pm.A_s) * (self.sigma8_target / s8) ** 2
                 pm = compute_primordial(self.params.replace(A_s=new_As),
-                                        iso=getattr(self, "iso_primordial", None))
+                                        iso=getattr(self, "iso_primordial", None),
+                                        iso_corr=getattr(self, "iso_corr", None))
             self._cache["pm"] = pm
         return self._cache["pm"]
 
@@ -202,7 +220,9 @@ class Cosmology:
                 self.perturbations, bg, bidx, self.primordial, self.pr,
                 self.params, z_pk=self.out.z_pk,
                 method=self.out.non_linear or "halofit",
-                hm_eta0=self.out.hm_eta0, hm_cmin=self.out.hm_cmin)
+                hm_eta0=self.out.hm_eta0, hm_cmin=self.out.hm_cmin,
+                tau_rec=float(self.thermodynamics.tau_rec)
+                if getattr(self.params, "pk_eq", False) else None)
         return self._cache["nl"]
 
     @property
@@ -309,7 +329,9 @@ class Cosmology:
         import hashlib
 
         blob = repr((self.params, self.pr, self.out,
-                     getattr(self, "inflation_model", None)))
+                     getattr(self, "inflation_model", None),
+                     getattr(self, "iso_primordial", None),
+                     getattr(self, "iso_corr", None)))
         return hashlib.sha256(blob.encode()).hexdigest()[:24]
 
     def save_state(self, path: str):

@@ -6,6 +6,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # the shell presets a TPU platform plugin
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+# XLA:CPU logs a spurious per-cache-hit ERROR when deserializing its own AOT
+# executables: the compile-feature set embeds the +prefer-no-scatter/gather
+# compile *options* as pseudo-features which never appear in the host feature
+# probe, so every persistent-cache load warns about a machine mismatch that
+# is not one. Suppress below-FATAL C++ logging in tests to keep logs readable.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax
 

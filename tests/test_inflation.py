@@ -116,3 +116,103 @@ def test_pk_vs_golden(computed, g14):
     ref = T[sel, 1][::5] / h**3
     rel = np.abs(mine / ref - 1)
     assert rel.max() < 1e-2, (rel.max(), ks[sel][::5][rel.argmax()])
+
+
+# --- inflation_H: Hubble-flow Taylor parametrization (G25) ------------------
+# H(phi) = H_0 + H_1 phi + ... (primordial_inflation_hubble,
+# primordial_module.cpp:1019); background is the first-order Hamilton-Jacobi
+# system, exact backward evolution to aH_ini (no attractor search).
+
+
+def test_inflation_H_primordial_vs_golden():
+    from classpp_public_tpu.config.precision import PrecisionParams
+    from classpp_public_tpu.models.inflation import compute_inflation_spectrum_H
+
+    z = np.load(GOLDEN_DIR / "g25_inflH.npz")
+    T = z["primordial_Pk"]
+    kr, ps_r, pt_r = T[:, 0], T[:, 1], T[:, 2]
+    pr = PrecisionParams()
+    lnk = np.log(np.geomspace(kr[0] * 1.01, kr[-1] * 0.99, 60))
+    ps, pt = compute_inflation_spectrum_H(
+        (1.06e-5, -1.2e-7, 1.1e-8, 0.0, 0.0), 0.05, lnk, pr)
+    k = np.exp(lnk)
+    ps_ref = np.interp(np.log(k), np.log(kr), ps_r)
+    pt_ref = np.interp(np.log(k), np.log(kr), pt_r)
+    assert np.abs(ps / ps_ref - 1).max() < 1e-2
+    assert np.abs(pt / pt_ref - 1).max() < 1e-2
+
+
+def test_inflation_H_end_to_end():
+    """inflation_H through the classy API: P_k_ini type = inflation_H."""
+    c = Class()
+    c.set({
+        "h": 0.67810, "omega_b": 0.02238280, "omega_cdm": 0.1201075,
+        "N_ur": 3.046, "tau_reio": 0.05430842,
+        "P_k_ini type": "inflation_H",
+        "H_0": 1.06e-5, "H_1": -1.2e-7, "H_2": 1.1e-8,
+        "modes": "s,t", "l_max_tensors": 100,
+        "output": "tCl", "l_max_scalars": 100,
+    })
+    c.compute(["spectra"])
+    tt = c.raw_cl(100)["tt"]
+    assert np.all(np.isfinite(tt[2:])) and np.all(tt[2:] > 0)
+
+
+# --- inflation_V_end (G26): potential specified through the end of
+# inflation, pivot located by the amount of inflation after it
+# (primordial_inflation_find_phi_pivot, primordial_module.cpp:2324).
+# V = m^2 (phi - 16)^2 / 2, phi_end = 15.9, N_star = 60; the reference
+# prints phi_pivot = 12.92398 (our search: 12.92403), A_s = 1.52513e-9,
+# n_s = 0.966449, r = 0.132.
+
+VEND_PARAMS = {
+    "h": 0.67810, "T_cmb": 2.7255, "omega_b": 0.02238280,
+    "omega_cdm": 0.1201075, "N_ur": 3.046, "tau_reio": 0.05430842,
+    "YHe": 0.2454006,
+    "P_k_ini type": "inflation_V_end", "full_potential": "polynomial",
+    "phi_end": 15.9,
+    "Vparam0": 1.28e-10, "Vparam1": -1.6e-11, "Vparam2": 1.0e-12,
+    "N_star": 60,
+    "modes": "s,t",
+    "output": "tCl,pCl,lCl,mPk", "lensing": "yes",
+    "l_max_scalars": 1200, "l_max_tensors": 500,
+    "P_k_max_1/Mpc": 1.0, "z_pk": "0.",
+}
+
+
+@pytest.fixture(scope="module")
+def g26():
+    return Golden(GOLDEN_DIR / "g26_inflVend.npz")
+
+
+def test_vend_primordial_spectrum_vs_golden(g26):
+    from classpp_public_tpu.models.inflation import (
+        compute_inflation_spectrum, find_phi_pivot)
+
+    pr = PrecisionParams()
+    pot = ("polynomial", (1.28e-10, -1.6e-11, 1.0e-12, 0.0, 0.0))
+    phi_piv = find_phi_pivot(pot, 15.9, "N_star", 60.0, pr)
+    assert abs(phi_piv - 12.92398) < 2e-3, phi_piv
+    T = g26.table("primordial_Pk")
+    lnk = np.log(T[:, 0])
+    pk_s, pk_t = compute_inflation_spectrum(
+        "polynomial", pot[1], 0.05, lnk, pr, phi_pivot=phi_piv)
+    assert np.abs(pk_s / T[:, 1] - 1).max() < 2e-3, \
+        np.abs(pk_s / T[:, 1] - 1).max()
+    assert np.abs(pk_t / T[:, 2] - 1).max() < 2e-3, \
+        np.abs(pk_t / T[:, 2] - 1).max()
+
+
+def test_vend_raw_cl_vs_golden(g26):
+    c = Class()
+    c.set(dict(VEND_PARAMS))
+    c.compute(["spectra"])
+    cols_t = [str(x) for x in g26.cols("cl")]
+    Tt = g26.table("cl")
+    cl = c.raw_cl(1100)
+    ell = cl["ell"][2:]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    mine_tt = fac * cl["tt"][2:]
+    ref_tt = np.interp(ell, Tt[:, 0], Tt[:, cols_t.index("TT")])
+    rel = np.abs(mine_tt / ref_tt - 1)
+    assert rel.max() < 3e-3, ("tt", rel.max(), ell[rel.argmax()])

