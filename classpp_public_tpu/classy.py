@@ -821,6 +821,26 @@ class Class:
                 for p, (i, j) in enumerate(nc.dl_pairs):
                     if abs(i - j) <= nd:
                         put(f"dens[{i + 1}]-lens[{j + 1}]", nc.dl[p])
+            # CMB x LSS crosses: phi-dens matches the reference
+            # (output_module.cpp:1297); T-dens / T-lens are extensions the
+            # reference hard-disables (spectra_module.cpp:649-663)
+            if self.cosmo.out.nCl and self.cosmo.out.lCl \
+                    and self.cosmo.out.has_cls:
+                ncx = self.cosmo.nc_cross
+                ellx = np.asarray(ncx.ell)
+                mx = ellx <= lmax
+                for b in range(len(self.cosmo.out.selection_mean)):
+                    arr = np.zeros(n)
+                    arr[ellx[mx]] = np.asarray(ncx.pd[b])[mx]
+                    out[f"phi-dens[{b + 1}]"] = arr
+                    if ncx.td is not None:
+                        arr = np.zeros(n)
+                        arr[ellx[mx]] = np.asarray(ncx.td[b])[mx]
+                        out[f"T-dens[{b + 1}]"] = arr
+                    if ncx.tl is not None:
+                        arr = np.zeros(n)
+                        arr[ellx[mx]] = np.asarray(ncx.tl[b])[mx]
+                        out[f"T-lens[{b + 1}]"] = arr
         return out
 
     def density_cl(self, lmax=-1):

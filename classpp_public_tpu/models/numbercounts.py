@@ -67,6 +67,19 @@ class NumberCountsResult(NamedTuple):
     dl_pairs: tuple           # [(i, j)] for dl
 
 
+class CmbNcCrossResult(NamedTuple):
+    """CMB x large-scale-structure cross spectra (spectra_module.cpp
+    :1201-1256). The reference computes pd (lensing potential x density)
+    and hard-disables td/tl as too expensive for its per-l sampling
+    (spectra_module.cpp:649-663, :685-700 comment them out); here the
+    dense-q transfer scan makes them cheap, so they ship as extensions."""
+
+    ell: jnp.ndarray          # integer multipoles 2..l_lss_max
+    pd: jnp.ndarray           # (nbin, nl) phi_CMB x density
+    td: jnp.ndarray = None    # (nbin, nl) T x density (extension)
+    tl: jnp.ndarray = None    # (nbin, nl) T x galaxy lensing (extension)
+
+
 def _selection_dndz(z, mean, width, kind, pr, dndz=None):
     """Raw selection shape (transfer_selection_function :2129-2230):
     gaussian normalized to unit dz integral, smoothed tophat with
@@ -141,10 +154,94 @@ def compute_number_counts(pert, bg, bidx, pm, pr: PrecisionParams,
     multiplier and the evolution term entering f_evo (reference
     has_nz_file/has_nz_analytic and has_nz_evo_*).
     """
+    R = _assemble_rows(bg, bidx, pr, sel_means, sel_widths, kind,
+                       contributions, selection_bias, magnification_bias,
+                       dndz, dndz_evo, pert.tau0, want_ll)
+    nbin = len(sel_means)
+    rows = R.rows
+
+    k = pert.k
+    taus_p = pert.tau
+    S_by_col = {}
+    for col in set(R.src_cols):
+        S = pert.sources[:, :, SrcIdx.ix[col]]        # (nk, ntau_pert)
+        d2 = spline_d2(taus_p, S.T)
+        S_by_col[col] = (S, d2)
+
+    def s_eval(col, tr):
+        S, d2 = S_by_col[col]
+        return spline_eval(taus_p, S.T, d2, tr).T     # (nk, N_TAU_NC)
+
+    ls = get_l_list(pr, l_max)
+    delta = _delta_from_rows(k, s_eval, R, ls)        # (nl, nrow, nk)
+
+    # --- assemble Delta_nc per bin: sum of contribution rows, with the
+    # l(l+1) factor on nc_lens (spectra_compute_cl nc block)
+    lf = jnp.asarray(ls, jnp.float64)
+    llp1 = lf * (lf + 1.0)
+    d_nc = jnp.zeros((len(ls), nbin, len(k)))
+    d_sl = jnp.zeros((len(ls), nbin, len(k)))
+    for i, (t, b) in enumerate(rows):
+        if t == "sl":
+            d_sl = d_sl.at[:, b].add(delta[:, i])
+        elif t == "lens":
+            d_nc = d_nc.at[:, b].add(llp1[:, None] * delta[:, i])
+        else:
+            d_nc = d_nc.at[:, b].add(delta[:, i])
+
+    # --- C_l quadrature over k (spectra_compute_cl :958)
+    w = trapz_weights(k)
+    meas = 4.0 * jnp.pi / k * pm.scalar_pk(k) * w
+
+    def quad(a, b):
+        return jnp.sum(meas[None, :] * a * b, axis=-1)     # (nl,)
+
+    dd_pairs = tuple((i, j) for i in range(nbin)
+                     for j in range(i, min(i + non_diag, nbin - 1) + 1))
+    dl_pairs = tuple((i, j) for i in range(nbin) for j in range(nbin))
+
+    cl_dd = jnp.stack([quad(d_nc[:, i], d_nc[:, j]) for i, j in dd_pairs])
+    cl_ll = jnp.stack([quad(d_sl[:, i], d_sl[:, j]) for i, j in dd_pairs])
+    cl_dl = jnp.stack([quad(d_nc[:, i], d_sl[:, j]) for i, j in dl_pairs])
+
+    # spline to all integer l
+    ells = jnp.arange(2, l_max + 1)
+    to_all = _spline_to_all_l(ls, ells)
+
+    return NumberCountsResult(ell=ells, dd=to_all(cl_dd), ll=to_all(cl_ll),
+                              dl=to_all(cl_dl), dd_pairs=dd_pairs,
+                              dl_pairs=dl_pairs)
+
+
+class _RowInfo(NamedTuple):
+    rows: tuple               # [(type, bin)] in stacking order
+    tau_rows: jnp.ndarray     # (nrow, N_TAU_NC)
+    W_rows: jnp.ndarray       # (nrow, N_TAU_NC) windowed weights
+    src_cols: tuple           # source column names per row
+    kpow: tuple               # k-power rescale per row
+    radial: tuple             # radial code per row (0=j, 1=j', 2=j'')
+    lim_switch: tuple         # per-row Limber switch multipole
+    tau0: float
+
+
+def _spline_to_all_l(ls, ells):
+    l_f = jnp.asarray(ls, jnp.float64)
+
+    def to_all(cl_list):
+        d2 = spline_d2(l_f, cl_list.T)
+        return spline_eval(l_f, cl_list.T, d2, ells.astype(jnp.float64)).T
+
+    return to_all
+
+
+def _assemble_rows(bg, bidx, pr, sel_means, sel_widths, kind, contributions,
+                   selection_bias, magnification_bias, dndz, dndz_evo,
+                   tau0, want_ll) -> _RowInfo:
+    """Selection windows, bias/evolution factors and per-row tau grids —
+    everything about the LSS side that does not depend on the k grid."""
     from .background import tau_of_z
 
     nbin = len(sel_means)
-    tau0 = pert.tau0
     cut = pr.selection_cut_at_sigma
     bias = list(selection_bias) if selection_bias is not None else [1.0] * nbin
     magn = list(magnification_bias) if magnification_bias is not None \
@@ -299,25 +396,22 @@ def compute_number_counts(pert, bg, bidx, pm, pr: PrecisionParams,
                 * max(sel_means[b], 1e-3)
             lim_switch.append(sw)
 
-    tau_rows = jnp.stack(taus_rows)                   # (nrow, ntau)
-    W_rows = jnp.stack(w_rows)
+    return _RowInfo(rows=tuple(rows), tau_rows=jnp.stack(taus_rows),
+                    W_rows=jnp.stack(w_rows), src_cols=tuple(src_cols),
+                    kpow=tuple(kpow), radial=tuple(radial),
+                    lim_switch=tuple(lim_switch), tau0=tau0)
 
-    # --- windowed, resampled sources per row
-    k = pert.k
-    taus_p = pert.tau
-    S_by_col = {}
-    for col in set(src_cols):
-        S = pert.sources[:, :, SrcIdx.ix[col]]        # (nk, ntau_pert)
-        d2 = spline_d2(taus_p, S.T)
-        S_by_col[col] = (S, d2)
 
-    def resample(col, tr):
-        S, d2 = S_by_col[col]
-        return spline_eval(taus_p, S.T, d2, tr).T     # (nk, N_TAU_NC)
+def _delta_from_rows(k, s_eval, R: _RowInfo, ls):
+    """Delta rows (nl, nrow, nk) on an arbitrary k grid: windowed source
+    resampling, the Bessel-recurrence scan, and the Limber tail.
+    s_eval(col, tau_row) -> (nk, N_TAU_NC) source values on the k grid."""
+    tau_rows, W_rows = R.tau_rows, R.W_rows
+    tau0 = R.tau0
 
     S_rows = []
-    for i, (col, kp) in enumerate(zip(src_cols, kpow)):
-        Sr = resample(col, tau_rows[i])
+    for i, (col, kp) in enumerate(zip(R.src_cols, R.kpow)):
+        Sr = s_eval(col, tau_rows[i])
         if kp:
             Sr = Sr * k[:, None] ** kp
         S_rows.append(Sr)
@@ -331,9 +425,9 @@ def compute_number_counts(pert, bg, bidx, pm, pr: PrecisionParams,
     Wrow = WS * (wt * dtau[:, None])[:, None, :]
 
     x = k[None, :, None] * (tau0 - tau_rows)[:, None, :]
-    rad_onehot = jnp.asarray(np.eye(3)[np.asarray(radial)])    # (nrow, 3)
+    rad_onehot = jnp.asarray(np.eye(3)[np.asarray(R.radial)])  # (nrow, 3)
 
-    ls = get_l_list(pr, l_max)
+    rows, radial, lim_switch = R.rows, R.radial, R.lim_switch
     lmax_scan = int(ls[-1])
     emit_idx_np = np.full(lmax_scan + 1, -1, dtype=np.int32)
     for i, lv in enumerate(ls):
@@ -392,14 +486,93 @@ def compute_number_counts(pert, bg, bidx, pm, pr: PrecisionParams,
     d_limber = d_limber.transpose(1, 0, 2)
 
     use_lim = lf[:, None] >= jnp.asarray(np.asarray(lim_switch))[None, :]
-    delta = jnp.where(use_lim[:, :, None], d_limber, delta)
+    return jnp.where(use_lim[:, :, None], d_limber, delta)
 
-    # --- assemble Delta_nc per bin: sum of contribution rows, with the
-    # l(l+1) factor on nc_lens (spectra_compute_cl nc block)
+
+def compute_cmb_nc_cross(pert, th, bg, bidx, pm, pr: PrecisionParams,
+                         sel_means, sel_widths, kind="gaussian",
+                         l_max=300, contributions=("density",),
+                         selection_bias=None, magnification_bias=None,
+                         dndz=None, dndz_evo=None, want_td=False,
+                         want_tl=False) -> CmbNcCrossResult:
+    """CMB x LSS cross spectra (spectra_module.cpp :1201-1256):
+    pd = 0.5(Delta_lcmb Delta_nc + Delta_nc Delta_lcmb) per bin, plus the
+    td/tl extensions the reference disables (:649-663).
+
+    Grid: the shared perturbation k grid, whose nc branch is densely
+    sampled out to k_max_tau0_over_l_max * l_lss_max / chi(bin 1)
+    (pipeline k_max_cl_extra, mirroring perturbations_module.cpp:1732) —
+    the nc side's support sits at k ~ l/chi_sel, a factor tau0/chi_sel
+    above the CMB side's. The Delta_lcmb factor rides the same transfer
+    scan core the CMB stage uses (exact below l_switch_limber, its smooth
+    low-z Limber kernel above); the Delta_T rows are exact with the usual
+    neglect masks (their support k ~ l/tau0 ends far below the grid max)."""
+    from .transfer import (TT_TYPES, _transfer_core, _weighted_sources,
+                           get_l_list)
+
+    nbin = len(sel_means)
+    tau0 = float(pert.tau0)
+    # nc support limit (perturbations_module.cpp:1732 rule)
+    from .background import tau_of_z
+
+    tau1 = float(tau_of_z(bg, jnp.asarray(sel_means[0])))
+    k_max_cross = max(
+        pr.k_max_tau0_over_l_max * l_max / (tau0 - tau1),
+        pr.k_max_tau0_over_l_max * l_max / tau0
+        / float(th.angular_rescaling))
+    k_cmb = np.asarray(pert.k[: pert.k_size_cmb])
+    n_q = min(int(np.searchsorted(k_cmb, k_max_cross)) + 1, len(k_cmb))
+    q = k_cmb[:n_q]
+    qj = jnp.asarray(q)
+
+    ls = get_l_list(pr, l_max)
+    lmax_scan = int(ls[-1])
+    emit_idx_np = np.full(lmax_scan + 1, -1, dtype=np.int32)
+    for i, lv in enumerate(ls):
+        emit_idx_np[lv] = i
+
+    # --- CMB transfer rows on the shared grid (identity k->q interpolation)
+    W_c, Sq_c, taus_c = _weighted_sources(pert, th, pr, q, k_of_q=q,
+                                          k_size=n_q)
+    neglect_dk = (pr.transfer_neglect_delta_k_S_t0,
+                  pr.transfer_neglect_delta_k_S_t1,
+                  pr.transfer_neglect_delta_k_S_t2,
+                  pr.transfer_neglect_delta_k_S_e)
+    ang = float(th.angular_rescaling)
+    ra_rec = (tau0 - float(th.tau_rec)) * ang
+    l_late = pr.transfer_neglect_late_source * ang
+    late_mask = (pert.tau <= th.tau_cut) if th.tau_cut is not None \
+        else jnp.ones_like(pert.tau, bool)
+    core = _transfer_core(lmax_scan, len(ls), len(TT_TYPES), n_q,
+                          W_c.shape[-1], pr.l_switch_limber, neglect_dk,
+                          l_late, 0)
+    acc = core(W_c, Sq_c, taus_c, pert.tau0, qj, jnp.asarray(ls),
+               jnp.asarray(emit_idx_np), jnp.asarray(ra_rec), late_mask,
+               jnp.asarray(0.0), qj)                         # (nl, ntt, nq)
+
+    want_ll = want_tl
+    R = _assemble_rows(bg, bidx, pr, sel_means, sel_widths, kind,
+                       contributions, selection_bias, magnification_bias,
+                       dndz, dndz_evo, pert.tau0, want_ll)
+
+    taus_p = pert.tau
+    S_by_col = {}
+    for col in set(R.src_cols):
+        S = pert.sources[:n_q, :, SrcIdx.ix[col]]     # (nq, ntau_pert)
+        d2 = spline_d2(taus_p, S.T)
+        S_by_col[col] = (S, d2)
+
+    def s_eval(col, tau_row):
+        S, d2 = S_by_col[col]
+        return spline_eval(taus_p, S.T, d2, tau_row).T       # (nq, N_TAU_NC)
+
+    delta = _delta_from_rows(qj, s_eval, R, ls)              # (nl, nrow, nq)
+
+    lf = jnp.asarray(ls, jnp.float64)
     llp1 = lf * (lf + 1.0)
-    d_nc = jnp.zeros((len(ls), nbin, len(k)))
-    d_sl = jnp.zeros((len(ls), nbin, len(k)))
-    for i, (t, b) in enumerate(rows):
+    d_nc = jnp.zeros((len(ls), nbin, len(q)))
+    d_sl = jnp.zeros((len(ls), nbin, len(q)))
+    for i, (t, b) in enumerate(R.rows):
         if t == "sl":
             d_sl = d_sl.at[:, b].add(delta[:, i])
         elif t == "lens":
@@ -407,32 +580,26 @@ def compute_number_counts(pert, bg, bidx, pm, pr: PrecisionParams,
         else:
             d_nc = d_nc.at[:, b].add(delta[:, i])
 
-    # --- C_l quadrature over k (spectra_compute_cl :958)
-    w = trapz_weights(k)
-    meas = 4.0 * jnp.pi / k * pm.scalar_pk(k) * w
+    # CMB transfer rows at the same sparse l list (identical get_l_list)
+    ix = {n: i for i, n in enumerate(TT_TYPES)}
+    t_total = acc[:, ix["t0"]] + acc[:, ix["t1"]] + acc[:, ix["t2"]]
+    p_lcmb = acc[:, ix["lcmb"]]
+
+    w = trapz_weights(qj)
+    meas = 4.0 * jnp.pi / qj * pm.scalar_pk(qj) * w
 
     def quad(a, b):
-        return jnp.sum(meas[None, :] * a * b, axis=-1)     # (nl,)
+        return jnp.sum(meas[None, :] * a * b, axis=-1)       # (nl,)
 
-    dd_pairs = tuple((i, j) for i in range(nbin)
-                     for j in range(i, min(i + non_diag, nbin - 1) + 1))
-    dl_pairs = tuple((i, j) for i in range(nbin) for j in range(nbin))
-
-    cl_dd = jnp.stack([quad(d_nc[:, i], d_nc[:, j]) for i, j in dd_pairs])
-    cl_ll = jnp.stack([quad(d_sl[:, i], d_sl[:, j]) for i, j in dd_pairs])
-    cl_dl = jnp.stack([quad(d_nc[:, i], d_sl[:, j]) for i, j in dl_pairs])
-
-    # spline to all integer l
     ells = jnp.arange(2, l_max + 1)
-    l_f = jnp.asarray(ls, jnp.float64)
+    to_all = _spline_to_all_l(ls, ells)
 
-    def to_all(cl_list):
-        d2 = spline_d2(l_f, cl_list.T)
-        return spline_eval(l_f, cl_list.T, d2, ells.astype(jnp.float64)).T
-
-    return NumberCountsResult(ell=ells, dd=to_all(cl_dd), ll=to_all(cl_ll),
-                              dl=to_all(cl_dl), dd_pairs=dd_pairs,
-                              dl_pairs=dl_pairs)
+    cl_pd = to_all(jnp.stack([quad(p_lcmb, d_nc[:, b]) for b in range(nbin)]))
+    cl_td = to_all(jnp.stack([quad(t_total, d_nc[:, b])
+                              for b in range(nbin)])) if want_td else None
+    cl_tl = to_all(jnp.stack([quad(t_total, d_sl[:, b])
+                              for b in range(nbin)])) if want_tl else None
+    return CmbNcCrossResult(ell=ells, pd=cl_pd, td=cl_td, tl=cl_tl)
 
 
 @lru_cache(maxsize=4)

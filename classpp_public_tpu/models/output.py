@@ -44,17 +44,67 @@ def _cl_table(ell, cl_rows, ct, T_cmb, fmt):
     return names, np.column_stack([ell] + cols)
 
 
+def _nc_columns(cosmo, ell):
+    """Number-count / lensing / cross C_l columns zero-padded onto the file's
+    l grid, in the reference column order: dd, (td), pd, ll, (tl), dl
+    (output_module.cpp:1278-1340 column titles)."""
+    names, cols = [], []
+    fac = ell * (ell + 1.0) / (2.0 * np.pi)
+
+    def pad(row, ell_nc):
+        arr = np.zeros_like(ell)
+        n = min(len(row), len(ell))
+        # both grids start at l=2 and step by 1
+        arr[: len(ell_nc[:n])] = np.asarray(row)[:n]
+        return arr * fac
+
+    out = cosmo.out
+    if out.has_nc:
+        nc = cosmo.number_counts
+        ell_nc = np.asarray(nc.ell, dtype=float)
+        if out.nCl:
+            for p, (i, j) in enumerate(nc.dd_pairs):
+                names.append(f"dens[{i + 1}]-dens[{j + 1}]")
+                cols.append(pad(nc.dd[p], ell_nc))
+        ncx = None
+        if out.nCl and out.lCl and out.has_cls:
+            ncx = cosmo.nc_cross
+            for b in range(len(out.selection_mean)):
+                names.append(f"phi-dens[{b + 1}]")
+                cols.append(pad(ncx.pd[b], np.asarray(ncx.ell, dtype=float)))
+        if out.sCl:
+            for p, (i, j) in enumerate(nc.dd_pairs):
+                names.append(f"lens[{i + 1}]-lens[{j + 1}]")
+                cols.append(pad(nc.ll[p], ell_nc))
+        if out.nCl and out.sCl:
+            nd = out.non_diagonal
+            for p, (i, j) in enumerate(nc.dl_pairs):
+                if abs(i - j) <= nd:
+                    names.append(f"dens[{i + 1}]-lens[{j + 1}]")
+                    cols.append(pad(nc.dl[p], ell_nc))
+    return names, cols
+
+
 def output_cl(cosmo, root: str, lensed: bool = True, fmt: str = "class"):
     """Write raw (and lensed) [l(l+1)/2pi] C_l tables (output_cl :214);
     fmt='camb' switches to CAMB/HealPix units and column order (:1227)."""
     from ..models.spectra import CT_TYPES
 
-    sp = cosmo.spectra
     T_cmb = float(cosmo.params.T_cmb)
-    ct = {n: i for i, n in enumerate(CT_TYPES)}
-    ell = np.asarray(sp.ell, dtype=float)
-    names, data = _cl_table(ell, np.asarray(sp.cl), ct, T_cmb, fmt)
     unit = "[microK]^2" if fmt == "camb" else "dimensionless"
+    if cosmo.out.has_cls:
+        sp = cosmo.spectra
+        ct = {n: i for i, n in enumerate(CT_TYPES)}
+        ell = np.asarray(sp.ell, dtype=float)
+        names, data = _cl_table(ell, np.asarray(sp.cl), ct, T_cmb, fmt)
+    else:
+        # nCl/sCl-only run: the file covers l=2..l_lss_max
+        ell = np.arange(2.0, cosmo.out.l_lss_max + 1.0)
+        names, data = ["l"], ell[:, None]
+    nc_names, nc_cols = _nc_columns(cosmo, ell)
+    if nc_cols:
+        names = list(names) + nc_names
+        data = np.column_stack([data] + nc_cols)
     _write_table(Path(root + "cl.dat"),
                  [f"{unit} total [l(l+1)/2pi] C_l's",
                   f"for l=2 to {int(ell[-1])}"], names, data)

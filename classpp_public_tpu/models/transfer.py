@@ -113,14 +113,16 @@ class TransferResult(NamedTuple):
     k: jnp.ndarray = None   # (nq,) k(q) = sqrt(q^2 - K); equals q when flat
 
 
-def _weighted_sources(pert, th, pr, q: np.ndarray, k_of_q=None, K=0.0, sgnK=0):
+def _weighted_sources(pert, th, pr, q: np.ndarray, k_of_q=None, K=0.0, sgnK=0,
+                      k_size=None):
     """Interpolate CMB sources k->q (spline over k; reference
     transfer_interpolate_sources :1767) and fold in the trapezoidal tau
     weights and per-type rescalings (transfer_sources :1845)."""
     taus = pert.tau
     tau0 = pert.tau0
-    k = pert.k[: pert.k_size_cmb]
-    S = pert.sources[: pert.k_size_cmb]          # (nk, ntau, nsrc)
+    n_k = k_size if k_size is not None else pert.k_size_cmb
+    k = pert.k[:n_k]
+    S = pert.sources[:n_k]                       # (nk, ntau, nsrc)
     six = SrcIdx.ix
     if k_of_q is None:
         k_of_q = np.asarray(q)
@@ -180,13 +182,21 @@ def _transfer_core(lmax_scan: int, n_l: int, n_tt: int, nq: int, ntau: int,
 
 
 def compute_transfer(pert, th, pr: PrecisionParams, l_max: int,
-                     K: float = 0.0, sgnK: int = 0) -> TransferResult:
+                     K: float = 0.0, sgnK: int = 0,
+                     k_max: float = None) -> TransferResult:
     """Delta_l^X(q) for X in TT_TYPES via the Bessel-recurrence scan.
     For K != 0 the scan advances hyperspherical Phi_l^nu by the curved
-    three-term recurrence (tools/hyperspherical.c:472) instead of j_l."""
+    three-term recurrence (tools/hyperspherical.c:472) instead of j_l.
+    k_max truncates the CMB k range below the perturbation module's
+    (grids.py k_max_cmb for the session l_scalar_max) — used by the
+    l <= l_lss_max CMB x nc cross, whose support ends far earlier."""
     tau0 = float(pert.tau0)
     ls = get_l_list(pr, l_max)
     k = np.asarray(pert.k[: pert.k_size_cmb])
+    k_size = None
+    if k_max is not None and k_max < float(k[-1]):
+        k_size = max(int(np.searchsorted(k, k_max)) + 1, 8)
+        k = k[:k_size]
     # open case: q = sqrt(k^2 + K) (transfer_get_q_list :911-925); the grid
     # generator runs in q with the same stepping
     if sgnK == 0:
@@ -203,7 +213,8 @@ def compute_transfer(pert, th, pr: PrecisionParams, l_max: int,
         q = get_q_list(pr, q_min, q_max, tau0, float(th.tau_rec))
         k_of_q = np.sqrt(np.maximum(q * q - K, float(k[0]) ** 2))
 
-    W, Sq, taus = _weighted_sources(pert, th, pr, q, k_of_q=k_of_q, K=K, sgnK=sgnK)
+    W, Sq, taus = _weighted_sources(pert, th, pr, q, k_of_q=k_of_q, K=K,
+                                    sgnK=sgnK, k_size=k_size)
     qj = jnp.asarray(q)
 
     lmax_scan = int(ls[-1])

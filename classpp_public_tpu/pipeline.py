@@ -313,6 +313,27 @@ class Cosmology:
         return self._cache["nc"]
 
     @property
+    def nc_cross(self):
+        """CMB x number-count cross spectra (phi-dens, reference
+        spectra_module.cpp :1211; plus T-dens/T-lens extensions)."""
+        if "ncx" not in self._cache:
+            from .models.numbercounts import compute_cmb_nc_cross
+
+            bg, bidx = self.background
+            self._cache["ncx"] = compute_cmb_nc_cross(
+                self.perturbations, self.thermodynamics, bg, bidx,
+                self.primordial, self.pr,
+                self.out.selection_mean, self.out.selection_width,
+                kind=self.out.selection_kind, l_max=self.out.l_lss_max,
+                contributions=self.out.nc_contributions,
+                selection_bias=self.out.selection_bias,
+                magnification_bias=self.out.magnification_bias,
+                dndz=self.out.dndz, dndz_evo=self.out.dndz_evo,
+                want_td=self.out.tCl,
+                want_tl=self.out.tCl and self.out.sCl)
+        return self._cache["ncx"]
+
+    @property
     def lensing(self):
         if "le" not in self._cache:
             from .models.lensing import compute_lensing
@@ -328,7 +349,11 @@ class Cosmology:
     def state_key(self) -> str:
         import hashlib
 
-        blob = repr((self.params, self.pr, self.out,
+        from . import __version__
+
+        # the version tag invalidates cached stages across code changes —
+        # a stale pickle otherwise silently serves results from old physics
+        blob = repr((__version__, self.params, self.pr, self.out,
                      getattr(self, "inflation_model", None),
                      getattr(self, "iso_primordial", None),
                      getattr(self, "iso_corr", None)))
@@ -428,6 +453,8 @@ class Cosmology:
                 continue
             if lv == "spectra" and self.out.has_nc:
                 self.number_counts
+                if self.out.nCl and self.out.lCl and self.out.has_cls:
+                    self.nc_cross
             if lv in ("transfer", "spectra") and not self.out.has_cls:
                 continue
             if lv == "lensing" and not (self.out.lensing and self.out.has_cls):

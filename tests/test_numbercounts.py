@@ -176,3 +176,67 @@ def test_full_density_lensing_cross(computed_full, g19, key):
     den = np.sqrt(T[m, idd] * T[m, ill])
     rel = np.abs(mine - T[m, ic]) / den
     assert rel.max() < 1e-2, (key, rel.max(), ell[rel.argmax()])
+
+
+# --- CMB x LSS crosses (G27): phi-dens vs the reference, T-dens/T-lens
+# extensions by internal consistency (the reference hard-disables td/tl,
+# spectra_module.cpp:649-663, so no golden can exist for them).
+
+G27_PARAMS = {
+    "h": 0.67810, "omega_b": 0.02238280, "omega_cdm": 0.1201075,
+    "N_ur": 3.046, "A_s": 2.100549e-09, "n_s": 0.9660499,
+    "tau_reio": 0.05430842,
+    "output": "tCl,pCl,lCl,nCl", "lensing": "yes", "l_max_scalars": 600,
+    "selection": "gaussian", "selection_mean": "0.5, 1.0",
+    "selection_width": "0.1", "l_max_lss": 300, "non_diagonal": 1,
+    "number count contributions": "density, rsd, lensing, gr",
+}
+
+
+@pytest.fixture(scope="module")
+def g27():
+    return Golden(GOLDEN_DIR / "g27_pd.npz")
+
+
+@pytest.fixture(scope="module")
+def computed_pd():
+    c = Class()
+    c.set(dict(G27_PARAMS))
+    c.compute(["spectra"])
+    return c
+
+
+@pytest.mark.parametrize("b", [1, 2])
+def test_phi_dens_vs_golden(computed_pd, g27, b):
+    """C_l^{phi x dens_b} against the reference, normalized by the
+    sqrt(phiphi * dd) envelope (the cross passes through small values)."""
+    cols = [str(c) for c in g27.cols("cl")]
+    T = g27.table("cl")
+    lr = T[:, 0].astype(int)
+    m = (lr >= 2) & (lr <= 300)
+    cl = computed_pd.raw_cl(300)
+    ell = lr[m]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    mine = fac * cl[f"phi-dens[{b}]"][ell]
+    ref = T[m, cols.index(f"phi-dens[{b}]")]
+    ipp = cols.index("phiphi")
+    idd = cols.index(f"dens[{b}]-dens[{b}]")
+    den = np.sqrt(T[m, ipp] * T[m, idd])
+    rel = np.abs(mine - ref) / den
+    assert rel.max() < 1e-2, (b, rel.max(), ell[rel.argmax()])
+
+
+def test_td_tl_extensions(computed_pd, g27):
+    """T-dens / T-lens are finite and bounded by the Cauchy-Schwarz
+    envelope sqrt(C_TT * C_XX) (5% headroom: tt rides the dedicated
+    transfer q grid while dd rides the shared perturbation grid, so the
+    exact same-measure bound does not strictly apply)."""
+    cl = computed_pd.raw_cl(300)
+    ell = np.arange(2, 301)
+    tt = cl["tt"][ell]
+    for b in (1, 2):
+        td = cl[f"T-dens[{b}]"][ell]
+        dd = cl[f"dens[{b}]-dens[{b}]"][ell]
+        assert np.isfinite(td).all()
+        assert (np.abs(td) <= 1.05 * np.sqrt(tt * dd)).all(), b
+    assert "T-lens[1]" not in cl  # sCl off in this config
