@@ -253,6 +253,76 @@ class Class:
                 kw["m_ncdm"] = tuple(
                     self._m_ncdm_from_omega(dict(kw), i, float(om[i]), h)
                     for i in range(len(om)))
+        # decaying ncdm -> dark radiation (DNCDM, the fork's headline
+        # extension; tools/non_cold_dark_matter.cpp:230 + input_module
+        # :1098-1180). Decay species append to the END of the ncdm tuples.
+        n_dec = int(p.pop("N_ncdm_decay_dr", 0) or 0)
+        if n_dec > 0:
+            from . import constants as _const
+
+            def _padded(key, default):
+                vals = list(kw.get(key, ()))
+                return vals + [default] * (n_ncdm - len(vals))
+
+            m_dec = _parse_list(p.pop("m_ncdm_decay_dr", "")) or [1.0] * n_dec
+            T_dec = _parse_list(p.pop("T_ncdm_decay_dr", "")) \
+                or [0.71611] * n_dec
+            # Gamma input variants (exactly one; :518-545)
+            if "Gamma_ncdm_decay_dr" in p:
+                gam = _parse_list(p.pop("Gamma_ncdm_decay_dr"))
+            elif "log10Gamma_ncdm_decay_dr" in p:
+                gam = [10.0 ** v for v in
+                       _parse_list(p.pop("log10Gamma_ncdm_decay_dr"))]
+            elif "lifetime_ncdm_decay_dr" in p:
+                gam = [1.0 / v / (365.0 * 24 * 3600)
+                       * _const.Mpc_over_m * 1e-3
+                       for v in _parse_list(p.pop("lifetime_ncdm_decay_dr"))]
+            elif "log10lifetime_ncdm_decay_dr" in p:
+                gam = [1.0 / 10.0 ** v / (365.0 * 24 * 3600)
+                       * _const.Mpc_over_m * 1e-3 for v in
+                       _parse_list(p.pop("log10lifetime_ncdm_decay_dr"))]
+            else:
+                raise CosmoSevereError(
+                    "N_ncdm_decay_dr requires one of Gamma_ncdm_decay_dr, "
+                    "log10Gamma_ncdm_decay_dr, lifetime_ncdm_decay_dr, "
+                    "log10lifetime_ncdm_decay_dr")
+            # degeneracy: direct, from Omega at a_ini, or shot from the
+            # combined Omega_dncdmdr today (input_module :1129-1175)
+            # Omega0_g = rho_g0 / H0^2 with H0 = 100h km/s/Mpc in 1/Mpc units
+            H0_mpc = h / 2997.92458
+            Og0 = float(_const.rho_gamma_class_units(
+                kw.get("T_cmb", 2.7255))) / H0_mpc**2
+            if "deg_ncdm_decay_dr" in p:
+                deg_dec = _parse_list(p.pop("deg_ncdm_decay_dr"))
+            elif any(x in p for x in ("Omega_ini_dncdm", "omega_ini_dncdm",
+                                      "Neff_ini_dncdm")):
+                # deg from the relativistic-limit density at a_ini:
+                # Omega_ini = deg (7/8) T_ratio^4 Omega0_g
+                # (SetDeg_from_Omega_ini, tools/non_cold_dark_matter.cpp:1069)
+                if "Neff_ini_dncdm" in p:
+                    om_ini = [v * 7.0 / 8.0 * (4.0 / 11.0) ** (4.0 / 3.0) * Og0
+                              for v in _parse_list(p.pop("Neff_ini_dncdm"))]
+                else:
+                    om_ini = _parse_list(p.pop("Omega_ini_dncdm", "")) or \
+                        [v / h / h for v in
+                         _parse_list(p.pop("omega_ini_dncdm"))]
+                deg_dec = [om_ini[j] / (7.0 / 8.0 * T_dec[j] ** 4 * Og0)
+                           for j in range(n_dec)]
+            else:
+                deg_dec = [1.0] * n_dec
+            if "Omega_dncdmdr" in p or "omega_dncdmdr" in p:
+                om_t = _parse_list(p.pop("Omega_dncdmdr", "")) or \
+                    [v / h / h for v in _parse_list(p.pop("omega_dncdmdr"))]
+                kw["Omega_dncdmdr"] = tuple(om_t)
+            kw["m_ncdm"] = tuple(_padded("m_ncdm", 0.06) + list(m_dec))
+            kw["T_ncdm"] = tuple(_padded("T_ncdm", 0.71611) + list(T_dec))
+            kw["deg_ncdm"] = tuple(_padded("deg_ncdm", 1.0) + list(deg_dec))
+            if kw.get("ksi_ncdm"):
+                kw["ksi_ncdm"] = tuple(_padded("ksi_ncdm", 0.0)
+                                       + [0.0] * n_dec)
+            kw["N_ncdm_decay_dr"] = n_dec
+            kw["Gamma_dncdm"] = tuple(gam)
+            n_ncdm += n_dec
         # decaying dark matter -> dark radiation
         if any(x in p for x in ("Omega_dcdmdr", "omega_dcdmdr", "Omega_ini_dcdm",
                                 "omega_ini_dcdm", "Gamma_dcdm")):
@@ -449,6 +519,11 @@ class Class:
                 "too: 'Vectors not coded yet', perturbations_module.cpp:581)")
         if "l_max_tensors" in p:
             out.l_tensor_max = int(float(p.pop("l_max_tensors")))
+        if "t" in out.modes and kw.get("N_ncdm_decay_dr", 0):
+            # parity with the reference class_test
+            # (perturbations_module.cpp:7787)
+            raise CosmoSevereError(
+                "Cannot evolve tensor modes with decaying NCDM species")
         if "t" in out.modes:
             # tensor tilt/running: inflationary self-consistency unless given
             # (input_module.cpp:2126-2144: n_t = -r/8 (2 - r/8 - n_s),

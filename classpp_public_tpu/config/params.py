@@ -80,6 +80,15 @@ class CosmoParams:
                                            # ("" = analytic FD), 2 columns
                                            # q, f0 in reference units
                                            # (psd_FD_single.dat format)
+    # decaying ncdm -> dark radiation (this fork's DNCDM species,
+    # tools/non_cold_dark_matter.cpp decay_dr_map_): the LAST
+    # N_ncdm_decay_dr entries of the ncdm tuples are decay species (the
+    # reference appends them the same way, :376). Gamma in km/s/Mpc.
+    N_ncdm_decay_dr: int = 0
+    Gamma_dncdm: Tuple[float, ...] = ()    # one per decay species
+    Omega_dncdmdr: Tuple[float, ...] = ()  # per-species (rho_dncdm+rho_dr)/
+                                           # rho_crit today target (0 = use
+                                           # deg as given; input :3715)
     # decaying cold dark matter -> dark radiation (reference
     # background_module.cpp dcdm block + tools/dark_radiation.cpp).
     # Either Omega_ini_dcdm ("would-be" Omega today without decay) or
@@ -191,6 +200,14 @@ class CosmoParams:
 
     def deg_ncdm_of(self, i: int) -> float:
         return self.deg_ncdm[i] if i < len(self.deg_ncdm) else 1.0
+
+    def gamma_dncdm_of(self, i: int) -> float:
+        """Decay rate [km/s/Mpc] of GLOBAL ncdm species i (0 = stable).
+        Decay species occupy the last N_ncdm_decay_dr slots."""
+        j = i - (self.N_ncdm - self.N_ncdm_decay_dr)
+        if 0 <= j < len(self.Gamma_dncdm):
+            return self.Gamma_dncdm[j]
+        return 0.0
 
     @property
     def N_eff(self) -> float:

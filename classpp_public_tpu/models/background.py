@@ -38,8 +38,10 @@ class BgIdx:
     source/background_module.h:40-99). Built per-run since ncdm count varies."""
 
     def __init__(self, n_ncdm: int, has_fld: bool, has_dcdm: bool = False,
-                 has_scf: bool = False, has_idm_dr: bool = False):
-        self.key = (n_ncdm, has_fld, has_dcdm, has_scf, has_idm_dr)
+                 has_scf: bool = False, has_idm_dr: bool = False,
+                 n_dncdm: int = 0, nq_dec: int = 0):
+        self.key = (n_ncdm, has_fld, has_dcdm, has_scf, has_idm_dr,
+                    n_dncdm, nq_dec)
         names = ["a", "H", "H_prime", "rho_g", "rho_b", "rho_cdm", "rho_lambda", "rho_ur"]
         if has_fld:
             names += ["rho_fld", "w_fld", "w_prime_fld"]
@@ -52,6 +54,14 @@ class BgIdx:
             names += ["rho_idm_dr", "rho_idr"]
         for i in range(n_ncdm):
             names += [f"rho_ncdm{i}", f"p_ncdm{i}", f"pseudo_p_ncdm{i}"]
+        # decaying ncdm -> dr: per decay species the dr density plus the
+        # decay exponent ln f/f0 and its dlnq derivative on the perturbation
+        # Gauss-Laguerre nodes (reference index_bg_lnf_ncdm_decay_dr1_ /
+        # dlnfdlnq_separate, background_module.cpp:878-880)
+        for j in range(n_dncdm):
+            names += [f"rho_dr_ncdm{j}"]
+            names += [f"lnfdec{j}_{k}" for k in range(nq_dec)]
+            names += [f"dsep{j}_{k}" for k in range(nq_dec)]
         names += ["rho_tot", "p_tot", "p_tot_prime", "rho_crit", "Omega_m", "Omega_r",
                   "conf_distance", "ang_distance", "lum_distance", "time", "rs", "D", "f"]
         self.names = names
@@ -86,6 +96,9 @@ class BackgroundResult(NamedTuple):
     Omega0_ur: jnp.ndarray
     Omega0_ncdm_tot: jnp.ndarray
     rho_ncdm0: jnp.ndarray     # (n_ncdm,) today's rho per species
+    # decay species: effective degeneracy after the in-loop Omega_dncdmdr
+    # rescale (None when no decay species / no Omega target)
+    deg_dncdm_eff: tuple = None
 
     def at_tau(self, tau):
         """All columns interpolated at conformal time tau (any shape).
@@ -402,6 +415,132 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
             rho_dr = C * I_dr / a**4
         Omega0_dcdmdr_now = (rho_dcdm[-1] + rho_dr[-1]) / H0**2
 
+    # --- decaying ncdm -> dark radiation (DNCDM, this fork's specialty) ----
+    # Reference: tools/non_cold_dark_matter.cpp decay_dr_map_ +
+    # background_module.cpp:1991-2020. The distribution decays as
+    # d ln f / dtau = -a^2 M Gamma / eps  (eps = sqrt(q^2 + a^2 M^2), M, q
+    # in units of T_ncdm0), and the dark radiation gains
+    # d(rho_dr a^4)/dtau = a Gamma M n a^4. The reference integrates ln f(q)
+    # per q-node inside its background ODE; here both have closed-form
+    # cumulative integrals on the ln a grid given H(a), so a short
+    # fixed-point iteration on H replaces the coupled ODE (same pattern as
+    # the dcdm block above).
+    n_dec = params.N_ncdm_decay_dr if n_ncdm else 0
+    n_std = n_ncdm - n_dec
+    rho_dr_nc = []
+    lnfdec_pt = []           # (N, nq_pt) per decay species, on the GL nodes
+    dsep_pt = []
+    dsrc_nc = [None] * n_dec   # a Gamma M n per species (dr source)
+    pdec_nc = [None] * n_dec   # decay part of dp_ncdm/dtau
+    nq_pt = 32 if psd_nonstd else 16   # mirror solve.py's q_size_ncdm rule
+    if n_dec:
+        from ..ops.quadrature import trapz_weights_np as _tw
+
+        qf = np.linspace(1e-5, _NCDM_QMAX, _NCDM_NQ)
+        wq_f = _tw(qf)
+        q_pt, wf_pt, _dl_pt = ncdm_psd_weights(params, nq_pt, gauss=True)
+        qf_j = jnp.asarray(qf)
+        qpt_j = jnp.asarray(q_pt)
+
+        base = rho_g + rho_b + rho_cdm + rho_ur + rho_idm_dr + rho_idr \
+            + rho_dcdm + rho_dr
+        Om_stable = (Omega0_g + Omega0_b + Omega0_cdm + Omega0_ur
+                     + Omega0_idm_dr + Omega0_idr + Omega0_dcdmdr_now)
+        for i in range(n_std):
+            base = base + rho_ncdm[i]
+            Om_stable = Om_stable + rho_ncdm[i][-1] / H0**2
+
+        xs, Gs, Cs, f0s = [], [], [], []
+        for j, i in enumerate(range(n_std, n_ncdm)):
+            T_ratio = params.T_ncdm_of(i)
+            T0_eV = const.k_B * params.T_cmb * T_ratio / const.eV_SI
+            xs.append(params.m_ncdm[i] / T0_eV)
+            Gs.append(params.gamma_dncdm_of(i) / 299792.458)  # -> 1/Mpc
+            Cs.append(params.deg_ncdm_of(i) * (7.0 / 8.0) * T_ratio**4
+                      * float(rho_g0))
+            f0s.append(ncdm_psd_f0(params, i, qf))
+
+        def cumtrapz_loga(y):
+            """Cumulative integral over the uniform ln a grid, axis 0."""
+            d = loga[1] - loga[0]
+            avg = 0.5 * (y[1:] + y[:-1]) * d
+            return jnp.concatenate([jnp.zeros((1,) + y.shape[1:], y.dtype),
+                                    jnp.cumsum(avg, axis=0)])
+
+        for _ in range(5):
+            dnc_today = sum(rho_ncdm[i][-1] for i in range(n_std, n_ncdm))
+            dr_today = sum(r[-1] for r in rho_dr_nc) if rho_dr_nc else 0.0
+            lam = (1.0 - params.Omega_k - Om_stable
+                   - (dnc_today + dr_today) / H0**2) * H0**2
+            rho_ti = base + lam
+            for j in range(n_dec):
+                rho_ti = rho_ti + rho_ncdm[n_std + j]
+                if rho_dr_nc:
+                    rho_ti = rho_ti + rho_dr_nc[j]
+            H_i = jnp.sqrt(rho_ti + params.Omega_k * H0**2 / a**2)
+
+            rho_dr_nc_new = []
+            for j, i in enumerate(range(n_std, n_ncdm)):
+                x_j, G_j, C_j = xs[j], Gs[j], Cs[j]
+                eps_f = jnp.sqrt(qf_j[None, :] ** 2
+                                 + (a[:, None] * x_j) ** 2)     # (N, nqf)
+                # ln f/f0 = -G x int dln a'  a'/(H' eps')
+                J = cumtrapz_loga(a[:, None] / (H_i[:, None] * eps_f))
+                lnf = -G_j * x_j * J
+                w_eff = (wq_f * f0s[j])[None, :] * jnp.exp(lnf)  # (N, nqf)
+                i_rho = jnp.sum(w_eff * qf_j**2 * eps_f, axis=1) / _RHO_INTEGRAL_0
+                i_p = jnp.sum(w_eff * qf_j**4 / eps_f, axis=1) / (3.0 * _RHO_INTEGRAL_0)
+                i_pp = jnp.sum(w_eff * qf_j**6 / eps_f**3, axis=1) / (3.0 * _RHO_INTEGRAL_0)
+                I_n = jnp.sum(w_eff * qf_j**2, axis=1) / _RHO_INTEGRAL_0
+                pref_j = C_j / a**4
+                rho_ncdm[n_std + j] = pref_j * i_rho
+                p_ncdm[n_std + j] = pref_j * i_p
+                pp_ncdm[n_std + j] = pref_j * i_pp
+                # rho_dr a^4 = int dln a'  G x C I_n a'/H'
+                I_dr = cumtrapz_loga(G_j * x_j * C_j * I_n * a / H_i)
+                rho_dr_j = I_dr / a**4
+                # Omega_dncdmdr target = (rho_dncdm + rho_dr)/H0^2 today
+                # (input_module.cpp:3715): both scale linearly in the
+                # degeneracy, so rescale C_j inside the fixed point instead
+                # of the reference's outer shooting
+                targets = getattr(params, "Omega_dncdmdr", ()) or ()
+                if j < len(targets) and targets[j] > 0.0:
+                    fac_t = targets[j] * H0**2 / (rho_ncdm[n_std + j][-1]
+                                                  + rho_dr_j[-1])
+                    Cs[j] = C_j * fac_t
+                    rho_ncdm[n_std + j] = rho_ncdm[n_std + j] * fac_t
+                    p_ncdm[n_std + j] = p_ncdm[n_std + j] * fac_t
+                    pp_ncdm[n_std + j] = pp_ncdm[n_std + j] * fac_t
+                    rho_dr_j = rho_dr_j * fac_t
+                rho_dr_nc_new.append(rho_dr_j)
+                # dr source a Gamma M n and the decay part of dp_ncdm/dtau
+                # (for the p_tot_prime column)
+                dsrc_nc[j] = G_j * x_j * C_j * I_n / a**2
+                i_pdec = jnp.sum(w_eff * qf_j**4 / eps_f**2, axis=1) \
+                    / (3.0 * _RHO_INTEGRAL_0)
+                pdec_nc[j] = G_j * x_j * a**2 * pref_j * i_pdec
+            rho_dr_nc = rho_dr_nc_new
+
+        # final pass: store the perturbation-grid decay exponent columns and
+        # fix the Omega accounting (the standard loop accumulated the
+        # UNDECAYED rho for these species)
+        for j, i in enumerate(range(n_std, n_ncdm)):
+            x_j, G_j = xs[j], Gs[j]
+            eps_p = jnp.sqrt(qpt_j[None, :] ** 2 + (a[:, None] * x_j) ** 2)
+            J = cumtrapz_loga(a[:, None] / (H_i[:, None] * eps_p))
+            lnfdec_pt.append(-G_j * x_j * J)
+            # d/dlnq of the decay exponent: +G x int a' q^2/(H' eps'^3)
+            Jq = cumtrapz_loga(a[:, None] * qpt_j[None, :] ** 2
+                               / (H_i[:, None] * eps_p**3))
+            dsep_pt.append(G_j * x_j * Jq)
+            Omega0_ncdm_tot = (Omega0_ncdm_tot
+                               - rho_ncdm0_list[i] / H0**2
+                               + rho_ncdm[i][-1] / H0**2)
+            rho_ncdm0_list[i] = rho_ncdm[i][-1]
+        rho_ncdm0 = jnp.asarray(rho_ncdm0_list)
+    Omega0_dr_nc = sum(r[-1] for r in rho_dr_nc) / H0**2 if n_dec \
+        else jnp.asarray(0.0, dtype)
+
     # --- scalar-field dark energy (quintessence) ---------------------------
     # (background_module.cpp:2065-2150 potential V = V_e*V_p; KG equation
     # integrated in ln a alongside the closed-form species; the reference's
@@ -502,7 +641,7 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     # budget closure: Lambda or fld absorbs 1 - sum(others) - Omega_k
     Omega0_others = (Omega0_g + Omega0_b + Omega0_cdm + Omega0_ur
                      + Omega0_ncdm_tot + Omega0_dcdmdr_now + Omega0_scf_now
-                     + Omega0_idm_dr + Omega0_idr)
+                     + Omega0_idm_dr + Omega0_idr + Omega0_dr_nc)
     Omega0_de = 1.0 - params.Omega_k - Omega0_others
     if has_fld:
         Omega0_fld = Omega0_de
@@ -557,6 +696,9 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
         + rho_dcdm + rho_dr + rho_scf + rho_idm_dr + rho_idr
     p_tot = (rho_g + rho_ur + rho_dr + rho_idr) / 3.0 - rho_lambda + p_scf \
         + (w_fld * rho_fld if has_fld else 0.0)
+    for r in rho_dr_nc:
+        rho_tot = rho_tot + r
+        p_tot = p_tot + r / 3.0
     for i in range(n_ncdm):
         rho_tot = rho_tot + rho_ncdm[i]
         p_tot = p_tot + p_ncdm[i]
@@ -586,6 +728,10 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     for i in range(n_ncdm):
         # dp_ncdm/dtau = aH (pseudo_p - 5 p)  (tools/non_cold_dark_matter.cpp)
         p_tot_prime = p_tot_prime + aH * (pp_ncdm[i] - 5.0 * p_ncdm[i])
+    for j in range(n_dec):
+        # dr: p' = (-4 aH rho_dr + a Gamma M n)/3; ncdm decay loss in p
+        p_tot_prime = p_tot_prime \
+            + (-4.0 * aH * rho_dr_nc[j] + dsrc_nc[j]) / 3.0 - pdec_nc[j]
 
     # --- time-like integrals on the loga grid ------------------------------
     inv_aH = 1.0 / aH
@@ -637,6 +783,8 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
 
     # --- z_eq (radiation-matter equality) -----------------------------------
     rho_r_tot = rho_g + rho_ur + rho_dr + rho_idr  # (+ rel. part of ncdm ~ 3p)
+    for r in rho_dr_nc:
+        rho_r_tot = rho_r_tot + r
     rho_m_tot = rho_b + rho_cdm + rho_dcdm + rho_idm_dr
     if has_scf:
         # field pressure counts as radiation, the rest as matter
@@ -659,7 +807,8 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     Omega_r_of_a = rho_r_tot / rho_crit
 
     # --- assemble table ------------------------------------------------------
-    idx = BgIdx(n_ncdm, has_fld, has_dcdm, has_scf, has_idm_dr)
+    idx = BgIdx(n_ncdm, has_fld, has_dcdm, has_scf, has_idm_dr,
+                n_dncdm=n_dec, nq_dec=nq_pt if n_dec else 0)
     cols = {
         "a": a, "H": H, "H_prime": H_prime,
         "rho_g": rho_g, "rho_b": rho_b, "rho_cdm": rho_cdm,
@@ -689,6 +838,11 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
         cols[f"rho_ncdm{i}"] = rho_ncdm[i]
         cols[f"p_ncdm{i}"] = p_ncdm[i]
         cols[f"pseudo_p_ncdm{i}"] = pp_ncdm[i]
+    for j in range(n_dec):
+        cols[f"rho_dr_ncdm{j}"] = rho_dr_nc[j]
+        for kq in range(nq_pt):
+            cols[f"lnfdec{j}_{kq}"] = lnfdec_pt[j][:, kq]
+            cols[f"dsep{j}_{kq}"] = dsep_pt[j][:, kq]
     table = jnp.stack([cols[n] for n in idx.names], axis=1)
 
     # --- uniform ln(tau) respline for runtime -------------------------------
@@ -715,6 +869,10 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
         tau_eq=tau_eq,
         a_today=jnp.asarray(1.0, dtype),
         H0=H0,
+        deg_dncdm_eff=tuple(
+            float(Cs[j]) / ((7.0 / 8.0) * params.T_ncdm_of(n_std + j) ** 4
+                            * float(rho_g0))
+            for j in range(n_dec)) if n_dec else None,
         Omega0_m=Omega0_b + Omega0_cdm + (Omega0_ncdm_tot if n_ncdm else 0.0)
         + (rho_dcdm[-1] / H0**2 if has_dcdm else 0.0)
         + (Omega0_idm_dr if has_idm_dr else 0.0),

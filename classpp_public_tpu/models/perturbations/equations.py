@@ -19,6 +19,8 @@ trace covers every (k, regime) and vmap runs the whole k-grid in lockstep.
 
 from __future__ import annotations
 
+import math
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -44,6 +46,89 @@ class NcdmCtx(NamedTuple):
     dlnf0: jnp.ndarray    # (ns, nq) per-species dln f0 / dln q
     x_fac: jnp.ndarray    # (ns,) m/T_ncdm0 (dimensionless)
     pref: jnp.ndarray     # (ns,) normalization (class units Mpc^-2)
+    # decaying ncdm -> dr (the LAST idx.n_dncdm species): decay rates and
+    # the background-table column of rho_dr_ncdm0 (each decay species owns
+    # a contiguous [rho_dr, lnfdec x nq, dsep x nq] column block)
+    gamma: jnp.ndarray = None     # (ns,) decay rate [1/Mpc], 0 = stable
+    ker_x: jnp.ndarray = None     # (npts,) kernel table abscissae
+    ker_G: jnp.ndarray = None     # (npts, l_max_dr+1) F_l(x)/x^l table
+
+
+def _ncdm_eff_weights(bgv, ctx):
+    """(w_eff, dlnf0_eff): per-species quadrature weights and dln f0/dln q
+    with the decaying species' time-dependent factors pulled from the
+    background table (the reference re-weights w_ncdm per step from its
+    integrated ln f, background_module.cpp:372-380)."""
+    nc, idx = ctx.ncdm, ctx.idx
+    if not idx.n_dncdm:
+        return nc.w, nc.dlnf0
+    ns, nq = idx.n_ncdm, idx.q_size_ncdm
+    n_std = ns - idx.n_dncdm
+    stride = 1 + 2 * nq
+    rows_w = [nc.w[i] for i in range(n_std)]
+    rows_d = [nc.dlnf0[i] for i in range(n_std)]
+    for j in range(idx.n_dncdm):
+        base = idx.dec_col0 + j * stride
+        lnf = bgv[base + 1: base + 1 + nq]
+        sep = bgv[base + 1 + nq: base + 1 + 2 * nq]
+        rows_w.append(nc.w[n_std + j] * jnp.exp(lnf))
+        rows_d.append(nc.dlnf0[n_std + j] + sep)
+    return jnp.stack(rows_w), jnp.stack(rows_d)
+
+
+@lru_cache(maxsize=2)
+def dr_kernel_table(lmax, npts=1024):
+    """Decay scattering kernel F_l(x), x = q/eps, tabulated as the smooth
+    G_l(x) = F_l(x)/x^l on a uniform x grid. Cosmology-independent, so it is
+    precomputed on the host ONCE (numpy) instead of running the reference's
+    per-step Miller recurrence (perturbations_module.cpp:8374-8420
+    ComputeFl) inside the jitted RHS."""
+    import numpy as _np
+
+    xg = _np.linspace(1e-6, 1.0, npts)
+    G = _np.ones((npts, lmax + 1))
+    ell = _np.arange(lmax + 1)
+    for i, x in enumerate(xg):
+        F = _np.ones(lmax + 1)
+        if x > 0.9999:
+            if lmax >= 1:
+                F[1] = x
+            if lmax >= 2:
+                xa = min(x, 1.0 - 1e-14)
+                F[2] = (x * (5.0 * x * x - 3.0)
+                        + 3.0 * (x * x - 1.0) ** 2 * _np.arctanh(xa))                     / (2.0 * x ** 3)
+            for l in range(3, lmax + 1):
+                F[l] = ((2.0 * l - 1.0) * F[l - 1] / x
+                        - (l + 1.0) * F[l - 2]) / (l - 2.0)
+        else:
+            km = 42 + lmax
+            if x > 0.9:
+                km = int(km * (-1.0 - 1.8 * math.log(1.0 / x - 1.0)))
+            Fp2, Fp1 = 0.0, 1.0
+            for l in range(km, -1, -1):
+                Fp = ((2.0 * l + 3.0) * Fp1 / x - l * Fp2) / (l + 3.0)
+                if Fp > 1e250:
+                    Fp1 /= Fp
+                    F /= Fp
+                    Fp = 1.0
+                if l <= lmax:
+                    F[l] = Fp
+                Fp2, Fp1 = Fp1, Fp
+            F = F / F[0]
+        G[i] = F / x ** ell
+    return jnp.asarray(xg), jnp.asarray(G)
+
+
+def _dr_kernel_eval(x, xg, G):
+    """F_l(x) for x (nq,) -> (nq, L): linear interp of G_l plus the exact
+    x^l prefactor (so the steep small-x behavior costs no table resolution)."""
+    npts = xg.shape[0]
+    fi = (jnp.clip(x, xg[0], xg[-1]) - xg[0]) / (xg[-1] - xg[0]) * (npts - 1)
+    i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, npts - 2)
+    wgt = (fi - i0.astype(x.dtype))[:, None]
+    Gx = G[i0] * (1.0 - wgt) + G[i0 + 1] * wgt
+    L = G.shape[1]
+    return Gx * x[:, None] ** jnp.arange(L, dtype=x.dtype)
 
 
 class PertCtx(NamedTuple):
@@ -222,7 +307,8 @@ def rhs_full(tau, y, ctx: PertCtx):
         eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)   # (ns, nq)
         fac = nc.pref / a2 / a2                                             # (ns,)
         # exact momentum integrals (perturb_total_stress_energy :6347-6395)
-        qw = nc.w * nc.q[None, :] ** 2                                  # (ns, nq)
+        w_eff, dl_eff = _ncdm_eff_weights(bgv, ctx)
+        qw = w_eff * nc.q[None, :] ** 2                                 # (ns, nq)
         rho_delta_ex = fac * jnp.sum(qw * eps * Psi[:, :, 0], axis=1)
         rpt_ex = k * fac * jnp.sum(qw * nc.q[None, :] * Psi[:, :, 1], axis=1)
         rps_ex = 2.0 / 3.0 * fac * jnp.sum(qw * nc.q[None, :] ** 2 / eps * Psi[:, :, 2], axis=1)
@@ -262,6 +348,19 @@ def rhs_full(tau, y, ctx: PertCtx):
         rho_plus_p_theta = rho_plus_p_theta + rho_dcdm * theta_dc + k * dr_fac * F_dr[1]
         rho_plus_p_shear = rho_plus_p_shear + 2.0 / 3.0 * dr_fac * F_dr[2]
         delta_p = delta_p + 1.0 / 3.0 * dr_fac * F_dr[0]
+    if idx.n_dncdm:
+        # dncdm dark radiation: same F_l normalization as the dcdm dr block
+        # (the reference accumulates both into index_pt_F0_dr_sum,
+        # perturbations_module.cpp:5258 + :8397)
+        drn_fac = (ctx.H0 / a2) ** 2
+        nld_se = idx.l_max_dr + 1
+        for j_se in range(idx.n_dncdm):
+            Fd_se = jax.lax.dynamic_slice(
+                y, (idx.F_dr_ncdm + j_se * nld_se,), (3,))
+            delta_rho = delta_rho + drn_fac * Fd_se[0]
+            rho_plus_p_theta = rho_plus_p_theta + k * drn_fac * Fd_se[1]
+            rho_plus_p_shear = rho_plus_p_shear + 2.0 / 3.0 * drn_fac * Fd_se[2]
+            delta_p = delta_p + 1.0 / 3.0 * drn_fac * Fd_se[0]
     if idx.has_idm_dr:
         # idm_dr + idr stress energy (perturb_total_stress_energy :6244-6251)
         delta_rho = delta_rho + rho_idm * delta_idm + rho_idr_bg * delta_idr_v
@@ -576,7 +675,7 @@ def rhs_full(tau, y, ctx: PertCtx):
     # --- ncdm (perturb_derivs :8725-8894)
     if idx.n_ncdm:
         qk_eps = k * nc.q[None, :] / eps                      # (ns, nq)
-        dl0 = nc.dlnf0
+        dl0 = dl_eff
         # exact Boltzmann hierarchy on the momentum grid
         lsn = jnp.arange(0, nl, dtype=y.dtype)                # l values
         sl_n = s_of_l(lsn)
@@ -637,6 +736,62 @@ def rhs_full(tau, y, ctx: PertCtx):
                         - (1.0 + lmax_dr) * cotKgen * F_dr[-1])
         dFd = dFd.at[-1].set(dFd_last)
         dy = jax.lax.dynamic_update_slice(dy, dFd, (idx.F_dr,))
+
+    # decaying ncdm -> dr hierarchies (perturb_derivs :8359-8520): each decay
+    # species feeds its own F_l_dr with the collision term
+    # rprime_dr <Psi_l F_l(q/eps)>_w / <1>_w, where the scattering kernel
+    # F_l(x) comes from the host-precomputed table (dr_kernel_table)
+    if idx.n_dncdm:
+        nc_d = ctx.ncdm
+        ns_d, nq_d, nl_d = idx.n_ncdm, idx.q_size_ncdm, idx.n_l_ncdm
+        n_std_d = ns_d - idx.n_dncdm
+        nld = idx.l_max_dr + 1
+        stride_d = 1 + 2 * nq_d
+        Psi_d = jax.lax.dynamic_slice(
+            y, (idx.ncdm,), (idx.n_ncdm_block,)).reshape(ns_d, nq_d, nl_d)
+        ld = jnp.arange(0, nld, dtype=y.dtype)
+        sl_d2 = s_of_l(ld)
+        sl_d2_p1 = s_of_l(ld + 1.0)
+        drn_fac = (ctx.H0 / a2) ** 2
+        nlc = min(nl_d, nld)
+        for j in range(idx.n_dncdm):
+            i_sp = n_std_d + j
+            base = idx.dec_col0 + j * stride_d
+            Fd = jax.lax.dynamic_slice(y, (idx.F_dr_ncdm + j * nld,), (nld,))
+            r_drn = bgv[base] / drn_fac
+            eps_j = jnp.sqrt(nc_d.q ** 2 + (a * nc_d.x_fac[i_sp]) ** 2)
+            W2 = w_eff[i_sp] * nc_d.q ** 2
+            sumW2 = jnp.sum(W2)
+            # rprime_dr = a^5 Gamma M n / H0^2 (:8370); M n = pref a x
+            # sum(w q^2) / a^4 in our normalization
+            rprime = (nc_d.gamma[i_sp] * nc_d.x_fac[i_sp] * nc_d.pref[i_sp]
+                      * a2 * sumW2 / ctx.H0 ** 2)
+            FL = _dr_kernel_eval(nc_d.q / eps_j, nc_d.ker_x, nc_d.ker_G)
+            coll = jnp.zeros((nld,), y.dtype)
+            coll = jax.lax.dynamic_update_slice(
+                coll,
+                rprime * jnp.einsum("q,ql,ql->l", W2, Psi_d[i_sp, :, :nlc],
+                                    FL[:, :nlc]) / sumW2,
+                (0,))
+            Fd_m1 = jnp.concatenate([jnp.zeros((1,), y.dtype), Fd[:-1]])
+            Fd_p1 = jnp.concatenate([Fd[1:], jnp.zeros((1,), y.dtype)])
+            dFd = k / (2.0 * ld + 1.0) * (ld * sl_d2 * Fd_m1
+                                          - (ld + 1.0) * sl_d2_p1 * Fd_p1) + coll
+            dFd = dFd.at[0].set(-k * Fd[1]
+                                - 4.0 / 3.0 * metric_continuity * r_drn
+                                + coll[0])
+            dFd = dFd.at[1].set(k / 3.0 * Fd[0] - 2.0 / 3.0 * k * s2 * Fd[2]
+                                + 4.0 * metric_euler / (3.0 * k) * r_drn
+                                + coll[1])
+            dFd = dFd.at[2].set(8.0 / 15.0 * (0.75 * k * Fd[1]
+                                              + metric_shear * r_drn)
+                                - 3.0 / 5.0 * k * s_l3 / s_l2 * Fd[3]
+                                + coll[2])
+            dFd_last = k * (s_of_l(float(idx.l_max_dr)) * Fd[-2]
+                            - (1.0 + idx.l_max_dr) * cotKgen * Fd[-1])                 + coll[-1]
+            dFd = dFd.at[-1].set(dFd_last)
+            dy = jax.lax.dynamic_update_slice(dy, dFd,
+                                              (idx.F_dr_ncdm + j * nld,))
 
     # interacting dark matter + dark radiation (perturb_derivs :8252-8268 +
     # :8572-8612). The stiff dmu couplings are handled IMPLICITLY by the IMEX

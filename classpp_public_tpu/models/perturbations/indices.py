@@ -48,6 +48,13 @@ class PtIdx:
     has_idm_dr: bool = False
     l_max_idr: int = 17
     idr_fluid: bool = False      # idr_nature = fluid: no shear/hierarchy
+    # decaying ncdm -> dr: the LAST n_dncdm ncdm species decay; each gets a
+    # dark-radiation hierarchy F_0..F_l_max_dr after the ncdm block
+    # (reference index_pt_F0_dr_species, perturbations_module.cpp:3384)
+    n_dncdm: int = 0
+    # background-table column of rho_dr_ncdm0 (static: used to slice the
+    # per-species [rho_dr, lnfdec, dsep] column blocks at trace time)
+    dec_col0: int = -1
 
     # --- photons
     @property
@@ -193,10 +200,19 @@ class PtIdx:
     def n_ncdm_block(self):
         return self.n_ncdm * self.q_size_ncdm * self.n_l_ncdm
 
+    # --- dncdm dark-radiation hierarchies (after the ncdm block)
+    @property
+    def F_dr_ncdm(self):
+        return self.ncdm + self.n_ncdm_block
+
+    @property
+    def n_F_dr_ncdm(self):
+        return self.n_dncdm * (self.l_max_dr + 1)
+
     # --- dark-energy fluid (w0-wa CLP, reference perturb_derivs fld block)
     @property
     def delta_fld(self):
-        return self.ncdm + self.n_ncdm_block
+        return self.ncdm + self.n_ncdm_block + self.n_F_dr_ncdm
 
     @property
     def theta_fld(self):
@@ -210,7 +226,7 @@ class PtIdx:
     # (perturb_vector_init :3399-3400)
     @property
     def phi_scf_pt(self):
-        return self.ncdm + self.n_ncdm_block + self.n_fld
+        return self.ncdm + self.n_ncdm_block + self.n_F_dr_ncdm + self.n_fld
 
     @property
     def phi_prime_scf_pt(self):
@@ -223,7 +239,8 @@ class PtIdx:
     # --- metric
     @property
     def eta(self):
-        return self.ncdm + self.n_ncdm_block + self.n_fld + self.n_scf
+        return (self.ncdm + self.n_ncdm_block + self.n_F_dr_ncdm
+                + self.n_fld + self.n_scf)
 
     @property
     def size(self):
@@ -244,6 +261,8 @@ class PtIdx:
             out.append((self.F_dr, self.F_dr + self.n_F_dr))
         if self.has_idm_dr:
             out.append((self.delta_idr, self.F_idr + self.n_F_idr))
+        if self.n_dncdm:
+            out.append((self.F_dr_ncdm, self.F_dr_ncdm + self.n_F_dr_ncdm))
         return tuple(out)
 
 

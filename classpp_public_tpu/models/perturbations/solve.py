@@ -33,7 +33,7 @@ from .grids import KSchedule, get_k_list, get_k_schedule, get_tau_sampling
 from .indices import PtIdx, SrcIdx
 
 
-def make_ncdm_ctx(params, bg, idx):
+def make_ncdm_ctx(params, bg, idx, bidx=None):
     """Build the shared ncdm phase-space context: Gauss-Laguerre momentum
     NODES shared across species, with PER-SPECIES weights w = GLweight e^q
     f~0(q) and dln f0/dln q — the general-PSD redesign of the reference's
@@ -50,15 +50,27 @@ def make_ncdm_ctx(params, bg, idx):
     I0 = 7.0 * math.pi**4 / 120.0
     rho_g0 = const.rho_gamma_class_units(params.T_cmb)
     x_fac, pref = [], []
+    n_std = idx.n_ncdm - getattr(idx, "n_dncdm", 0)
+    deg_eff = getattr(bg, "deg_dncdm_eff", None)
     for i in range(idx.n_ncdm):
         T_ratio = params.T_ncdm_of(i)
         deg = params.deg_ncdm_of(i)
+        if i >= n_std and deg_eff is not None:
+            # Omega_dncdmdr shooting rescaled the degeneracy in-background
+            deg = deg_eff[i - n_std]
         T0_eV = const.k_B * params.T_cmb * T_ratio / const.eV_SI
         x_fac.append(params.m_ncdm[i] / T0_eV)
         pref.append(deg * (7.0 / 8.0) * T_ratio**4 * rho_g0 / I0)
+    gamma = None
+    ker_x = ker_G = None
+    if getattr(idx, "n_dncdm", 0):
+        gamma = jnp.asarray([params.gamma_dncdm_of(i) / 299792.458
+                             for i in range(idx.n_ncdm)])
+        ker_x, ker_G = eq.dr_kernel_table(idx.l_max_dr)
     return eq.NcdmCtx(q=jnp.asarray(qn), w=jnp.asarray(wf),
                       dlnf0=jnp.asarray(dlnf0),
-                      x_fac=jnp.asarray(x_fac), pref=jnp.asarray(pref))
+                      x_fac=jnp.asarray(x_fac), pref=jnp.asarray(pref),
+                      gamma=gamma, ker_x=ker_x, ker_G=ker_G)
 
 
 class SolverScalars(NamedTuple):
@@ -418,9 +430,18 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 has_idm_dr=params.Omega_idm_dr > 0.0,
                 l_max_idr=pr.l_max_idr,
                 idr_fluid=params.idr_nature == "fluid",
-                q_size_ncdm=32 if psd_nonstd else 16)
+                q_size_ncdm=32 if psd_nonstd else 16,
+                n_dncdm=params.N_ncdm_decay_dr if n_ncdm else 0,
+                dec_col0=(bidx["rho_dr_ncdm0"]
+                          if (n_ncdm and params.N_ncdm_decay_dr) else -1))
     taus_j = jnp.asarray(taus)
-    ncdm_ctx = make_ncdm_ctx(params, bg, idx) if n_ncdm else None
+    ncdm_ctx = make_ncdm_ctx(params, bg, idx, bidx) if n_ncdm else None
+    if idx.n_dncdm:
+        # the ncdm fluid approximation forgets the Psi information the
+        # decay collision term needs (the reference falls back to a dcdm-like
+        # form there, :8470); keep the full hierarchy for decay runs
+        sched = sched._replace(
+            tau_ncdmfa_on=np.full_like(np.asarray(sched.tau_ncdmfa_on), 1e30))
 
     def run_ic(ic_name):
         """Chunked + windowed batched solve: the k-grid is processed in
