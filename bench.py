@@ -92,8 +92,29 @@ def _timed(fn, n=2):
     return min(ts)
 
 
+def _probe_backend(timeout_s=150):
+    """The remote-TPU (axon) platform HANGS indefinitely inside
+    jax.devices() when its tunnel is down — probe it in a subprocess with a
+    timeout and fall back to CPU so the bench always emits a parseable
+    result instead of timing out (BENCH rc:124)."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print(jax.default_backend())"],
+            timeout=timeout_s, check=True, capture_output=True)
+        return "default"
+    except Exception:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return "cpu-fallback"
+
+
 def main():
     detail = {}
+    detail["backend"] = _probe_backend()
     t_start = time.time()
     # headline: Planck row 2, min of two runs (second is compile-cached)
     t0 = time.time()

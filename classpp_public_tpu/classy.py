@@ -1188,6 +1188,21 @@ class Class:
             "gr.fac. D": t[:, bidx["D"]],
             "gr.fac. f": t[:, bidx["f"]],
         }
+        # optional species, reference-style keys (output_module
+        # background titles): ncdm / fld / scf / dcdm+dr / idm_dr / dncdm
+        p = self.cosmo.params
+        for i in range(p.N_ncdm):
+            out[f"(.)rho_ncdm[{i}]"] = t[:, bidx[f"rho_ncdm{i}"]]
+            out[f"(.)p_ncdm[{i}]"] = t[:, bidx[f"p_ncdm{i}"]]
+        for j in range(p.N_ncdm_decay_dr):
+            out[f"(.)rho_dr[{j}]"] = t[:, bidx[f"rho_dr_ncdm{j}"]]
+        for name, key in [("rho_fld", "(.)rho_fld"), ("w_fld", "(.)w_fld"),
+                          ("rho_scf", "(.)rho_scf"),
+                          ("rho_dcdm", "(.)rho_dcdm"), ("rho_dr", "(.)rho_dr"),
+                          ("rho_idm_dr", "(.)rho_idm_dr"),
+                          ("rho_idr", "(.)rho_idr")]:
+            if name in bidx.ix:
+                out[key] = t[:, bidx[name]]
         return out
 
     def get_thermodynamics(self):

@@ -155,7 +155,14 @@ class Cosmology:
             if cmd:
                 from .models.primordial import external_spectrum
 
-                ext = external_spectrum(cmd)
+                # reference convention: append "k_min k_max k_per_decade"
+                # to the command line (primordial_module.cpp:3078-3088)
+                pert = self.perturbations
+                k_min = float(pert.k[0]) * 0.99
+                k_max = float(pert.k[-1]) * 1.01
+                ext = external_spectrum(
+                    f"{cmd} {k_min:.12e} {k_max:.12e} "
+                    f"{self.pr.k_per_decade_primordial:g}")
             infl = getattr(self, "inflation_model", None)
             if infl:
                 # inflation_V: numerical P_R/P_h from the inflaton ODEs

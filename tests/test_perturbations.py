@@ -66,3 +66,23 @@ def test_step_counts_reasonable(sources_at_koutput):
     # lockstep RKCK should stay within a few thousand steps per mode
     assert nsteps.max() < 12000
     assert nsteps.min() > 100
+
+
+def test_external_pk_generator_matches_analytic():
+    """external_Pk: the shipped example generator (external_Pk/
+    generate_Pk_example.py) reproduces the analytic tilted power law, and
+    the command receives the reference's appended "k_min k_max
+    k_per_decade" arguments (primordial_module.cpp:3078)."""
+    import sys
+
+    import numpy as np
+
+    from classpp_public_tpu.models.primordial import external_spectrum
+
+    lnk, lnp_s, lnp_t = external_spectrum(
+        f"{sys.executable} external_Pk/generate_Pk_example.py 1e-4 1.0 10")
+    k = np.exp(np.asarray(lnk))
+    ps = np.exp(np.asarray(lnp_s))
+    ref = 2.100549e-9 * (k / 0.05) ** (0.9660499 - 1.0)
+    assert np.max(np.abs(ps / ref - 1)) < 1e-12
+    assert lnp_t is None
