@@ -424,6 +424,15 @@ class Class:
         out.mPk = "mPk" in output
         out.dTk = "dTk" in output
         out.vTk = "vTk" in output
+        # N-body gauge transfer functions (1811.00904). NOTE: the
+        # reference's own branch is unreachable (it force-enables
+        # k2gamma_Nb whose source hits a class_stop, perturbations
+        # _module.cpp:6926); implemented here from the paper.
+        for key in ("Nbody gauge transfer functions",
+                    "nbody gauge transfer functions",
+                    "Nbody_gauge_transfer_functions"):
+            if key in p:
+                out.nbody = _parse_bool(p.pop(key))
         out.nCl = ("nCl" in output) or ("dCl" in output)
         out.sCl = "sCl" in output
         if out.has_nc:
@@ -1257,7 +1266,10 @@ class Class:
                 ("h_prime", "h_prime"), ("eta", "eta_src"),
                 ("t_g", "theta_g"), ("t_b", "theta_b"), ("t_cdm", "theta_cdm"),
                 ("t_ur", "theta_ur"), ("t_ncdm[0]", "theta_ncdm"),
-                ("t_m", "theta_m"), ("t_cb", "theta_cb")]
+                ("t_m", "theta_m"), ("t_cb", "theta_cb"),
+                ("t_tot", "theta_tot")]
+        if self.cosmo.out.nbody:
+            cols.append(("H_T_Nb_prime", "H_T_Nb_prime"))
         for name, col in cols:
             out[name] = np.asarray(_interp_sources_at_z(pert, bg, z, SrcIdx.ix[col]))
         return out

@@ -202,6 +202,21 @@ class Locals(NamedTuple):
     delta_nc: jnp.ndarray = None
     theta_nc: jnp.ndarray = None
     delta_tot: jnp.ndarray = None
+    # N-body gauge ingredients (1811.00904 Eq. A.3/A.5)
+    theta_tot: jnp.ndarray = None       # rho_plus_p_theta/(rho+p)_tot
+    theta_over_k2: jnp.ndarray = None   # theta_tot / k^2
+    H_T_Nb_prime: jnp.ndarray = None
+    w_nc_tot: jnp.ndarray = None        # p_ncdm_tot/rho_ncdm_tot
+    # (rho+p)_tot / rho_tot-excluding-Lambda: the delta_tot N-body shift
+    # factor.  delta_tot = delta_rho/rho_ex (CMBFAST convention, Lambda
+    # excluded) transforms under a time shift T by -3 aH (rho+p)_tot T /
+    # rho_ex, so gauge invariance of delta_tot^{Nb} requires the SAME
+    # Lambda-exclusive rho in the shift denominator.  The reference's
+    # dormant code divides by the inclusive rho_tot (perturbations_module
+    # .cpp:7034) which is NOT gauge-invariant — verified by the sync vs
+    # newtonian cross-check in tests/test_nbody.py (3.4e-2 mismatch at low
+    # k with the inclusive form, <1e-2 with this one).
+    rpp_over_rho_ex: jnp.ndarray = None
 
 
 def rhs_full(tau, y, ctx: PertCtx):
@@ -912,6 +927,18 @@ def rhs_full(tau, y, ctx: PertCtx):
         rho_tot = rho_tot + rho_idm + rho_idr_bg
     delta_tot = delta_rho / rho_tot
 
+    # N-body gauge ingredients (1811.00904): H_T' = 3 aH/(rho+p) (-delta_p
+    # + p_tot' theta_tot/k^2 + (rho+p)sigma), Eq. A.5, and the theta_tot/k^2
+    # entering the per-species delta shifts, Eq. A.3
+    rpp_tot = bgv[bidx["rho_tot"]] + bgv[bidx["p_tot"]]
+    theta_tot_v = rho_plus_p_theta / rpp_tot
+    theta_over_k2 = theta_tot_v / k2
+    H_T_Nb_prime = 3.0 * aH / rpp_tot * (
+        -delta_p + bgv[bidx["p_tot_prime"]] * rho_plus_p_theta / (rpp_tot * k2)
+        + rho_plus_p_shear)
+    w_nc_tot = (jnp.sum(p_nc) / jnp.sum(rho_nc)) if idx.n_ncdm else zero
+    rpp_over_rho_ex = rpp_tot / rho_tot
+
     loc = Locals(
         a=a, aH=aH, app_a=app_a, aH_prime=aH_prime,
         h_prime=h_prime, eta_prime=eta_prime, alpha=alpha, alpha_prime=alpha_prime,
@@ -921,6 +948,9 @@ def rhs_full(tau, y, ctx: PertCtx):
         phi=phi, psi=psi, phi_plus_psi=phi_plus_psi, phi_prime=phi_prime,
         theta_g_eff=t_g, delta_ur_eff=d_ur_eff, theta_ur_eff=t_ur_eff,
         delta_nc=delta_nc_tot, theta_nc=theta_nc_tot, delta_tot=delta_tot,
+        theta_tot=theta_tot_v, theta_over_k2=theta_over_k2,
+        H_T_Nb_prime=H_T_Nb_prime, w_nc_tot=w_nc_tot,
+        rpp_over_rho_ex=rpp_over_rho_ex,
     )
     return dy, loc
 
@@ -1532,4 +1562,23 @@ def compute_sources(tau, y, ctx: PertCtx):
     out = out.at[six["delta_ncdm"]].set(L.delta_nc)
     out = out.at[six["theta_ncdm"]].set(L.theta_nc)
     out = out.at[six["delta_tot"]].set(L.delta_tot)
+    out = out.at[six["H_T_Nb_prime"]].set(L.H_T_Nb_prime)
+    out = out.at[six["theta_tot"]].set(L.theta_tot)
+    if idx.nbody:
+        # N-body gauge shifts (1811.00904 Eq. A.3): delta_i += 3(1+w_i)
+        # aH theta_tot/k^2, theta_i += H_T' (+ k^2 alpha in synchronous)
+        aHt = L.aH * L.theta_over_k2
+        shift_t = L.H_T_Nb_prime + (k2 * L.alpha
+                                    if idx.gauge == "synchronous" else 0.0)
+        for col, w_i in [("delta_g", 1.0 / 3.0), ("delta_ur", 1.0 / 3.0),
+                         ("delta_b", 0.0), ("delta_cdm", 0.0)]:
+            out = out.at[six[col]].add(3.0 * (1.0 + w_i) * aHt)
+        if idx.n_ncdm:
+            out = out.at[six["delta_ncdm"]].add(3.0 * (1.0 + L.w_nc_tot) * aHt)
+        # delta_tot shift: (rho+p)_tot / rho_tot-excl-Lambda, NOT (1+w_tot)
+        # with the inclusive rho — see the Locals.rpp_over_rho_ex docstring
+        out = out.at[six["delta_tot"]].add(3.0 * L.rpp_over_rho_ex * aHt)
+        for col in ["theta_g", "theta_b", "theta_cdm", "theta_ur",
+                    "theta_ncdm", "theta_tot"]:
+            out = out.at[six[col]].add(shift_t)
     return out

@@ -55,6 +55,13 @@ class PtIdx:
     # background-table column of rho_dr_ncdm0 (static: used to slice the
     # per-species [rho_dr, lnfdec, dsep] column blocks at trace time)
     dec_col0: int = -1
+    # N-body gauge transfer functions (1811.00904): shift the delta/theta
+    # source outputs by the H_T' terms. NOTE: the reference's own
+    # implementation is unreachable — it force-enables k2gamma_Nb whose
+    # branch class_stops ("not yet propagated", perturbations_module.cpp
+    # :6926) — so this is implemented from the paper, with the (aH/k^2)
+    # factor Eq. A.3 requires (the reference's dormant code drops the 1/k^2)
+    nbody: bool = False
 
     # --- photons
     @property
@@ -274,6 +281,6 @@ class SrcIdx:
              # per-species transfer functions (tk outputs / get_transfer)
              "delta_g", "theta_g", "delta_b", "theta_b", "delta_cdm",
              "theta_cdm", "delta_ur", "theta_ur", "delta_ncdm", "theta_ncdm",
-             "delta_tot"]
+             "delta_tot", "H_T_Nb_prime", "theta_tot"]
     ix = {n: i for i, n in enumerate(names)}
     n = len(names)

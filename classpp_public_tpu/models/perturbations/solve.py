@@ -391,7 +391,8 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                           z_max_pk: float = 5.0, ics=("ad",),
                           gauge: str = "synchronous",
                           k_max_cl_extra: float = 0.0,
-                          has_nc: bool = False) -> PerturbResult:
+                          has_nc: bool = False,
+                          nbody: bool = False) -> PerturbResult:
     """Full scalar perturbation stage: grids + schedule + batched solve."""
     # number counts behave like C_l's for the k grid and tau sampling
     # (reference has_cls includes nCl/sCl, perturbations_module.cpp:1700:
@@ -433,7 +434,8 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 q_size_ncdm=32 if psd_nonstd else 16,
                 n_dncdm=params.N_ncdm_decay_dr if n_ncdm else 0,
                 dec_col0=(bidx["rho_dr_ncdm0"]
-                          if (n_ncdm and params.N_ncdm_decay_dr) else -1))
+                          if (n_ncdm and params.N_ncdm_decay_dr) else -1),
+                nbody=nbody)
     taus_j = jnp.asarray(taus)
     ncdm_ctx = make_ncdm_ctx(params, bg, idx, bidx) if n_ncdm else None
     if idx.n_dncdm:

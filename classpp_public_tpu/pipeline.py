@@ -57,6 +57,9 @@ class OutputSelection:
     magnification_bias: tuple = (0.0,)
     dndz: str = None          # None | "analytic" | file path
     dndz_evo: str = None
+    # N-body gauge transfer functions (1811.00904; 'Nbody gauge transfer
+    # functions = yes')
+    nbody: bool = False
 
     @property
     def has_cls(self) -> bool:
@@ -142,7 +145,7 @@ class Cosmology:
                 has_cls=self.out.has_cls, has_pk=self.out.has_pk,
                 z_max_pk=self.out.z_max_pk, ics=self.out.ics,
                 gauge=self.out.gauge, k_max_cl_extra=k_max_cl_extra,
-                has_nc=self.out.has_nc)
+                has_nc=self.out.has_nc, nbody=self.out.nbody)
         return self._cache["pt"]
 
     @property

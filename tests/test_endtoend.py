@@ -130,8 +130,9 @@ def test_invalid_input_raises(g1_params):
     from classpp_public_tpu import CosmoSevereError
 
     c = Class()
-    # rsd number-count contributions are not implemented yet
-    c.set({"output": "nCl", "number count contributions": "density, rsd"})
+    # curvature is synchronous-gauge only (newtonian curved Einstein
+    # constraints not implemented)
+    c.set({"output": "tCl", "Omega_k": 0.01, "gauge": "newtonian"})
     with pytest.raises(CosmoSevereError):
         c.compute()
     c = Class()
