@@ -12,6 +12,12 @@ Double precision is required for sub-permille C_ell accuracy.
 
 import os as _os
 
+# XLA:CPU logs a spurious per-cache-load ERROR when deserializing its own AOT
+# executables (the +prefer-no-gather/scatter compile OPTIONS are embedded as
+# pseudo-features that never appear in the host probe). The load succeeds;
+# suppress below-FATAL C++ logging unless the user asked for it.
+_os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import jax
 
 # f64 is the validated default; CLASSPP_X32=1 switches the whole pipeline to

@@ -679,8 +679,23 @@ class Class:
         if "100*theta_s" in p:
             theta_target = float(p.pop("100*theta_s"))
         sigma8_target = None
+        if "sigma8" in p and "S8" in p:
+            raise CosmoSevereError(
+                "you can only enter one of A_s, ln10^{10}A_s, sigma8 and S8")
         if "sigma8" in p:
             sigma8_target = float(p.pop("sigma8"))
+            if sigma8_target < 0.0:
+                raise CosmoSevereError("sigma8 should be non-negative")
+            kw.setdefault("A_s", 2.1e-9)
+        elif "S8" in p:
+            # S8 = sigma8 * sqrt((Omega_b+Omega_cdm)/0.3), inverted exactly as
+            # the reference does (input_module.cpp:2001-2006, baryons+cdm only)
+            S8 = float(p.pop("S8"))
+            if S8 < 0.0:
+                raise CosmoSevereError("S8 should be non-negative")
+            Om_bc = (kw.get("omega_b", 0.02238280)
+                     + kw.get("omega_cdm", 0.1201075)) / (h * h)
+            sigma8_target = S8 / np.sqrt(Om_bc / 0.3)
             kw.setdefault("A_s", 2.1e-9)
 
         # verbosity (max over the reference's per-module *_verbose keys)

@@ -103,6 +103,19 @@ class PrecisionParams:
     # error-controlled by tol_perturb_integration, not timescale-scaled)
     perturb_sampling_stepsize: float = 0.1
     tol_perturb_integration: float = 1.0e-5
+    # P(k)-only tail lanes (k > k_max_cmb) answer to the 1e-2 P(k) contract —
+    # except their phi+psi source, which feeds C_l^phiphi at l >~ 1000 through
+    # the Limber integral (chi = (l+1/2)/k sits at the z~1-3 lensing-kernel
+    # peak exactly for these k). rtol on the tail is loosened only on the
+    # radiation-hierarchy rows (whose Silk-damped oscillations dominate the
+    # step count there) via this factor + the 1e-4 absolute floor; the
+    # metric/cdm/baryon rows that set phi+psi keep the tight C_l tolerance.
+    tol_perturb_tail_factor: float = 30.0
+    # rtol floor applied on the float32 working-state path (see
+    # perturb_dtype "auto"): tighter control only multiplies the step count
+    # against a discretization-limited C_l error budget
+    tol_perturb_f32_floor: float = 1.0e-4
+    atol_perturb_tail_radiation: float = 1.0e-4
     tol_tau_approx: float = 1.0e-10
     radiation_streaming_approximation: str = "rsa_MD_with_reio"
     radiation_streaming_trigger_tau_over_tau_k: float = 45.0
@@ -128,12 +141,19 @@ class PrecisionParams:
     # evolver each launch is a few seconds, and every extra launch costs a
     # ~0.3 s dispatch round-trip on remote accelerators: keep it minimal.
     tau_windows: int = 2
-    # working dtype of the perturbation state ("float64" | "float32"): time,
-    # step control and all other pipeline stages stay f64. NOTE: with the
-    # imex evolver f32 is SLOWER end-to-end (measured 2-5x on TPU v5e): the
-    # embedded error estimate hits f32 roundoff at rtol 1e-5 and the
-    # controller thrashes. Keep f64 unless rtol is relaxed to >=1e-4.
-    perturb_dtype: str = "float64"
+    # working dtype of the perturbation state ("auto" | "float64" |
+    # "float32"): time bookkeeping, step control and all other pipeline
+    # stages stay f64. "auto" = float32 on accelerators, float64 on CPU:
+    # TPUs have no f64 hardware — XLA software-emulates it, measured 4.2x
+    # slower at runtime and ~25x slower to compile on v5e (20.7 s -> 4.9 s
+    # warm, 761 s -> 31 s cold for the Planck bench). Accuracy vs the
+    # reference goldens is unchanged: TT 8.8e-4, EE 2.0e-3, P(k) 3.4e-4 at
+    # rtol 1e-5 — identical to the f64 path, whose C_l error budget is set
+    # by source/transfer discretization, not state roundoff. (An earlier
+    # note here claimed f32 controller thrash; that was an f64->f32
+    # promotion leak in the RHS — fixed by the central dtype shim in
+    # perturbations/solve.py _stepper.)
+    perturb_dtype: str = "auto"
 
     # --- primordial (precisions.h:311)
     k_per_decade_primordial: float = 10.0

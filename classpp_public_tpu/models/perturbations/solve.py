@@ -186,6 +186,23 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
     if eta_flag is None:
         eta_flag = 1.0 if (ic == "ad" and idx.gauge == "synchronous") else 0.0
     eta_off = (jnp.asarray(eta_flag) * (k < K_ETA_SPLIT)).astype(k.dtype)
+    # working dtype follows k (float32 path: time/step control stays f64;
+    # tau and the cosmology scalars are cast at the physics boundary so no
+    # f64 leaks back into the state math and promotes the whole RHS)
+    wd = k.dtype
+
+    def _t(t):
+        return jnp.asarray(t, wd)
+
+    def _cast_ctx(c):
+        if wd == jnp.float64:
+            return c
+        rep = {f: jnp.asarray(getattr(c, f), wd)
+               for f in ("wa_fld", "cs2_fld", "K", "Gamma_dcdm", "H0",
+                         "c_gamma_over_c_fld")}
+        if c.tswitch is not None:
+            rep["tswitch"] = jnp.asarray(c.tswitch, wd)
+        return c._replace(**rep)
     """Shared per-k integration machinery: flag context + adaptive interval
     integrator with in-loop approximation-switch remaps.
 
@@ -205,11 +222,24 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
     switches = jnp.stack(switch_list)
 
     def ctx_at(t):
-        return eq.PertCtx(k=k, tca_on=t < t_tca, rsa_on=t >= t_rsa, ufa_on=t >= t_ufa,
-                          bg_spline=bg_spline, th_spline=th_spline, bidx=bidx, idx=idx,
-                          ncdmfa_on=t >= t_ncfa, ncdm=ncdm,
-                          wa_fld=wa_fld, cs2_fld=cs2_fld, eta_off=eta_off, K=K,
-                          Gamma_dcdm=Gamma_dcdm, H0=H0, tswitch=tswitch)
+        return _cast_ctx(eq.PertCtx(
+            k=k, tca_on=t < t_tca, rsa_on=t >= t_rsa, ufa_on=t >= t_ufa,
+            bg_spline=bg_spline, th_spline=th_spline, bidx=bidx, idx=idx,
+            ncdmfa_on=t >= t_ncfa, ncdm=ncdm,
+            wa_fld=wa_fld, cs2_fld=cs2_fld, eta_off=eta_off, K=K,
+            Gamma_dcdm=Gamma_dcdm, H0=H0, tswitch=tswitch))
+
+    if wd == jnp.float64:
+        _rhs, _sapply, _ssolve = eq.rhs, eq.stiff_apply, eq.stiff_solve
+    else:
+        def _rhs(t, y, c):
+            return eq.rhs(_t(t), y, c)
+
+        def _sapply(t, y, c):
+            return eq.stiff_apply(_t(t), y, c)
+
+        def _ssolve(t, gh, r, c):
+            return eq.stiff_solve(_t(t), _t(gh), r, c)
 
     # embedded-error order sets the controller exponent
     err_exp = -0.25 if evolver == "imex" else -0.2
@@ -227,10 +257,10 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
             h_eff = jnp.minimum(h, t_stop - t)
             c = ctx_at(t)
             if evolver == "imex":
-                y_new, err, k1 = ark43_step(eq.rhs, eq.stiff_apply, eq.stiff_solve,
+                y_new, err, k1 = ark43_step(_rhs, _sapply, _ssolve,
                                             t, y, h_eff, c)
             else:
-                y_new, err, k1 = rkck_step(eq.rhs, t, y, h_eff, c)
+                y_new, err, k1 = rkck_step(_rhs, t, y, h_eff, c)
             scale = rtol * (jnp.abs(y) + jnp.abs(h_eff * k1) + 1e-30) + atol
             ratio = jnp.max(jnp.abs(err) / scale)
             ratio = jnp.where(jnp.isfinite(ratio), ratio, jnp.inf)
@@ -242,11 +272,11 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
             y_out = jnp.where(accept, y_new, y)
             # state remaps when landing on a switch boundary
             crossed = accept & (t_new >= switches) & (t < switches)
-            y_out = jnp.where(crossed[0], eq.remap_tca_off(y_out, t_new, ctx_at(t_new)), y_out)
+            y_out = jnp.where(crossed[0], eq.remap_tca_off(y_out, _t(t_new), ctx_at(t_new)), y_out)
             y_out = jnp.where(crossed[1], eq.remap_ufa_on(y_out, ctx_at(t_new)), y_out)
             y_out = jnp.where(crossed[2], eq.remap_rsa_on(y_out, ctx_at(t_new)), y_out)
             if idx.n_ncdm:
-                y_out = jnp.where(crossed[3], eq.remap_ncdmfa_on(y_out, t_new, ctx_at(t_new)), y_out)
+                y_out = jnp.where(crossed[3], eq.remap_ncdmfa_on(y_out, _t(t_new), ctx_at(t_new)), y_out)
             done_new = t_new >= t_b * (1.0 - 1e-15)
             return (t_new, y_out, jnp.maximum(h_next, 1e-300), n + 1, done_new)
 
@@ -276,10 +306,12 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
     if y_carry is None:
         # initial conditions at tau_ini (always deep in tight coupling),
         # then pre-phase up to the first sampling point
-        y0 = eq.initial_conditions(ic, k, tau_ini, ctx_at(tau_ini))
+        y0 = eq.initial_conditions(ic, k, jnp.asarray(tau_ini, k.dtype),
+                                   ctx_at(tau_ini))
         h0 = 0.1 * tau_ini
         y, h, n0 = integrate_interval(y0, h0, tau_ini, taus[0])
-        srcs0 = [eq.compute_sources(taus[0], y, ctx_at(taus[0]))[None]]
+        srcs0 = [eq.compute_sources(jnp.asarray(taus[0], k.dtype), y,
+                                    ctx_at(taus[0]))[None]]
     else:
         y, h = y_carry
         n0 = (tau_ini * 0).astype(jnp.int32)
@@ -289,7 +321,7 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
         y, h, ns = carry
         t_a, t_b = tpair
         y, h, n = integrate_interval(y, h, t_a, t_b)
-        src = eq.compute_sources(t_b, y, ctx_at(t_b))
+        src = eq.compute_sources(jnp.asarray(t_b, k.dtype), y, ctx_at(t_b))
         return (y, h, ns + n), src
 
     (y, h, ntot), srcs = jax.lax.scan(step, (y, h, n0), (taus[:-1], taus[1:]))
@@ -312,7 +344,8 @@ def init_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
                          ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic,
                          evolver=evolver, K=K, Gamma_dcdm=Gamma_dcdm, H0=H0,
                          eta_flag=eta_flag, tswitch=tswitch)
-    y0 = eq.initial_conditions(ic, k, tau_ini, ctx_at(tau_ini))
+    y0 = eq.initial_conditions(ic, k, jnp.asarray(tau_ini, k.dtype),
+                               ctx_at(tau_ini))
     return y0, 0.1 * tau_ini
 
 
@@ -336,7 +369,7 @@ def emit_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t, bg_spline, th_spline, ncdm, y,
                          ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic,
                          evolver=evolver, K=K, Gamma_dcdm=Gamma_dcdm, H0=H0,
                          eta_flag=eta_flag, tswitch=tswitch)
-    return eq.compute_sources(t, y, ctx_at(t))
+    return eq.compute_sources(jnp.asarray(t, k.dtype), y, ctx_at(t))
 
 
 @lru_cache(maxsize=16)
@@ -392,7 +425,8 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                           gauge: str = "synchronous",
                           k_max_cl_extra: float = 0.0,
                           has_nc: bool = False,
-                          nbody: bool = False) -> PerturbResult:
+                          nbody: bool = False,
+                          has_lcmb: bool = False) -> PerturbResult:
     """Full scalar perturbation stage: grids + schedule + batched solve."""
     # number counts behave like C_l's for the k grid and tau sampling
     # (reference has_cls includes nCl/sCl, perturbations_module.cpp:1700:
@@ -468,7 +502,18 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
         rtol = pr.tol_perturb_integration
         bsp, tsp = bg.lntau_spline, th.lntau_spline
         ncdm_d = ncdm_ctx
-        if pr.perturb_dtype == "float32":
+        # "auto": f32 on accelerators (TPU f64 is software-emulated, ~4x
+        # slower + ~25x slower compiles), f64 on CPU (native, and the golden
+        # test contract runs there)
+        use_f32 = (pr.perturb_dtype == "float32"
+                   or (pr.perturb_dtype == "auto"
+                       and jax.default_backend() != "cpu"))
+        if use_f32:
+            # below ~1e-4 the f32 state gains nothing: C_l error is set by
+            # source/transfer discretization (measured identical at 1e-5 vs
+            # 1e-4 against the g1 golden) while the step count pays 2.8x
+            rtol = max(rtol, pr.tol_perturb_f32_floor)
+        if use_f32:
             # f32 working state: the jitted solvers retrace on input dtype, so
             # casting k/tables here switches the whole compute path; time,
             # switch clipping and step control stay f64.
@@ -510,7 +555,20 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
         # moving by 1.3e-4, far inside the 1e-2 P(k) contract).
         atol_rad = np.full(nstate, 3e-8)
         for s0, s1 in idx.radiation_slices:
-            atol_rad[s0:s1] = 1e-4
+            atol_rad[s0:s1] = pr.atol_perturb_tail_radiation
+        # rtol loosening zones for the tail: rows that feed the late-time
+        # phi+psi (metric, cdm, baryons, fld/scf) KEEP the tight rtol up to
+        # k_pp_max when the lensing potential is requested — C_l^phiphi at
+        # l >~ 1000 is dominated (via Limber, chi = (l+1/2)/k) by exactly
+        # these lanes; the lensing kernel is negligible inside chi < 900 Mpc,
+        # so lanes beyond l_max/900 can't reach any requested l and go fully
+        # loose. Radiation-hierarchy rows are loosened everywhere in the tail
+        # (their Silk-damped oscillations dominate the step count; their
+        # late-time metric feedback is negligible).
+        k_pp_max = (l_scalar_max + 0.5) / 900.0 if has_lcmb else 0.0
+        rtol_tail = np.full(nstate, rtol)
+        for s0, s1 in idx.radiation_slices:
+            rtol_tail[s0:s1] = rtol * pr.tol_perturb_tail_factor
         for i0 in starts:
             i1 = min(i0 + cs, nk if i0 >= n_cmb_lanes else max(n_cmb_lanes, i0 + 1))
             i1 = min(i1, nk)
@@ -519,7 +577,7 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
             if pad:
                 sl = [np.pad(a, (0, pad), mode="edge") for a in sl]
             args = [jnp.asarray(a) for a in sl]
-            if pr.perturb_dtype == "float32":
+            if use_f32:
                 args[0] = args[0].astype(jnp.float32)
             if mesh is not None:
                 args = shard_lanes(mesh, args)
@@ -527,11 +585,19 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
             all_heavy = sl[0][0] > k_max_cmb
             # P(k)-only lanes answer to the 1e-2 P(k) contract, not the 3e-3
             # C_l one: looser rtol + the radiation atol floor cut the step
-            # count of the k > k_cmb tail (the most expensive chunk)
-            rtol_c = np.full(cs, rtol * 30.0 if all_heavy else rtol)
-            atol_c = np.broadcast_to(
-                atol_rad if all_heavy else np.full(nstate, 1e-11),
-                (cs, nstate))
+            # count of the k > k_cmb tail (the most expensive chunk). Both
+            # rtol and atol ride PER-LANE, PER-COMPONENT (cs, nstate): CMB
+            # lanes tight, phiphi-feeding mid-tail lanes tight except on the
+            # radiation hierarchies, far tail fully loose.
+            if all_heavy:
+                lane_k = sl[0]
+                rtol_c = np.where((lane_k <= k_pp_max)[:, None],
+                                  rtol_tail[None, :],
+                                  rtol * pr.tol_perturb_tail_factor)
+                atol_c = np.broadcast_to(atol_rad, (cs, nstate)).copy()
+            else:
+                rtol_c = np.full((cs, nstate), rtol)
+                atol_c = np.full((cs, nstate), 1e-11)
             if _dbg:
                 print(f"[pert] chunk {i0}: k=[{sl[0][0]:.3f},{sl[0][-1]:.3f}] "
                       f"all_heavy={all_heavy}", flush=True)

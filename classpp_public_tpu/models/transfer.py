@@ -332,24 +332,44 @@ def _transfer_scan(W, Sq, taus, tau0, qj, l_emit, emit_idx,
     pert_tau0 = tau0
     ipg = jnp.sqrt(math.pi / (2.0 * lf)) * (1.0 - 0.25 / lf + 1.0 / (32.0 * lf * lf))
     tau_lim = pert_tau0 - (lf[:, None] + 0.5) / qj[None, :]        # (nl, nq)
-    S_lcmb = Sq[4]                                                  # (nq, ntau)
-    # linear interpolation in tau for each q row
-    idx_t = jnp.clip(jnp.searchsorted(taus, tau_lim, side="right") - 1, 0, len(taus) - 2)
-    t_lo = taus[idx_t]
-    t_hi = taus[idx_t + 1]
-    wt = (tau_lim - t_lo) / (t_hi - t_lo)
-    # gather S_lcmb[q, idx_t[l, q]] for each (l, q)
-    def gather_row(ilq):
-        return S_lcmb[jnp.arange(nq), ilq]
-    S_lo = jax.vmap(gather_row)(idx_t)      # (nl, nq)
-    S_hi = jax.vmap(gather_row)(idx_t + 1)
-    S_at = (1.0 - wt) * S_lo + wt * S_hi
+    # parabolic interpolation of S*(tau0-tau) — regular at tau -> tau0 where
+    # the lcmb rescaling diverges (transfer_limber_interpolate :3085-3140)
+    S_at = _limber_parabola(taus, pert_tau0, Sq[4], tau_lim, nq)
     inside = (tau_lim > taus[0]) & (tau_lim < taus[-1])
-    d_limber = jnp.where(inside, ipg[:, None] * S_at / qj[None, :], 0.0)
+    # trsf = IPhiFlat * [S*chi](chi_lim) / (l+1/2)   (flat, :2958-2966)
+    d_limber = jnp.where(inside, ipg[:, None] * S_at / (lf[:, None] + 0.5), 0.0)
     use_limber = (lf > l_switch_limber)[:, None]
     acc = acc.at[:, 4, :].set(jnp.where(use_limber, d_limber, acc[:, 4, :]))
 
     return acc
+
+
+def _limber_parabola(taus, tau0, S_row, tau_lim, nq):
+    """Interpolate S*(tau0-tau) at tau_lim by the 3-point parabola the
+    reference uses (transfer_limber_interpolate :3085: nodes index_tau-1,
+    index_tau, index_tau+1 with chi[index_tau] <= chi_lim, and the tau=tau0
+    edge handled by repeating the regular product S*chi). S_row: (nq, ntau);
+    tau_lim: (nl, nq). Returns [S*chi](tau_lim), shape (nl, nq)."""
+    chi = tau0 - taus                                  # (ntau,) descending
+    V = S_row * chi[None, :]                           # (nq, ntau)
+    ntau = len(taus)
+    jst = jnp.clip(jnp.searchsorted(taus, tau_lim, side="left"), 1, ntau - 2)
+    x1 = chi[jst - 1]
+    x2 = chi[jst]
+    x3 = chi[jst + 1]
+
+    def g(i):
+        return V[jnp.arange(nq), i]
+
+    V1 = jax.vmap(g)(jst - 1)
+    V2 = jax.vmap(g)(jst)
+    V3 = jax.vmap(g)(jst + 1)
+    # stored source at tau0 is zero but S*chi is constant there: repeat V2
+    V3 = jnp.where(jst == ntau - 2, V2, V3)
+    xl = tau0 - tau_lim
+    return (V1 * (xl - x2) * (xl - x3) / ((x1 - x2) * (x1 - x3))
+            + V2 * (xl - x1) * (xl - x3) / ((x2 - x1) * (x2 - x3))
+            + V3 * (xl - x1) * (xl - x2) / ((x3 - x1) * (x3 - x2)))
 
 
 def _transfer_scan_curved(W, Sq, taus, tau0, qj, l_emit, emit_idx,
@@ -483,21 +503,14 @@ def _transfer_scan_curved(W, Sq, taus, tau0, qj, l_emit, emit_idx,
     else:
         x_lim = jnp.arcsinh((lf[:, None] + 0.5) / qj[None, :] * sab)
     tau_lim = tau0 - x_lim / sab                       # (nl, nq)
-    S_lcmb = Sq[4]
-    idx_t = jnp.clip(jnp.searchsorted(taus, tau_lim, side="right") - 1, 0, len(taus) - 2)
-    t_lo = taus[idx_t]
-    t_hi = taus[idx_t + 1]
-    wt = (tau_lim - t_lo) / (t_hi - t_lo)
-
-    def gather_row(ilq):
-        return S_lcmb[jnp.arange(nq), ilq]
-
-    S_lo = jax.vmap(gather_row)(idx_t)
-    S_hi = jax.vmap(gather_row)(idx_t + 1)
-    S_at = (1.0 - wt) * S_lo + wt * S_hi
+    # parabolic interpolation of S*chi, then /(chi_lim * q)
+    # (transfer_limber :2966-2969 curved branch)
+    S_at = _limber_parabola(taus, tau0, Sq[4], tau_lim, nq)
     inside = (tau_lim > taus[0]) & (tau_lim < taus[-1])
     curv_fac = (1.0 - K * lf[:, None] ** 2 / qj[None, :] ** 2) ** (-0.25)
-    d_limber = jnp.where(inside, ipg[:, None] * curv_fac * S_at / qj[None, :], 0.0)
+    chi_lim = jnp.maximum(tau0 - tau_lim, 1e-30)
+    d_limber = jnp.where(inside, ipg[:, None] * curv_fac * S_at
+                         / (chi_lim * qj[None, :]), 0.0)
     use_limber = (lf > l_switch_limber)[:, None]
     acc = acc.at[:, 4, :].set(jnp.where(use_limber, d_limber, acc[:, 4, :]))
     return acc

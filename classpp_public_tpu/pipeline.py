@@ -145,7 +145,8 @@ class Cosmology:
                 has_cls=self.out.has_cls, has_pk=self.out.has_pk,
                 z_max_pk=self.out.z_max_pk, ics=self.out.ics,
                 gauge=self.out.gauge, k_max_cl_extra=k_max_cl_extra,
-                has_nc=self.out.has_nc, nbody=self.out.nbody)
+                has_nc=self.out.has_nc, nbody=self.out.nbody,
+                has_lcmb=self.out.lCl and self.out.has_cls)
         return self._cache["pt"]
 
     @property
