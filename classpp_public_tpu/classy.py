@@ -220,6 +220,22 @@ class Class:
                 kw["deg_ncdm"] = tuple(_parse_list(p.pop("deg_ncdm")))
             if "ksi_ncdm" in p:
                 kw["ksi_ncdm"] = tuple(_parse_list(p.pop("ksi_ncdm")))
+            # momentum-grid controls (reference 'Quadrature strategy' /
+            # 'Number of momentum bins' / 'Maximum q',
+            # non_cold_dark_matter.cpp:600-660; qm_auto=0 default there —
+            # our default rule over-resolves it, so only explicit strategies
+            # change behavior). Both the spaced names and snake aliases parse.
+            for keys, field, cast in (
+                    (("Quadrature strategy", "ncdm_quadrature_strategy"),
+                     "ncdm_quadrature_strategy", lambda x: int(float(x))),
+                    (("Number of momentum bins", "ncdm_input_q_size"),
+                     "ncdm_input_q_size", lambda x: int(float(x))),
+                    (("Maximum q", "ncdm_maximum_q"),
+                     "ncdm_maximum_q", float)):
+                for key in keys:
+                    if key in p:
+                        kw[field] = tuple(cast(x)
+                                          for x in _parse_list(p.pop(key)))
             # tabulated phase-space distributions from file
             # (use_ncdm_psd_files + ncdm_psd_filenames, input_module :439-460)
             if "use_ncdm_psd_files" in p or "ncdm_psd_filenames" in p:

@@ -80,6 +80,15 @@ class CosmoParams:
                                            # ("" = analytic FD), 2 columns
                                            # q, f0 in reference units
                                            # (psd_FD_single.dat format)
+    # momentum-grid strategy (reference 'Quadrature strategy' 0-3 /
+    # 'Number of momentum bins' / 'Maximum q', tools/quadrature.c:69,
+    # non_cold_dark_matter.cpp:600-660). Empty tuple = default rule
+    # (16-node Gauss-Laguerre; 32 for non-standard PSDs). All species share
+    # one static-shape node set, so mixed strategies are rejected — see
+    # models.background.ncdm_q_rule.
+    ncdm_quadrature_strategy: Tuple[int, ...] = ()
+    ncdm_input_q_size: Tuple[int, ...] = ()
+    ncdm_maximum_q: Tuple[float, ...] = ()
     # decaying ncdm -> dark radiation (this fork's DNCDM species,
     # tools/non_cold_dark_matter.cpp decay_dr_map_): the LAST
     # N_ncdm_decay_dr entries of the ncdm tuples are decay species (the

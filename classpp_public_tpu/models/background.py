@@ -154,11 +154,62 @@ def ncdm_psd_f0(params, i, q):
         return np.where(q > qt[-1], tail, out)
     ksis = getattr(params, "ksi_ncdm", ()) or ()
     ksi = ksis[i] if i < len(ksis) else 0.0
-    return 0.5 * (1.0 / (np.exp(q - ksi) + 1.0)
-                  + 1.0 / (np.exp(q + ksi) + 1.0))
+    # clip the exponent: qm_auto's GK probe maps t/(1-t) to huge q where
+    # exp overflows (the quotient is exactly 0 there anyway)
+    return 0.5 * (1.0 / (np.exp(np.minimum(q - ksi, 700.0)) + 1.0)
+                  + 1.0 / (np.exp(np.minimum(q + ksi, 700.0)) + 1.0))
 
 
-def ncdm_psd_weights(params, nq, gauss=True):
+def ncdm_q_rule(params, pr=None):
+    """The shared perturbation momentum-grid rule: (nq, gauss, qmax).
+
+    Reference equivalent: per-species get_qsampling with the qm_auto /
+    qm_Laguerre / qm_trapz strategies (tools/quadrature.c:69,
+    tools/non_cold_dark_matter.cpp:600-660 'Quadrature strategy' /
+    'Number of momentum bins' / 'Maximum q'). TPU-first deviation: all
+    species share ONE static-shape node set (per-species weights carry the
+    PSDs), so a single (nq, gauss) pair is chosen — qm_auto takes the max
+    of the per-species minimal Laguerre N, and mixed per-species strategies
+    are rejected. Default (no strategy given): fixed 16-node Gauss-Laguerre
+    (32 for non-standard PSDs), which over-resolves the reference's
+    tol_ncdm=1e-3 contract."""
+    from ..ops import quadrature as _q
+
+    psd_nonstd = any(getattr(params, "ksi_ncdm", ()) or ()) \
+        or any(getattr(params, "ncdm_psd_files", ()) or ())
+    strat = getattr(params, "ncdm_quadrature_strategy", ()) or ()
+    if not strat or params.N_ncdm == 0:
+        return (32 if psd_nonstd else 16), True, _NCDM_QMAX
+    if len(set(strat)) > 1:
+        raise ValueError(
+            "mixed per-species 'Quadrature strategy' values are not "
+            "supported: all ncdm species share one static-shape momentum "
+            "grid (per-species weights). Use a single strategy.")
+    s = int(strat[0])
+    bins = getattr(params, "ncdm_input_q_size", ()) or ()
+    qmaxs = getattr(params, "ncdm_maximum_q", ()) or ()
+    qmax = max(qmaxs) if qmaxs else _NCDM_QMAX
+    if s == 0:          # qm_auto
+        tol = float(getattr(pr, "tol_ncdm", 1e-3)) if pr is not None else 1e-3
+        N = 2
+        for i in range(params.N_ncdm):
+            _, _, Ni, method = _q.auto_qsampling(
+                lambda q, i=i: ncdm_psd_f0(params, i, q), rtol=tol)
+            if method != "laguerre":
+                raise ValueError(
+                    "qm_auto: Gauss-Laguerre did not converge for ncdm "
+                    f"species {i} (pathological PSD) — set 'Quadrature "
+                    "strategy' to 3 (trapezoidal) with 'Maximum q'.")
+            N = max(N, Ni)
+        return N, True, qmax
+    if s == 1:          # qm_Laguerre
+        return (max(bins) if bins else 16), True, qmax
+    if s in (2, 3):     # qm_trapz_indefinite / qm_trapz
+        return (max(bins) if bins else 150), False, qmax
+    raise ValueError(f"unknown ncdm 'Quadrature strategy' {s} (0-3)")
+
+
+def ncdm_psd_weights(params, nq, gauss=True, qmax=None):
     """Per-species quadrature data on shared momentum nodes:
     (q (nq,), w (ns, nq), dlnf0 (ns, nq)) with w = weight * f~0(q) such that
     sums Σ w q^2 eps reproduce ∫ q^2 eps f~0 dq. Replaces the reference's
@@ -171,7 +222,7 @@ def ncdm_psd_weights(params, nq, gauss=True):
         qn, wn = laggauss(nq)
         base_w = wn * np.exp(qn)      # GL: ∫ g(q) dq = Σ wn e^q g(qn)
     else:
-        qn = np.linspace(1e-5, _NCDM_QMAX, nq)
+        qn = np.linspace(1e-5, qmax if qmax is not None else _NCDM_QMAX, nq)
         base_w = quad.trapz_weights_np(qn)
     ws, dls = [], []
     dq = 1e-4
@@ -432,13 +483,15 @@ def _compute_background_impl(params: CosmoParams, pr: PrecisionParams) -> tuple[
     dsep_pt = []
     dsrc_nc = [None] * n_dec   # a Gamma M n per species (dr source)
     pdec_nc = [None] * n_dec   # decay part of dp_ncdm/dtau
-    nq_pt = 32 if psd_nonstd else 16   # mirror solve.py's q_size_ncdm rule
+    # mirror solve.py's perturbation q-grid rule (strategy-aware)
+    nq_pt, gauss_pt, qmax_pt = ncdm_q_rule(params, pr)
     if n_dec:
         from ..ops.quadrature import trapz_weights_np as _tw
 
         qf = np.linspace(1e-5, _NCDM_QMAX, _NCDM_NQ)
         wq_f = _tw(qf)
-        q_pt, wf_pt, _dl_pt = ncdm_psd_weights(params, nq_pt, gauss=True)
+        q_pt, wf_pt, _dl_pt = ncdm_psd_weights(params, nq_pt, gauss=gauss_pt,
+                                               qmax=qmax_pt)
         qf_j = jnp.asarray(qf)
         qpt_j = jnp.asarray(q_pt)
 

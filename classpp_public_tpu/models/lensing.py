@@ -79,7 +79,9 @@ def _lensing_core(l_unlensed_max: int, l_lensed_max: int, accurate: bool,
 
 
 def compute_lensing(sp: SpectraResult, pr: PrecisionParams, l_lensed_max: int) -> LensedResult:
-    l_unlensed_max = int(sp.ell[-1])
+    # ell = arange(2, l_max+1): read l_max off the static shape — int(ell[-1])
+    # would block on the in-flight transfer/spectra device queue
+    l_unlensed_max = sp.ell.shape[0] + 1
     core = _lensing_core(l_unlensed_max, l_lensed_max, pr.accurate_lensing,
                          pr.num_mu_minus_lmax)
     out = core(sp.cl)

@@ -514,9 +514,10 @@ def compute_nonlinear(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
     k = pert.k
     # ZERO-eager prologue: every scalar/grid below is host numpy (an eager op
     # on the remote accelerator costs a ~1 s round-trip; r2 spent 9.5 s here).
-    # np.asarray(k) is the one device->host pull; everything else derives
-    # from it or from the host-committed background result.
-    k_np = np.asarray(k)
+    # The k grid comes from the host copy carried by PerturbResult — pulling
+    # the device array would block on the whole in-flight solver queue.
+    k_np = pert.k_np if getattr(pert, "k_np", None) is not None \
+        else np.asarray(k)
     z_arr = jnp.asarray(z_pk)
 
     # halofit k grid: log-spaced at halofit_k_per_decade between k bounds

@@ -520,7 +520,8 @@ def compute_cmb_nc_cross(pert, th, bg, bidx, pm, pr: PrecisionParams,
         pr.k_max_tau0_over_l_max * l_max / (tau0 - tau1),
         pr.k_max_tau0_over_l_max * l_max / tau0
         / float(th.angular_rescaling))
-    k_cmb = np.asarray(pert.k[: pert.k_size_cmb])
+    k_cmb = (pert.k_np if getattr(pert, "k_np", None) is not None
+             else np.asarray(pert.k))[: pert.k_size_cmb]
     n_q = min(int(np.searchsorted(k_cmb, k_max_cross)) + 1, len(k_cmb))
     q = k_cmb[:n_q]
     qj = jnp.asarray(q)

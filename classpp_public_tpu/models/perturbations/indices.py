@@ -26,6 +26,11 @@ class PtIdx:
     has_ur: bool = True
     n_ncdm: int = 0
     q_size_ncdm: int = 16
+    # momentum-node rule behind q_size_ncdm (background.ncdm_q_rule):
+    # Gauss-Laguerre nodes, or a linear [0, q_max] trapezoid grid when the
+    # input forces 'Quadrature strategy' 2/3
+    q_gauss: bool = True
+    q_max_ncdm: float = 32.0
     l_max_ncdm: int = 17
     has_fld: bool = False
     # "synchronous" | "newtonian" (reference ppt->gauge): in newtonian gauge

@@ -46,7 +46,8 @@ def make_ncdm_ctx(params, bg, idx, bidx=None):
     from ... import constants as const
     from ..background import ncdm_psd_weights
 
-    qn, wf, dlnf0 = ncdm_psd_weights(params, idx.q_size_ncdm, gauss=True)
+    qn, wf, dlnf0 = ncdm_psd_weights(params, idx.q_size_ncdm,
+                                     gauss=idx.q_gauss, qmax=idx.q_max_ncdm)
     I0 = 7.0 * math.pi**4 / 120.0
     rho_g0 = const.rho_gamma_class_units(params.T_cmb)
     x_fac, pref = [], []
@@ -172,6 +173,13 @@ class PerturbResult(NamedTuple):
     k_size_cmb: int           # number of k used for CMB transfer
     stats_steps: jnp.ndarray  # (nk,) accepted RKCK steps per mode
     sources_iso: dict = None  # {ic_name: (nk, ntau, nsrc)} isocurvature modes
+    # host (numpy) copies of the grids, which are *built* on host anyway:
+    # downstream stages (transfer q-list, nonlinear halofit grid) read grid
+    # scalars during their host prologue, and pulling them from the
+    # accelerator would block on the whole in-flight solver queue — killing
+    # the host-prep/device-exec overlap that hides the solve latency
+    k_np: np.ndarray = None
+    tau_np: np.ndarray = None
 
 
 K_ETA_SPLIT = 0.02  # 1/Mpc: below this, adiabatic lanes store eta - 1
@@ -451,12 +459,11 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
     K_curv = float(-params.Omega_k * float(bg.H0) ** 2)
     sgnK = 0 if params.Omega_k == 0.0 else (1 if K_curv > 0 else -1)
     has_dcdm = (params.Omega_ini_dcdm > 0.0) or (params.Omega_dcdmdr > 0.0)
-    # non-standard PSDs (chemical potential / tabulated f0): the 16-node
-    # Gauss-Laguerre grid is tuned for the e^-q FD tail; double the nodes so
-    # the modified tail stays resolved (reference: adaptive per-species
-    # q-sampling, tools/quadrature.c get_qsampling)
-    psd_nonstd = any(getattr(params, "ksi_ncdm", ()) or ()) \
-        or any(getattr(params, "ncdm_psd_files", ()) or ())
+    # momentum grid: strategy-aware rule (qm_auto minimal-N Laguerre search,
+    # forced Laguerre/trapezoid sizes, or the default 16/32-node Laguerre;
+    # background.ncdm_q_rule <- tools/quadrature.c get_qsampling)
+    from ..background import ncdm_q_rule
+    nq_ncdm, q_gauss, q_max_ncdm = ncdm_q_rule(params, pr)
     idx = PtIdx(l_max_g=pr.l_max_g, l_max_pol_g=pr.l_max_pol_g, l_max_ur=pr.l_max_ur,
                 n_ncdm=n_ncdm, l_max_ncdm=pr.l_max_ncdm, has_fld=params.use_fld,
                 gauge=gauge, sgnK=sgnK, has_dcdm=has_dcdm, l_max_dr=pr.l_max_dr,
@@ -465,7 +472,7 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 has_idm_dr=params.Omega_idm_dr > 0.0,
                 l_max_idr=pr.l_max_idr,
                 idr_fluid=params.idr_nature == "fluid",
-                q_size_ncdm=32 if psd_nonstd else 16,
+                q_size_ncdm=nq_ncdm, q_gauss=q_gauss, q_max_ncdm=q_max_ncdm,
                 n_dncdm=params.N_ncdm_decay_dr if n_ncdm else 0,
                 dec_col0=(bidx["rho_dr_ncdm0"]
                           if (n_ncdm and params.N_ncdm_decay_dr) else -1),
@@ -669,4 +676,5 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
 
     return PerturbResult(k=jnp.asarray(ks), tau=taus_j, sources=sources,
                          tau0=bg.tau0, k_size_cmb=k_size_cmb, stats_steps=nsteps,
-                         sources_iso=sources_iso)
+                         sources_iso=sources_iso,
+                         k_np=np.asarray(ks), tau_np=np.asarray(taus))

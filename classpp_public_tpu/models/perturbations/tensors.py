@@ -325,6 +325,7 @@ class TensorResult(NamedTuple):
     tau: jnp.ndarray
     sources: jnp.ndarray     # (nk, ntau, 2): S_T2, S_P
     tau0: jnp.ndarray
+    k_np: "np.ndarray" = None  # host copy (see PerturbResult.k_np)
 
 
 def compute_tensor_perturbations(params, pr: PrecisionParams, bg, bidx, th,
@@ -346,4 +347,4 @@ def compute_tensor_perturbations(params, pr: PrecisionParams, bg, bidx, th,
                     jnp.asarray(taus), bg.lntau_spline, th.lntau_spline,
                     jnp.float64(pr.tol_perturb_integration), jnp.float64(K_curv))
     return TensorResult(k=jnp.asarray(ks), tau=jnp.asarray(taus), sources=srcs,
-                        tau0=bg.tau0)
+                        tau0=bg.tau0, k_np=np.asarray(ks))

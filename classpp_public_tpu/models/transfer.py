@@ -192,7 +192,12 @@ def compute_transfer(pert, th, pr: PrecisionParams, l_max: int,
     l <= l_lss_max CMB x nc cross, whose support ends far earlier."""
     tau0 = float(pert.tau0)
     ls = get_l_list(pr, l_max)
-    k = np.asarray(pert.k[: pert.k_size_cmb])
+    # host copy of the k grid: reading scalars off the device array would
+    # block on the in-flight perturbation solve (see PerturbResult.k_np)
+    k_host = getattr(pert, "k_np", None)
+    if k_host is None:
+        k_host = np.asarray(pert.k)
+    k = k_host[: pert.k_size_cmb]
     k_size = None
     if k_max is not None and k_max < float(k[-1]):
         k_size = max(int(np.searchsorted(k, k_max)) + 1, 8)
@@ -545,7 +550,8 @@ def compute_transfer_tensor(tpert, th, pr: PrecisionParams, l_max: int,
     at nu = q/sqrt|K| with q^2 = k^2 + 3K (tensor m = 2)."""
     tau0 = float(tpert.tau0)
     ls = get_l_list(pr, l_max)
-    k = np.asarray(tpert.k)
+    k = tpert.k_np if getattr(tpert, "k_np", None) is not None \
+        else np.asarray(tpert.k)
     if sgnK == 0:
         q = get_q_list(pr, float(k[0]), float(k[-1]), tau0, float(th.tau_rec))
         k_of_q = q

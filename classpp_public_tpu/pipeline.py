@@ -162,8 +162,9 @@ class Cosmology:
                 # reference convention: append "k_min k_max k_per_decade"
                 # to the command line (primordial_module.cpp:3078-3088)
                 pert = self.perturbations
-                k_min = float(pert.k[0]) * 0.99
-                k_max = float(pert.k[-1]) * 1.01
+                kh = pert.k_np if pert.k_np is not None else np.asarray(pert.k)
+                k_min = float(kh[0]) * 0.99
+                k_max = float(kh[-1]) * 1.01
                 ext = external_spectrum(
                     f"{cmd} {k_min:.12e} {k_max:.12e} "
                     f"{self.pr.k_per_decade_primordial:g}")
@@ -177,8 +178,9 @@ class Cosmology:
                                                compute_inflation_spectrum_H)
 
                 pert = self.perturbations
-                k_min = float(pert.k[0]) * 0.8
-                k_max = float(pert.k[-1]) * 1.2
+                kh = pert.k_np if pert.k_np is not None else np.asarray(pert.k)
+                k_min = float(kh[0]) * 0.8
+                k_max = float(kh[-1]) * 1.2
                 n_lnk = int(np.log10(k_max / k_min)
                             * self.pr.k_per_decade_primordial) + 2
                 lnk = np.linspace(np.log(k_min), np.log(k_max), n_lnk)

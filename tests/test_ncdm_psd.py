@@ -105,6 +105,51 @@ def test_omega_to_mass_inversion():
     assert abs(om / target - 1) < 1e-4, (om, target)
 
 
+def test_gk_adapt_exact():
+    """Adaptive Gauss-Kronrod (tools/quadrature.c gk_adapt analog) integrates
+    a smooth function to the requested tolerance, and its surviving node set
+    re-integrates a DIFFERENT smooth function accurately (the property
+    qm_auto relies on)."""
+    from classpp_public_tpu.ops.quadrature import gk_adapt
+    x, w, I = gk_adapt(lambda t: np.exp(-3 * t) * np.sin(8 * t),
+                       0.0, 1.0, rtol=1e-9)
+    exact = (8 - np.exp(-3) * (3 * np.sin(8.0) + 8 * np.cos(8.0))) / 73.0
+    assert abs(I / exact - 1) < 1e-9
+    I2 = float(np.dot(w, np.cos(5 * x)))
+    assert abs(I2 / (np.sin(5.0) / 5.0) - 1) < 1e-8
+
+
+def test_qm_auto_fd_node_count():
+    """qm_auto on the standard FD distribution lands on a handful of
+    Laguerre nodes (the reference typically selects ~3-8 at tol_ncdm=1e-3;
+    quadrature.c get_qsampling)."""
+    from classpp_public_tpu.ops.quadrature import auto_qsampling
+    q, w, N, method = auto_qsampling(
+        lambda q: 1.0 / (np.exp(np.minimum(q, 700.0)) + 1.0), rtol=1e-3)
+    assert method == "laguerre"
+    assert 3 <= N <= 10, N
+    # the returned rule integrates the energy moment to ~tol
+    I = float(np.dot(w, q**3))
+    assert abs(I / (7 * np.pi**4 / 120) - 1) < 3e-3
+
+
+@pytest.mark.parametrize("extra", [
+    {"Quadrature strategy": "0"},                                  # qm_auto
+    {"Quadrature strategy": "3", "Number of momentum bins": "150",
+     "Maximum q": "18"},                                           # qm_trapz
+])
+def test_quadrature_strategy_endtoend(extra):
+    """Explicit momentum-grid strategies reproduce the default rule's P(k)
+    ('Quadrature strategy'/'Number of momentum bins'/'Maximum q' inputs,
+    non_cold_dark_matter.cpp:600-660)."""
+    base = {"N_ncdm": 1, "m_ncdm": "0.3", "output": "mPk",
+            "P_k_max_1/Mpc": 0.5, "z_pk": "0."}
+    c1 = Class(); c1.set(dict(base)); c1.compute(["spectra"])
+    c2 = Class(); c2.set({**base, **extra}); c2.compute(["spectra"])
+    for k in (0.01, 0.1, 0.4):
+        assert abs(c2.pk_lin(k, 0.0) / c1.pk_lin(k, 0.0) - 1) < 2e-3, k
+
+
 def test_psd_file_fd_limit(tmp_path):
     """A tabulated file containing exactly the FD distribution must
     reproduce the analytic-FD spectra."""
