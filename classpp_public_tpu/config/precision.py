@@ -25,6 +25,10 @@ class PrecisionParams:
     # integrals, not an adaptive ODE march; background_Nloga is the knob)
     tol_initial_Omega_r: float = 1.0e-4
     tol_ncdm_bg: float = 1.0e-5
+    # perturbation momentum-grid accuracy: drives the qm_auto minimal-N
+    # Gauss-Laguerre search (background.ncdm_q_rule; reference tol_ncdm,
+    # precisions.h + tools/quadrature.c get_qsampling)
+    tol_ncdm: float = 1.0e-3
     tol_tau_eq: float = 1.0e-6
     # grid size for the fixed log(a) background table (TPU-native choice:
     # dense fixed grid instead of adaptive; 1+ points per back_integration_stepsize)
