@@ -66,9 +66,14 @@ def get_k_list(params: CosmoParams, pr: PrecisionParams, bg, th,
         step *= (k * k / scale2 + 1.0) / (k * k / scale2 + 1.0 / pr.k_step_super_reduction)
         k += step
         ks.append(k)
+    # dark-acoustic-oscillation boost: interacting idm-idr with a steep
+    # scattering index needs a denser P(k) tail (perturbations :1856)
+    kpd_pk = pr.k_per_decade_for_pk
+    if params.Omega_idm_dr > 0.0 and params.nindex_idm_dr >= 2.0:
+        kpd_pk *= pr.idmdr_boost_k_per_decade_for_pk * params.nindex_idm_dr
     while k < k_max:
-        k *= 10.0 ** (1.0 / (pr.k_per_decade_for_pk
-                             + (pr.k_per_decade_for_bao - pr.k_per_decade_for_pk)
+        k *= 10.0 ** (1.0 / (kpd_pk
+                             + (pr.k_per_decade_for_bao - kpd_pk)
                              * (1.0 - math.tanh(((math.log(k) - math.log(pr.k_bao_center * k_rec))
                                                  / math.log(pr.k_bao_width)) ** 4))))
         ks.append(k)

@@ -346,5 +346,9 @@ def compute_tensor_perturbations(params, pr: PrecisionParams, bg, bidx, th,
                     jnp.asarray(sched.tau_rsa_on),
                     jnp.asarray(taus), bg.lntau_spline, th.lntau_spline,
                     jnp.float64(pr.tol_perturb_integration), jnp.float64(K_curv))
+    if pr.gw_ini != 1.0:
+        # linear system: scaling sources post-solve == scaling the tensor IC
+        # amplitude gw_ini (precisions.h:221)
+        srcs = srcs * pr.gw_ini
     return TensorResult(k=jnp.asarray(ks), tau=jnp.asarray(taus), sources=srcs,
                         tau0=bg.tau0, k_np=np.asarray(ks))
