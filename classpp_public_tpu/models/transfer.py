@@ -53,14 +53,18 @@ def get_l_list(pr: PrecisionParams, l_max: int, rescaling: float = 1.0) -> np.nd
 
 
 def get_q_list(pr: PrecisionParams, k_min: float, k_max: float,
-               tau0: float, tau_rec: float) -> np.ndarray:
-    """Flat-case q sampling: log step turning linear with scale q_period =
-    2 pi/(tau0 - tau_rec) (transfer_get_q_list :884-1010)."""
+               tau0: float, tau_rec: float, ang: float = 1.0) -> np.ndarray:
+    """Flat/open-case q sampling: log step turning linear with scale
+    q_period = 2 pi/(tau0 - tau_rec) (transfer_get_q_list :884-1010). In open
+    models the log step is divided by angular_rescaling^q_logstep_open
+    (transfer_module.cpp:941): geometry stretches the Bessel oscillations, so
+    low q needs denser sampling."""
     q_period = 2.0 * math.pi / (tau0 - tau_rec)
+    q_logstep = pr.q_logstep_spline / ang ** pr.q_logstep_open
     qs = [k_min]
     q = k_min
     while q < k_max:
-        q = q + q_period * pr.q_linstep * q / (q + pr.q_linstep / pr.q_logstep_spline)
+        q = q + q_period * pr.q_linstep * q / (q + pr.q_linstep / q_logstep)
         qs.append(q)
     if qs[-1] > k_max:
         qs.pop()
@@ -215,7 +219,8 @@ def compute_transfer(pert, th, pr: PrecisionParams, l_max: int,
     else:
         q_min = math.sqrt(max(float(k[0]) ** 2 + K, 1e-12 * float(k[0]) ** 2))
         q_max = math.sqrt(float(k[-1]) ** 2 + K)
-        q = get_q_list(pr, q_min, q_max, tau0, float(th.tau_rec))
+        q = get_q_list(pr, q_min, q_max, tau0, float(th.tau_rec),
+                       ang=float(th.angular_rescaling))
         k_of_q = np.sqrt(np.maximum(q * q - K, float(k[0]) ** 2))
 
     W, Sq, taus = _weighted_sources(pert, th, pr, q, k_of_q=k_of_q, K=K,
@@ -239,8 +244,77 @@ def compute_transfer(pert, th, pr: PrecisionParams, l_max: int,
                           pr.l_switch_limber, neglect_dk, l_late, sgnK)
     acc = core(W, Sq, taus, pert.tau0, qj, jnp.asarray(ls), jnp.asarray(emit_idx_np),
                jnp.asarray(ra_rec), late_mask, jnp.asarray(K), jnp.asarray(k_of_q))
+
+    # --- lensing-potential q extension (Limber-only, OFF by default).
+    # Delta_l^phi(q) keeps support at q beyond the CMB block (chi = (l+1/2)/q
+    # still inside the lensing kernel), but the reference truncates its
+    # transfer q-list at the CMB k block (transfer_get_q_list :903/:918 use
+    # k_size_cl_) so the goldens — and the 3e-3 parity contract — carry that
+    # truncation (measured: enabling this adds ~24% to C_l^phiphi at l=2500
+    # on the Planck config, i.e. the reference underestimates the high-l
+    # phiphi tail at default precision). With phi_q_per_decade > 0 the phi
+    # row is extended by pure Limber (O(1) per (l, q), smooth in q -> a
+    # coarse log grid suffices) up to the full source k_max; T/E rows are
+    # zero there, consistent with transfer_can_be_neglected (:3187).
+    k_full = pert.k_np if getattr(pert, "k_np", None) is not None \
+        else np.asarray(pert.k)
+    q_end = math.sqrt(max(float(k_full[-1]) ** 2 + (K if sgnK else 0.0), 0.0))
+    q_start = float(q[-1])
+    if (ls[-1] > pr.l_switch_limber and q_end > 1.02 * q_start
+            and pr.phi_q_per_decade > 0.0):
+        n_ext = max(int(math.log10(q_end / q_start) * pr.phi_q_per_decade), 8)
+        q_ext = np.geomspace(q_start, q_end, n_ext + 1)[1:]
+        k_ext = np.sqrt(np.maximum(q_ext ** 2 - K, 1e-30)) if sgnK else q_ext
+        _, Sq_ext, _ = _weighted_sources(pert, th, pr, q_ext, k_of_q=k_ext,
+                                         K=K, sgnK=sgnK, k_size=len(k_full))
+        ext_core = _phi_limber_ext_core(len(ls), len(q_ext), sgnK)
+        d_ext = ext_core(Sq_ext[4], taus, pert.tau0, jnp.asarray(q_ext),
+                         jnp.asarray(ls).astype(jnp.float64),
+                         jnp.asarray(pr.l_switch_limber), jnp.asarray(K))
+        acc_ext = jnp.zeros((len(ls), len(TT_TYPES), len(q_ext)))
+        acc_ext = acc_ext.at[:, 4, :].set(d_ext)
+        acc = jnp.concatenate([acc, acc_ext], axis=2)
+        qj = jnp.concatenate([qj, jnp.asarray(q_ext)])
+        k_of_q = np.concatenate([np.asarray(k_of_q), k_ext])
+
     return TransferResult(l=jnp.asarray(ls), q=qj, delta=acc, tau0=pert.tau0,
                           k=jnp.asarray(k_of_q))
+
+
+@lru_cache(maxsize=8)
+def _phi_limber_ext_core(n_l: int, nq: int, sgnK: int):
+    """jitted Limber evaluation of the lcmb transfer row on an extension q
+    grid — the same formulas as the in-scan Limber blocks (_transfer_scan /
+    _transfer_scan_curved; transfer_limber :2912-2970)."""
+
+    def core(S_phi, taus, tau0, qj, lf, l_switch_limber, K):
+        ipg = jnp.sqrt(math.pi / (2.0 * lf)) \
+            * (1.0 - 0.25 / lf + 1.0 / (32.0 * lf * lf))
+        if sgnK == 0:
+            tau_lim = tau0 - (lf[:, None] + 0.5) / qj[None, :]
+            S_at = _limber_parabola(taus, tau0, S_phi, tau_lim, nq)
+            inside = (tau_lim > taus[0]) & (tau_lim < taus[-1])
+            d = jnp.where(inside, ipg[:, None] * S_at / (lf[:, None] + 0.5),
+                          0.0)
+        else:
+            sab = jnp.sqrt(jnp.abs(K))
+            if sgnK > 0:
+                x_lim = jnp.arcsin(jnp.clip(
+                    jnp.sqrt(lf[:, None] * (lf[:, None] + 1.0))
+                    / qj[None, :] * sab, 0.0, 1.0))
+            else:
+                x_lim = jnp.arcsinh((lf[:, None] + 0.5) / qj[None, :] * sab)
+            tau_lim = tau0 - x_lim / sab
+            S_at = _limber_parabola(taus, tau0, S_phi, tau_lim, nq)
+            inside = (tau_lim > taus[0]) & (tau_lim < taus[-1])
+            curv_fac = (1.0 - K * lf[:, None] ** 2
+                        / qj[None, :] ** 2) ** (-0.25)
+            chi_lim = jnp.maximum(tau0 - tau_lim, 1e-30)
+            d = jnp.where(inside, ipg[:, None] * curv_fac * S_at
+                          / (chi_lim * qj[None, :]), 0.0)
+        return jnp.where((lf > l_switch_limber)[:, None], d, 0.0)
+
+    return jax.jit(core)
 
 
 def _transfer_scan(W, Sq, taus, tau0, qj, l_emit, emit_idx,
@@ -563,7 +637,8 @@ def compute_transfer_tensor(tpert, th, pr: PrecisionParams, l_max: int,
     else:
         q_min = math.sqrt(max(float(k[0]) ** 2 + 3.0 * K, 1e-10 * float(k[0]) ** 2))
         q_max = math.sqrt(float(k[-1]) ** 2 + 3.0 * K)
-        q = get_q_list(pr, q_min, q_max, tau0, float(th.tau_rec))
+        q = get_q_list(pr, q_min, q_max, tau0, float(th.tau_rec),
+                       ang=float(th.angular_rescaling))
         k_of_q = np.sqrt(np.maximum(q * q - 3.0 * K, float(k[0]) ** 2))
 
     taus = tpert.tau

@@ -130,9 +130,12 @@ class Cosmology:
 
             bg, bidx = self.background
             k_max_cl_extra = 0.0
-            if self.out.has_nc:
-                # ref perturbations_module.cpp:1728: resolve l_lss_max at the
-                # comoving distance of the nearest selection bin
+            if self.out.has_nc or self.out.lCl:
+                # ref perturbations_module.cpp:1726-1733: resolve l_lss_max
+                # at the comoving distance of the nearest selection bin —
+                # applied for number counts AND the lensing potential (the
+                # reference default selection_mean[0]=1.0 / l_lss_max=300
+                # makes this a no-op for lCl unless l_max_lss is raised)
                 from .models.background import tau_of_z
 
                 tau1 = float(tau_of_z(bg, jnp.asarray(self.out.selection_mean[0])))

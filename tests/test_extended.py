@@ -169,3 +169,40 @@ def test_ede_perturbations_run():
     assert np.isfinite(pk_ede) and pk_ede > 0
     # EDE suppresses growth: P_EDE < P_LCDM, but within tens of percent
     assert 0.5 < pk_ede / pk_lcdm < 1.0, pk_ede / pk_lcdm
+
+
+def test_phi_limber_extension_core_matches_inscan_limber():
+    """The Limber-only lensing-potential q-extension core
+    (transfer._phi_limber_ext_core) must agree with the in-scan Limber branch
+    (_transfer_scan acc[:, 4] for l > l_switch_limber) on the same synthetic
+    weighted source — the extension is the same formula evaluated on extra q
+    points (transfer_limber :2912-2970), so any factor drift is a bug."""
+    import jax.numpy as jnp
+
+    from classpp_public_tpu.models import transfer as tr
+
+    tau0 = 14000.0
+    taus = jnp.asarray(np.linspace(300.0, tau0 * (1 - 1e-6), 400))
+    q = jnp.asarray(np.geomspace(5e-3, 0.3, 64))
+    ls = np.array([20, 50, 120, 250], dtype=np.int64)
+    # smooth synthetic phi source row (nq, ntau), weighted like Sq[4]
+    S_phi = (jnp.exp(-((jnp.log(q)[:, None] + 3.0) ** 2))
+             * (taus / tau0)[None, :] * (1.0 - taus / tau0)[None, :])
+    nq, ntau = S_phi.shape
+    W = jnp.zeros((5, nq, ntau))
+    Sq = jnp.zeros((5, nq, ntau)).at[4].set(S_phi)
+    emit_idx = np.full(int(ls[-1]) + 1, -1, dtype=np.int32)
+    for i, lv in enumerate(ls):
+        emit_idx[lv] = i
+    acc = tr._transfer_scan(W, Sq, taus, tau0, q, jnp.asarray(ls),
+                            jnp.asarray(emit_idx), int(ls[-1]), len(ls), 5,
+                            nq, 10.0, (0.15, 0.04, 0.15, 0.11), 1e9,
+                            jnp.asarray((tau0 - 280.0)),
+                            jnp.ones((ntau,), bool))
+    core = tr._phi_limber_ext_core(len(ls), nq, 0)
+    d_ext = core(S_phi, taus, tau0, q, jnp.asarray(ls).astype(jnp.float64),
+                 jnp.asarray(10.0), jnp.asarray(0.0))
+    a = np.asarray(acc[:, 4, :])
+    b = np.asarray(d_ext)
+    m = np.abs(a) > 1e-12 * np.abs(a).max()
+    assert np.allclose(a[m], b[m], rtol=1e-12), np.abs(a[m] / b[m] - 1).max()
