@@ -266,8 +266,10 @@ class Class:
                 om = _parse_list(p.pop("Omega_ncdm", "")) or \
                     [v / (h * h) for v in _parse_list(p.pop("omega_ncdm", ""))]
                 p.pop("omega_ncdm", None)
+                tol_M = float(p.get("tol_M_ncdm", 1.0e-7))
                 kw["m_ncdm"] = tuple(
-                    self._m_ncdm_from_omega(dict(kw), i, float(om[i]), h)
+                    self._m_ncdm_from_omega(dict(kw), i, float(om[i]), h,
+                                            tol_M=tol_M)
                     for i in range(len(om)))
         # decaying ncdm -> dark radiation (DNCDM, the fork's headline
         # extension; tools/non_cold_dark_matter.cpp:230 + input_module
@@ -683,11 +685,21 @@ class Class:
                 prkw[key] = type(cur)(val) if not isinstance(cur, bool) else _parse_bool(val)
         if prkw:
             pr = pr.replace(**prkw)
+        if kw.get("N_ncdm_decay_dr", 0):
+            # perturbations_module.cpp:571-577
+            if pr.l_max_dr_col > pr.l_max_dr:
+                raise CosmoSevereError(
+                    "l_max_dr_col must be <= l_max_dr. Change your input accordingly.")
+            if pr.l_max_dr_col > pr.l_max_ncdm:
+                raise CosmoSevereError(
+                    "l_max_dr_col must be <= l_max_ncdm. Change your input accordingly.")
         if out.non_linear:
             # nonlinear sigma(R) integrals need k beyond the requested P(k)
             # range (input_module.cpp:2806/2811: k_max_for_pk raised to
-            # nonlinear_min_k_max)
-            out.P_k_max = max(out.P_k_max, pr.nonlinear_min_k_max)
+            # nonlinear_min_k_max and the deprecated per-method floors)
+            method_min = (pr.hmcode_min_k_max if out.non_linear == "hmcode"
+                          else pr.halofit_min_k_max)
+            out.P_k_max = max(out.P_k_max, pr.nonlinear_min_k_max, method_min)
 
         # --- shooting for indirect parameters (reference input_module
         # FixUnknownParameters :195 + Cosmology sigma8 loop, cosmology.cpp:39)
@@ -727,7 +739,13 @@ class Class:
                          "write background", "write thermodynamics",
                          "write primordial", "write parameters",
                          "write warnings", "overwrite_root",
-                         "write perturbations"):
+                         "write perturbations",
+                         # parsed but never consumed by the reference fork
+                         # either: the q-sampling uses tol_ncdm regardless of
+                         # gauge (input_module.cpp:1092; the gauge-specific
+                         # pair is declared in precisions.h:44-49 with no
+                         # consumer)
+                         "tol_ncdm_synchronous", "tol_ncdm_newtonian"):
                 p.pop(key)
         self._k_output_values = tuple(_parse_list(p.pop("k_output_values", "")) or ())
         if p:
@@ -746,6 +764,16 @@ class Class:
                             + ", ".join(repr(k) for k in unknown))
             raise CosmoSevereError("; ".join(msgs))
 
+        # synchronous gauge is defined in the rest frame of CDM: with no CDM
+        # at all, substitute a negligible floor so the gauge stays defined
+        # (input_module.cpp:872, Omega0_cdm_min_synchronous). In idm_dr-only
+        # runs the floor is moved over from the interacting component (:912).
+        if gauge == "synchronous" and kw.get("omega_cdm", 0.1201075) == 0.0:
+            h_ = kw.get("h", 0.67810)
+            kw["omega_cdm"] = pr.Omega0_cdm_min_synchronous * h_ * h_
+            if kw.get("Omega_idm_dr", 0.0) > 0.0:
+                kw["Omega_idm_dr"] -= pr.Omega0_cdm_min_synchronous
+
         params = CosmoParams(**kw)
         self._validate_physics(params)
 
@@ -761,7 +789,8 @@ class Class:
         return cosmo
 
     @staticmethod
-    def _m_ncdm_from_omega(kw: dict, i: int, omega_target: float, h: float):
+    def _m_ncdm_from_omega(kw: dict, i: int, omega_target: float, h: float,
+                           tol_M: float = 1.0e-7):
         """Invert Omega_ncdm_i -> m_ncdm_i [eV] via bisection on the momentum
         integral (background_ncdm_M_from_Omega,
         tools/non_cold_dark_matter.cpp:893). Background-only: each iteration
@@ -798,12 +827,16 @@ class Class:
         if omega_of_m(hi) < omega_target:
             raise CosmoSevereError(
                 f"cannot match Omega_ncdm={omega_target} with any mass")
+        # bisect to the tol_M_ncdm relative tolerance on M
+        # (non_cold_dark_matter.cpp:919 |deltaM/M| < tol_M_ncdm)
         for _ in range(200):
             mid = 0.5 * (lo + hi)
             if omega_of_m(mid) < omega_target:
                 lo = mid
             else:
                 hi = mid
+            if mid > 0.0 and (hi - lo) / mid < tol_M:
+                break
         return 0.5 * (lo + hi)
 
     @staticmethod

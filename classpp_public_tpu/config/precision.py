@@ -9,6 +9,41 @@ the dataclass is hashable and usable as a jit static argument.
 Only parameters consumed by implemented stages are present; the set grows with
 the framework. Names follow the reference (include/precisions.h line refs in
 comments).
+
+Reference parameters deliberately OBVIATED by the TPU-native design (absent
+here because no code path could consume them, not because the feature is
+missing):
+
+- back_integration_stepsize / tol_background_integration: the background is
+  a fixed dense ln(a) grid with exact cumulative integrals (background_Nloga
+  is the density knob), not an adaptive RKCK march.
+- perturb_integration_stepsize: the batched IMEX/RKCK evolvers are
+  error-controlled by tol_perturb_integration; there is no timescale-scaled
+  initial step.
+- hyper_x_min / hyper_x_tol / hyper_phi_min_abs / hyper_sampling_flat /
+  hyper_sampling_curved_low_nu / hyper_sampling_curved_high_nu /
+  hyper_nu_sampling_step: hyperspherical Bessel values are generated inside
+  the line-of-sight scan at exactly the x values needed (recurrence +
+  log-series seeds), so there are no sampled Phi tables to size; the only
+  surviving table knob is hyper_flat_approximation_nu (closed q-list).
+- idm_dr_tight_coupling_trigger_tau_c_over_tau_{h,k} /
+  idr_streaming_approximation / idr_streaming_trigger_*: the idm-idr
+  scattering terms are handled IMPLICITLY by the IMEX stiff solve
+  (equations.stiff_apply/stiff_solve), so the reference's tca_idm_dr / rsa_idr
+  stiffness-avoidance approximations have no equivalent switching to trigger.
+- thermo_Nz1_idm_dr / thermo_Nz2_idm_dr / thermo_z_initial_idm_dr: idm_dr
+  scattering rates ride the shared thermodynamics z-grid (recfast_Nz0).
+- hmcode_tol_sigma: sigma(R) = 1 is inverted by a vectorized monotone
+  inversion + Newton polish on the full R grid, not a tolerance-terminated
+  scalar iteration.
+- tol_ncdm_synchronous / tol_ncdm_newtonian: parsed-and-ignored, exactly like
+  the reference fork (declared precisions.h:44-49, but input_module.cpp:1092
+  always feeds tol_ncdm to the q-sampling); accepted as inert inputs.
+- transfer_neglect_delta_k_V_*: vector modes — the reference itself aborts
+  with "Vectors not coded yet" (perturbations_module.cpp:581).
+- safe_phi_scf: commented out in the reference registry (precisions.h:71).
+- entropy_ini / gw_ini / curvature_ini ARE present (below): applied as exact
+  post-solve source scalings (the system is linear in the IC amplitude).
 """
 
 from __future__ import annotations
@@ -29,7 +64,16 @@ class PrecisionParams:
     # Gauss-Laguerre search (background.ncdm_q_rule; reference tol_ncdm,
     # precisions.h + tools/quadrature.c get_qsampling)
     tol_ncdm: float = 1.0e-3
+    # Omega_ncdm -> M Newton/bisection relative tolerance
+    # (background_ncdm_M_from_Omega, tools/non_cold_dark_matter.cpp:893)
+    tol_M_ncdm: float = 1.0e-7
+    # guard: perturbations must start while every ncdm species is still
+    # relativistic, |p/rho - 1/3| < tol (perturbations_module.cpp:2576)
+    tol_ncdm_initial_w: float = 1.0e-3
     tol_tau_eq: float = 1.0e-6
+    # synchronous gauge is defined in the CDM frame: with Omega_cdm == 0 the
+    # reference substitutes this floor (input_module.cpp:872)
+    Omega0_cdm_min_synchronous: float = 1.0e-10
     # grid size for the fixed log(a) background table (TPU-native choice:
     # dense fixed grid instead of adaptive; 1+ points per back_integration_stepsize)
     background_Nloga: int = 4096
@@ -67,6 +111,12 @@ class PrecisionParams:
     reionization_optical_depth_tol: float = 1.0e-4
     reionization_start_factor: float = 8.0
     thermo_rate_smoothing_radius: int = 50
+    # HyRec rate-table overrides: empty = the tables shipped in
+    # classpp_public_tpu/data/hyrec (precisions.h hyrec_*_file,
+    # thermodynamics_module.cpp:3119-3152)
+    hyrec_Alpha_inf_file: str = ""
+    hyrec_R_inf_file: str = ""
+    hyrec_two_photon_tables_file: str = ""
 
     # --- perturbations: k sampling (precisions.h:162-182)
     k_min_tau0: float = 0.1
@@ -76,6 +126,10 @@ class PrecisionParams:
     k_step_transition: float = 0.2
     k_step_super_reduction: float = 0.1
     k_per_decade_for_pk: float = 10.0
+    # idm_dr dark-acoustic-oscillation runs need a denser P(k) grid: the
+    # effective density is k_per_decade_for_pk * boost * nindex_idm_dr
+    # (perturbations_module.cpp:1772,1856)
+    idmdr_boost_k_per_decade_for_pk: float = 1.0
     k_per_decade_for_bao: float = 70.0
     k_bao_center: float = 3.0
     k_bao_width: float = 4.0
@@ -97,12 +151,26 @@ class PrecisionParams:
     l_max_ur: int = 17
     l_max_ncdm: int = 17
     l_max_dr: int = 17
+    # number of collision terms fed into the decay-radiation hierarchy by a
+    # decaying-ncdm source (<= l_max_dr and l_max_ncdm; precisions.h:212,
+    # applied at perturbations_module.cpp:8498)
+    l_max_dr_col: int = 17
     l_max_idr: int = 17
     l_max_g_ten: int = 5
     l_max_pol_g_ten: int = 5
 
     # --- perturbation integration (precisions.h:219-299)
+    # initial-condition normalizations (precisions.h:219-221). The solution
+    # is linear in them, so they are applied as exact post-solve source
+    # scalings (no retrace): adiabatic modes scale with curvature_ini,
+    # isocurvature with entropy_ini, tensors with gw_ini.
     curvature_ini: float = 1.0
+    entropy_ini: float = 1.0
+    gw_ini: float = 1.0
+    # PPF: cap on (c_gamma k / aH)^2 selecting the large-scale vs
+    # small-scale Gamma equation branch (precisions.h:245, used in the fld
+    # block of perturb_derivs :6520)
+    c_gamma_k_H_square_max: float = 1.0e3
     # (no perturb_integration_stepsize: the batched evolvers are
     # error-controlled by tol_perturb_integration, not timescale-scaled)
     perturb_sampling_stepsize: float = 0.1
@@ -191,6 +259,19 @@ class PrecisionParams:
     q_numstep_transition: float = 250.0
     q_linstep: float = 0.45
     q_logstep_spline: float = 170.0
+    # open universe: q_logstep_spline is divided by the thermodynamics
+    # angular rescaling raised to this power (transfer_module.cpp:941) —
+    # open geometries need denser low-q sampling
+    q_logstep_open: float = 6.0
+    # lensing-potential q-extension density (TPU-native accuracy knob; see
+    # models/transfer.py). The reference truncates its transfer q-list at
+    # the CMB k block (transfer_get_q_list :903 uses k_size_cl_), which
+    # loses 10-25% of C_l^phiphi at l ~ 2500 (the Limber kernel still has
+    # support at chi < 6000 Mpc, i.e. q > k_max_cmb). DEFAULT 0 = off for
+    # reference parity (the goldens carry the same truncation); set e.g.
+    # 1200 points/decade to append a Limber-only phi extension up to the
+    # full source k_max for the physically-complete high-l phiphi tail.
+    phi_q_per_decade: float = 0.0
     transfer_neglect_delta_k_S_t0: float = 0.15
     transfer_neglect_delta_k_S_t1: float = 0.04
     transfer_neglect_delta_k_S_t2: float = 0.15
@@ -207,10 +288,19 @@ class PrecisionParams:
     selection_cut_at_sigma: float = 5.0
     selection_sampling: float = 50.0
     selection_sampling_bessel: float = 20.0
+    # tau sampling of integrated (line-of-sight) number-count contributions:
+    # lensing/GR kernels vary slower than the Bessels, so they get their own
+    # density knob (precisions.h:411, transfer_module.cpp:1473)
+    selection_sampling_bessel_los: float = 20.0
 
     # --- nonlinear (precisions.h:418-449)
     sigma_k_per_decade: float = 80.0
     nonlinear_min_k_max: float = 20.0
+    # deprecated per-method aliases of nonlinear_min_k_max, still honored:
+    # k_max_for_pk = max(k_max, nonlinear_min_k_max, halofit/hmcode_min_k_max)
+    # (input_module.cpp:2806-2811)
+    halofit_min_k_max: float = 5.0
+    hmcode_min_k_max: float = 5.0
     halofit_min_k_nonlinear: float = 1.0e-4
     halofit_k_per_decade: float = 80.0
     # Pk_equal method (precisions.h:454-455): effective (w0, Omega_m)(z)

@@ -63,17 +63,20 @@ RING = 512                    # > max lookback (~357 steps) for zstart = 1e4
 _DATA = Path(__file__).parent.parent / "data" / "hyrec"
 
 
-@lru_cache(maxsize=1)
-def _load_tables():
+@lru_cache(maxsize=8)
+def _load_tables(alpha_file=None, r_inf_file=None, two_photon_file=None):
     """Rate tables: logAlpha (2, NTM, NTR), logR2p2s (NTR,), two-photon
     coefficient table (NVIRT rows x 5 cols). Layout per hyrec read_rates /
-    read_twog_params (hydrogen.c:97-128, :268-290)."""
-    alpha_flat = np.loadtxt(_DATA / "Alpha_inf.dat").reshape(-1)
+    read_twog_params (hydrogen.c:97-128, :268-290). The three paths default
+    to the shipped data/hyrec tables and are overridable via the reference's
+    hyrec_Alpha_inf_file / hyrec_R_inf_file / hyrec_two_photon_tables_file
+    precision inputs (precisions.h, thermodynamics_module.cpp:3119-3152)."""
+    alpha_flat = np.loadtxt(alpha_file or _DATA / "Alpha_inf.dat").reshape(-1)
     # file order: for each TR (outer), for each TM (inner): (alpha_2s, alpha_2p)
     alpha = alpha_flat.reshape(NTR, NTM, 2)
     log_alpha = np.log(alpha).transpose(2, 1, 0)       # (2, NTM, NTR)
-    log_r2p2s = np.log(np.loadtxt(_DATA / "R_inf.dat").reshape(NTR))
-    twog = np.loadtxt(_DATA / "two_photon_tables.dat")
+    log_r2p2s = np.log(np.loadtxt(r_inf_file or _DATA / "R_inf.dat").reshape(NTR))
+    twog = np.loadtxt(two_photon_file or _DATA / "two_photon_tables.dat")
     Eb = twog[:, 0].copy()
     A1s = twog[:, 1].copy()
     A2s = twog[:, 2].copy()
@@ -144,7 +147,7 @@ class HyrecCtx(NamedTuple):
     read_w: jnp.ndarray
 
 
-def make_hyrec_ctx(params, bg, YHe, Neff) -> HyrecCtx:
+def make_hyrec_ctx(params, bg, YHe, Neff, pr=None) -> HyrecCtx:
     h2 = params.h * params.h
     obh2 = params.omega_b
     omh2 = (float(bg.Omega0_b) + float(bg.Omega0_cdm) + float(bg.Omega0_ncdm_tot)) * h2
@@ -152,7 +155,10 @@ def make_hyrec_ctx(params, bg, YHe, Neff) -> HyrecCtx:
     others = (float(bg.Omega0_g) + float(bg.Omega0_ur) + float(bg.Omega0_b)
               + float(bg.Omega0_cdm) + float(bg.Omega0_ncdm_tot))
     odeh2 = (1.0 - params.Omega_k - others) * h2
-    log_alpha, log_r2p2s, Eb, A1s, A2s, A3s3d, A4s4d = _load_tables()
+    log_alpha, log_r2p2s, Eb, A1s, A2s, A3s3d, A4s4d = _load_tables(
+        getattr(pr, "hyrec_Alpha_inf_file", "") or None,
+        getattr(pr, "hyrec_R_inf_file", "") or None,
+        getattr(pr, "hyrec_two_photon_tables_file", "") or None)
     src, off, w = _read_specs(Eb)
     f = jnp.asarray
     return HyrecCtx(
@@ -727,7 +733,7 @@ def compute_recombination_hyrec(params, pr, rec_ctx, bg, model="recfast"):
     from .thermodynamics import RecoTable
 
     zstart = pr.recfast_z_initial
-    ctx = make_hyrec_ctx(params, bg, float(rec_ctx.YHe), params.N_eff)
+    ctx = make_hyrec_ctx(params, bg, float(rec_ctx.YHe), params.N_eff, pr=pr)
     z_hi, xe_hi, Tm_hi = jax.jit(build_history, static_argnums=(1, 2))(
         ctx, zstart, model)
 

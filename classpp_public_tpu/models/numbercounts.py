@@ -36,6 +36,18 @@ from .transfer import get_l_list
 
 N_TAU_NC = 512
 
+
+def _n_tau_nc(pr):
+    """Static per-row tau-grid length. The reference sizes each window's tau
+    grid from selection_sampling / selection_sampling_bessel(_los)
+    (transfer_selection_sampling :2288, :1473); the TPU-native redesign keeps
+    ONE static padded length for all rows and scales it with the same knobs
+    relative to their defaults (50 / 20 / 20), rounded to a multiple of 64."""
+    scale = max(pr.selection_sampling / 50.0,
+                pr.selection_sampling_bessel / 20.0,
+                pr.selection_sampling_bessel_los / 20.0)
+    return max(int(-(-N_TAU_NC * scale // 64) * 64), 128)
+
 # per-contribution static description:
 #   source column, k-power rescale, radial code (0=j, 1=j', 2=j''),
 #   integrated? (lensing-kernel tau grid). Our delta_m/theta_m/metric
@@ -275,7 +287,7 @@ def _assemble_rows(bg, bidx, pr, sel_means, sel_widths, kind, contributions,
         tau_min = float(tau_of_z(bg, jnp.asarray(z_hi)))
         tau_max = float(tau_of_z(bg, jnp.asarray(z_lo)))
         tau = jnp.linspace(tau_min, min(tau_max, float(tau0) * (1.0 - 1e-8)),
-                           N_TAU_NC)
+                           _n_tau_nc(pr))
         bgv = bg.lntau_spline.eval(jnp.log(tau))
         a = bgv[:, bidx["a"]]
         H = bgv[:, bidx["H"]]
@@ -303,7 +315,7 @@ def _assemble_rows(bg, bidx, pr, sel_means, sel_widths, kind, contributions,
     int_tau = []
     for b in range(nbin):
         tau = jnp.linspace(float(sel_tau[b][0]), float(tau0) * (1.0 - 1e-8),
-                           N_TAU_NC)
+                           _n_tau_nc(pr))
         int_tau.append(tau)
 
     # --- assemble per-row tau grids + windows
@@ -420,7 +432,7 @@ def _delta_from_rows(k, s_eval, R: _RowInfo, ls):
 
     # trapezoid weights per row (uniform grids)
     dtau = tau_rows[:, 1] - tau_rows[:, 0]
-    wt = jnp.full((tau_rows.shape[0], N_TAU_NC), 1.0)
+    wt = jnp.full(tau_rows.shape, 1.0)
     wt = wt.at[:, 0].set(0.5).at[:, -1].set(0.5)
     Wrow = WS * (wt * dtau[:, None])[:, None, :]
 
@@ -433,7 +445,7 @@ def _delta_from_rows(k, s_eval, R: _RowInfo, ls):
     for i, lv in enumerate(ls):
         emit_idx_np[lv] = i
     n_row = len(rows)
-    core = _nc_core(lmax_scan, len(ls), n_row, len(k), N_TAU_NC)
+    core = _nc_core(lmax_scan, len(ls), n_row, len(k), tau_rows.shape[1])
     delta = core(x, Wrow, rad_onehot, jnp.asarray(ls),
                  jnp.asarray(emit_idx_np))            # (nl, nrow, nk)
 
@@ -449,7 +461,7 @@ def _delta_from_rows(k, s_eval, R: _RowInfo, ls):
         def one_row(p_row, tau_row):
             dt = tau_row[1] - tau_row[0]
             fi = (jnp.clip(tau_lim, tau_row[0], tau_row[-1]) - tau_row[0]) / dt
-            i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, N_TAU_NC - 2)
+            i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, tau_rows.shape[1] - 2)
             wf = fi - i0
             lo = jnp.take_along_axis(
                 p_row[None].repeat(len(ls), 0), i0[:, :, None], axis=2)[..., 0]

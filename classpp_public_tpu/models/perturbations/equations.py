@@ -148,6 +148,9 @@ class PertCtx(NamedTuple):
     wa_fld: float = 0.0
     cs2_fld: float = 1.0
     c_gamma_over_c_fld: float = 0.4   # PPF sound-speed ratio (input :3212)
+    # PPF large/small-scale branch cap on (c_gamma k/aH)^2 c_s^2
+    # (precisions.h:245); static — changing it retraces, like any precision
+    c_gamma_k_H_square_max: float = 1.0e3
     # offset of the stored eta slot (0.0 or 1.0, may be per-lane traced): the
     # state carries eta - eta_off. Low-k adiabatic modes store eta - 1 so the
     # super-horizon value 1 - O((k tau)^2) keeps its deviation at full
@@ -433,7 +436,7 @@ def rhs_full(tau, y, ctx: PertCtx):
             Hp_bg = bgv[bidx["H_prime"]]
             Gamma = y[idx.delta_fld]
             cK = (ctx.c_gamma_over_c_fld * k / aH) ** 2 * cs2_fld
-            big = cK > 1.0e3          # c_gamma_k_H_square_max (precisions.h:245)
+            big = cK > ctx.c_gamma_k_H_square_max   # precisions.h:245
             Gamma_e = jnp.where(big, zero, Gamma)
             rpp_nofld = (rho_tot_bg + p_tot_bg) - (1.0 + w_fld) * rho_fld
             alpha_ppf = (eta + 1.5 * a2 / (k2 * s2)
@@ -768,7 +771,8 @@ def rhs_full(tau, y, ctx: PertCtx):
         sl_d2 = s_of_l(ld)
         sl_d2_p1 = s_of_l(ld + 1.0)
         drn_fac = (ctx.H0 / a2) ** 2
-        nlc = min(nl_d, nld)
+        # collision terms enter only for l <= l_max_dr_col (precisions :8498)
+        nlc = min(nl_d, nld, idx.l_max_dr_col + 1)
         for j in range(idx.n_dncdm):
             i_sp = n_std_d + j
             base = idx.dec_col0 + j * stride_d

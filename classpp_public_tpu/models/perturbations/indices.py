@@ -44,6 +44,9 @@ class PtIdx:
     # dr hierarchy F_0..F_lmax; reference perturb_vector_init :3380-3390)
     has_dcdm: bool = False
     l_max_dr: int = 17
+    # decay-collision cutoff: dncdm source terms feed the dr hierarchy only
+    # for l <= l_max_dr_col (precisions.h:212, perturbations :8498)
+    l_max_dr_col: int = 17
     # scalar-field dark energy (quintessence) perturbations
     has_scf: bool = False
     # PPF formalism for the fld (Hu 2008): one Gamma variable in the

@@ -94,10 +94,15 @@ class SolverScalars(NamedTuple):
     # early/late ISW split redshift (perturb_sources :6826-6895; defaults
     # all-on + z_split = 120)
     tswitch: jnp.ndarray = None
+    # PPF knobs: c_gamma_over_c_fld (input :3212) and the
+    # c_gamma_k_H_square_max branch cap (precisions.h:245)
+    c_gamma: jnp.ndarray = None
+    c_gamma_cap: jnp.ndarray = None
 
     @staticmethod
     def make(rtol, atol=1e-11, wa_fld=0.0, cs2_fld=1.0, K=0.0, Gamma_dcdm=0.0,
-             H0=1.0, eta_flag=1.0, lanes=None, tswitch=None):
+             H0=1.0, eta_flag=1.0, lanes=None, tswitch=None, c_gamma=0.4,
+             c_gamma_cap=1.0e3):
         """rtol/atol may be scalars (broadcast to `lanes`) or per-lane
         arrays; the rest are cosmology scalars."""
         f = jnp.float64
@@ -111,20 +116,22 @@ class SolverScalars(NamedTuple):
         return SolverScalars(rtol, atol,
                              *(jnp.asarray(v, f) for v in
                                (wa_fld, cs2_fld, K, Gamma_dcdm, H0, eta_flag)),
-                             jnp.asarray(tswitch, f))
+                             jnp.asarray(tswitch, f),
+                             jnp.asarray(c_gamma, f), jnp.asarray(c_gamma_cap, f))
 
     @classmethod
     def axes(cls):
         """vmap in_axes spec: rtol/atol ride the lane axis, the rest are
         broadcast cosmology scalars."""
         return cls(rtol=0, atol=0, wa_fld=None, cs2_fld=None, K=None,
-                   Gamma_dcdm=None, H0=None, eta_flag=None, tswitch=None)
+                   Gamma_dcdm=None, H0=None, eta_flag=None, tswitch=None,
+                   c_gamma=None, c_gamma_cap=None)
 
 
 def _sc_kwargs(sc: SolverScalars):
     return dict(rtol=sc.rtol, atol=sc.atol, wa_fld=sc.wa_fld, cs2_fld=sc.cs2_fld,
                 K=sc.K, Gamma_dcdm=sc.Gamma_dcdm, H0=sc.H0, eta_flag=sc.eta_flag,
-                tswitch=sc.tswitch)
+                tswitch=sc.tswitch, c_gamma=sc.c_gamma, c_gamma_cap=sc.c_gamma_cap)
 
 
 @lru_cache(maxsize=16)
@@ -187,7 +194,8 @@ K_ETA_SPLIT = 0.02  # 1/Mpc: below this, adiabatic lanes store eta - 1
 
 def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
              bidx, idx, rtol, atol, wa_fld, cs2_fld, ic="ad", evolver="imex",
-             K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None, tswitch=None):
+             K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None, tswitch=None,
+             c_gamma=0.4, c_gamma_cap=1.0e3):
     # eta_flag: 1.0 when the low-k eta-1 storage offset applies (adiabatic
     # synchronous); traced so isocurvature modes share the adiabatic
     # executable instead of retracing the full Boltzmann graph per ic
@@ -207,7 +215,7 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
             return c
         rep = {f: jnp.asarray(getattr(c, f), wd)
                for f in ("wa_fld", "cs2_fld", "K", "Gamma_dcdm", "H0",
-                         "c_gamma_over_c_fld")}
+                         "c_gamma_over_c_fld", "c_gamma_k_H_square_max")}
         if c.tswitch is not None:
             rep["tswitch"] = jnp.asarray(c.tswitch, wd)
         return c._replace(**rep)
@@ -235,7 +243,9 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
             bg_spline=bg_spline, th_spline=th_spline, bidx=bidx, idx=idx,
             ncdmfa_on=t >= t_ncfa, ncdm=ncdm,
             wa_fld=wa_fld, cs2_fld=cs2_fld, eta_off=eta_off, K=K,
-            Gamma_dcdm=Gamma_dcdm, H0=H0, tswitch=tswitch))
+            Gamma_dcdm=Gamma_dcdm, H0=H0, tswitch=tswitch,
+            c_gamma_over_c_fld=c_gamma,
+            c_gamma_k_H_square_max=c_gamma_cap))
 
     if wd == jnp.float64:
         _rhs, _sapply, _ssolve = eq.rhs, eq.stiff_apply, eq.stiff_solve
@@ -304,12 +314,13 @@ def _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
 def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spline, ncdm, bidx, idx, rtol,
                 wa_fld=0.0, cs2_fld=1.0, ic="ad", y_carry=None, atol=1e-11,
                 evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None,
-                tswitch=None):
+                tswitch=None, c_gamma=0.4, c_gamma_cap=1.0e3):
     """Integrate one k-mode over all sampling intervals, emitting sources."""
     ctx_at, integrate_interval = _stepper(
         k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline, ncdm,
         bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic, evolver=evolver, K=K,
-        Gamma_dcdm=Gamma_dcdm, H0=H0, eta_flag=eta_flag, tswitch=tswitch)
+        Gamma_dcdm=Gamma_dcdm, H0=H0, eta_flag=eta_flag, tswitch=tswitch,
+        c_gamma=c_gamma, c_gamma_cap=c_gamma_cap)
 
     if y_carry is None:
         # initial conditions at tau_ini (always deep in tight coupling),
@@ -347,11 +358,12 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, taus, bg_spline, th_spl
 def init_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
                ncdm, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11,
                evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None,
-               tswitch=None):
+               tswitch=None, c_gamma=0.4, c_gamma_cap=1.0e3):
     ctx_at, _ = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
                          ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic,
                          evolver=evolver, K=K, Gamma_dcdm=Gamma_dcdm, H0=H0,
-                         eta_flag=eta_flag, tswitch=tswitch)
+                         eta_flag=eta_flag, tswitch=tswitch,
+                         c_gamma=c_gamma, c_gamma_cap=c_gamma_cap)
     y0 = eq.initial_conditions(ic, k, jnp.asarray(tau_ini, k.dtype),
                                ctx_at(tau_ini))
     return y0, 0.1 * tau_ini
@@ -360,23 +372,25 @@ def init_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
 def advance_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t_a, t_b, bg_spline, th_spline,
                   ncdm, y, h, bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad",
                   atol=1e-11, evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0,
-                  eta_flag=None, tswitch=None):
+                  eta_flag=None, tswitch=None, c_gamma=0.4, c_gamma_cap=1.0e3):
     _, integrate_interval = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline,
                                      th_spline, ncdm, bidx, idx, rtol, atol,
                                      wa_fld, cs2_fld, ic=ic, evolver=evolver, K=K,
                                      Gamma_dcdm=Gamma_dcdm, H0=H0,
-                                     eta_flag=eta_flag, tswitch=tswitch)
+                                     eta_flag=eta_flag, tswitch=tswitch,
+                                     c_gamma=c_gamma, c_gamma_cap=c_gamma_cap)
     return integrate_interval(y, h, t_a, t_b)
 
 
 def emit_one_k(k, t_tca, t_ufa, t_rsa, t_ncfa, t, bg_spline, th_spline, ncdm, y,
                bidx, idx, rtol, wa_fld=0.0, cs2_fld=1.0, ic="ad", atol=1e-11,
                evolver="imex", K=0.0, Gamma_dcdm=0.0, H0=1.0, eta_flag=None,
-               tswitch=None):
+               tswitch=None, c_gamma=0.4, c_gamma_cap=1.0e3):
     ctx_at, _ = _stepper(k, t_tca, t_ufa, t_rsa, t_ncfa, bg_spline, th_spline,
                          ncdm, bidx, idx, rtol, atol, wa_fld, cs2_fld, ic=ic,
                          evolver=evolver, K=K, Gamma_dcdm=Gamma_dcdm, H0=H0,
-                         eta_flag=eta_flag, tswitch=tswitch)
+                         eta_flag=eta_flag, tswitch=tswitch,
+                         c_gamma=c_gamma, c_gamma_cap=c_gamma_cap)
     return eq.compute_sources(jnp.asarray(t, k.dtype), y, ctx_at(t))
 
 
@@ -451,7 +465,9 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                  if has_cls else 0.0)
     k_max_cmb = max(k_max_cmb, k_max_cl_extra)
     sched = get_k_schedule(ks, pr, bg, bidx, th, tau_first_sample=float(taus[0]),
-                           n_ncdm=params.N_ncdm, k_max_cmb=k_max_cmb)
+                           n_ncdm=params.N_ncdm,
+                           tol_ncdm_initial_w=pr.tol_ncdm_initial_w,
+                           k_max_cmb=k_max_cmb)
     k_size_cmb = int(np.searchsorted(ks, k_max_cmb, side="right")) if has_cls else 0
     k_size_cmb = min(k_size_cmb + 1, len(ks))
 
@@ -467,6 +483,7 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
     idx = PtIdx(l_max_g=pr.l_max_g, l_max_pol_g=pr.l_max_pol_g, l_max_ur=pr.l_max_ur,
                 n_ncdm=n_ncdm, l_max_ncdm=pr.l_max_ncdm, has_fld=params.use_fld,
                 gauge=gauge, sgnK=sgnK, has_dcdm=has_dcdm, l_max_dr=pr.l_max_dr,
+                l_max_dr_col=pr.l_max_dr_col,
                 has_scf=params.Omega_scf != 0.0,
                 use_ppf=params.use_fld and params.use_ppf,
                 has_idm_dr=params.Omega_idm_dr > 0.0,
@@ -624,7 +641,9 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 else 0.0,
                 tswitch=tuple(getattr(params, "temp_contributions",
                                       (1.0,) * 5))
-                + (getattr(params, "eisw_lisw_split_z", 120.0),))
+                + (getattr(params, "eisw_lisw_split_z", 120.0),),
+                c_gamma=params.c_gamma_over_c_fld,
+                c_gamma_cap=pr.c_gamma_k_H_square_max)
             if mesh is not None:
                 sc = sc._replace(**dict(zip(
                     ("rtol", "atol"), shard_lanes(mesh, [sc.rtol, sc.atol]))))
@@ -669,10 +688,17 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
         return src_all, jnp.concatenate(out_steps, axis=0)
 
     sources, nsteps = run_ic("ad")
+    # IC normalization knobs (precisions.h:219-220): the Boltzmann system is
+    # linear in the initial amplitude, so scaling the sources post-solve is
+    # exactly equivalent to scaling the ICs (and costs no retrace)
+    if pr.curvature_ini != 1.0:
+        sources = sources * pr.curvature_ini
     sources_iso = None
     iso = [ic for ic in ics if ic != "ad"]
     if iso:
-        sources_iso = {ic: run_ic(ic)[0] for ic in iso}
+        e_amp = pr.entropy_ini
+        sources_iso = {ic: (run_ic(ic)[0] * e_amp if e_amp != 1.0
+                            else run_ic(ic)[0]) for ic in iso}
 
     return PerturbResult(k=jnp.asarray(ks), tau=taus_j, sources=sources,
                          tau0=bg.tau0, k_size_cmb=k_size_cmb, stats_steps=nsteps,
