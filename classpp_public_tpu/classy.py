@@ -53,9 +53,6 @@ _UNIMPLEMENTED_PARAMS = frozenset({
     "scf_lambda", "scf_alpha", "scf_A", "scf_B",
     # decaying dark matter (only tau_dcdm parametrization unimplemented)
     "tau_dcdm",
-    # interacting dark matter / dark radiation: per-l angular coefficient
-    # lists are fixed at the ETHOS default 1.5 (input :1007)
-    "alpha_idm_dr", "beta_idr", "alpha_dark", "beta_dark",
     # inflation-ODE primordial (inflation_V / inflation_H / inflation_V_end
     # all implemented; these two aliases belong to other CLASS forks)
     "inflation_parametrization", "primordial_spec_type",
@@ -397,6 +394,14 @@ class Class:
             if nat not in ("free_streaming", "fluid"):
                 raise CosmoSevereError(f"unknown idr_nature {nat!r}")
             kw["idr_nature"] = nat
+            # per-l angular coefficients alpha_idm_dr/beta_idr (aliases
+            # alpha_dark/beta_dark): lists for l = 2..l_max_idr, shorter
+            # lists padded with the last entry (input_module.cpp:988-1031)
+            for dst, names in (("alpha_idm_dr", ("alpha_idm_dr", "alpha_dark")),
+                               ("beta_idr", ("beta_idr", "beta_dark"))):
+                for nm in names:
+                    if nm in p:
+                        kw[dst] = tuple(_parse_list(p.pop(nm)))
 
         # scalar-field dark energy (quintessence): Omega_scf < 0 means "scf
         # closes the budget" and requires Omega_Lambda = Omega_fld = 0

@@ -154,6 +154,11 @@ class CosmoParams:
     nindex_idm_dr: float = 4.0       # ETHOS power-law index
     m_idm: float = 1.0e9             # idm mass [eV]
     idr_nature: str = "free_streaming"   # or "fluid"
+    # ETHOS per-l angular coefficients for the l>=2 idr collision damping
+    # (input_module.cpp:988-1031): entries for l = 2..l_max_idr; shorter
+    # lists are padded by repeating the last entry, () = all 1.5 (default)
+    alpha_idm_dr: Tuple[float, ...] = ()
+    beta_idr: Tuple[float, ...] = ()
 
     # DM energy injection (thermodynamics_module.cpp:1755; input :3240-3248)
     annihilation: float = 0.0        # <sigma v>/m_dm [m^3/s/kg]

@@ -993,10 +993,9 @@ def _stiff_kappa(tau, y_dtype, ctx: PertCtx):
     return jnp.where(on, kap, jnp.zeros_like(kap)), R
 
 
-# ETHOS angular coefficients for l>=2 idr damping (alpha_idm_dr/beta_idr,
-# reference defaults: all entries 1.5, input_module.cpp:1007)
-_ALPHA_IDM_DR = 1.5
-_BETA_IDR = 1.5
+# ETHOS per-l angular coefficients for the l>=2 idr damping come from
+# idx.idr_damping_coeffs() (alpha_idm_dr/beta_idr input lists; reference
+# default all 1.5, input_module.cpp:1007).
 
 
 def _stiff_idm(tau, y_dtype, ctx: PertCtx):
@@ -1045,10 +1044,13 @@ def stiff_apply(tau, y, ctx: PertCtx):
         out = out.at[idx.theta_idm_dr_pt].set(Sinv * dmu * (th_idr - th_idm))
         out = out.at[idx.theta_idr].set(dmu * (th_idm - th_idr))
         if not idx.idr_fluid:
-            damp = _ALPHA_IDM_DR * dmu + _BETA_IDR * dmu_idr
-            out = out.at[idx.shear_idr].set(-damp * y[idx.shear_idr])
+            al, be = idx.idr_damping_coeffs()
+            al = jnp.asarray(al, y.dtype)
+            be = jnp.asarray(be, y.dtype)
+            damp = al * dmu + be * dmu_idr   # per-l, l = 2..l_max_idr
+            out = out.at[idx.shear_idr].set(-damp[0] * y[idx.shear_idr])
             F_i = jax.lax.dynamic_slice(y, (idx.F_idr,), (idx.n_F_idr,))
-            out = jax.lax.dynamic_update_slice(out, -damp * F_i, (idx.F_idr,))
+            out = jax.lax.dynamic_update_slice(out, -damp[1:] * F_i, (idx.F_idr,))
     return out
 
 
@@ -1091,10 +1093,13 @@ def stiff_solve(tau, gh, r, ctx: PertCtx):
         x = x.at[idx.theta_idr].set(((1.0 + b * Sinv) * r_r + b * r_m) / det_i)
         x = x.at[idx.theta_idm_dr_pt].set((b * Sinv * r_r + (1.0 + b) * r_m) / det_i)
         if not idx.idr_fluid:
-            ad = jnp.asarray(gh, r.dtype) * (_ALPHA_IDM_DR * dmu + _BETA_IDR * dmu_idr)
-            x = x.at[idx.shear_idr].set(r[idx.shear_idr] / (1.0 + ad))
+            al, be = idx.idr_damping_coeffs()
+            al = jnp.asarray(al, r.dtype)
+            be = jnp.asarray(be, r.dtype)
+            ad = jnp.asarray(gh, r.dtype) * (al * dmu + be * dmu_idr)
+            x = x.at[idx.shear_idr].set(r[idx.shear_idr] / (1.0 + ad[0]))
             F_r = jax.lax.dynamic_slice(r, (idx.F_idr,), (idx.n_F_idr,))
-            x = jax.lax.dynamic_update_slice(x, F_r / (1.0 + ad), (idx.F_idr,))
+            x = jax.lax.dynamic_update_slice(x, F_r / (1.0 + ad[1:]), (idx.F_idr,))
     return x
 
 

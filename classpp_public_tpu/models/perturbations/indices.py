@@ -56,6 +56,23 @@ class PtIdx:
     has_idm_dr: bool = False
     l_max_idr: int = 17
     idr_fluid: bool = False      # idr_nature = fluid: no shear/hierarchy
+    # ETHOS per-l angular coefficients for the l>=2 idr collision damping
+    # (alpha_idm_dr/beta_idr lists, input_module.cpp:988-1031): entries for
+    # l = 2..l_max_idr, shorter lists padded with their last entry; () means
+    # the all-1.5 reference default. Static so the damping vector is a
+    # trace-time constant.
+    alpha_idm_dr: tuple = ()
+    beta_idr: tuple = ()
+
+    def idr_damping_coeffs(self):
+        """(alpha_l, beta_l) tuples of length l_max_idr-1 (l = 2..l_max)."""
+        n = self.l_max_idr - 1
+
+        def pad(t):
+            t = tuple(float(x) for x in t) or (1.5,)
+            return (t + (t[-1],) * (n - len(t)))[:n]
+
+        return pad(self.alpha_idm_dr), pad(self.beta_idr)
     # decaying ncdm -> dr: the LAST n_dncdm ncdm species decay; each gets a
     # dark-radiation hierarchy F_0..F_l_max_dr after the ncdm block
     # (reference index_pt_F0_dr_species, perturbations_module.cpp:3384)

@@ -489,6 +489,8 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 has_idm_dr=params.Omega_idm_dr > 0.0,
                 l_max_idr=pr.l_max_idr,
                 idr_fluid=params.idr_nature == "fluid",
+                alpha_idm_dr=tuple(params.alpha_idm_dr),
+                beta_idr=tuple(params.beta_idr),
                 q_size_ncdm=nq_ncdm, q_gauss=q_gauss, q_max_ncdm=q_max_ncdm,
                 n_dncdm=params.N_ncdm_decay_dr if n_ncdm else 0,
                 dec_col0=(bidx["rho_dr_ncdm0"]

@@ -87,3 +87,59 @@ def test_bad_inputs_raise():
     with pytest.raises(CosmoSevereError):
         c.set(dict(PARAMS, idr_nature="nonsense"))
         c.compute(["background"])
+
+
+def test_alpha_beta_lists_parse():
+    """alpha_idm_dr/beta_idr per-l lists (+ *_dark aliases) reach the params
+    pytree; shorter lists pad with the last entry (input_module.cpp:988-1031)."""
+    from classpp_public_tpu.models.perturbations.indices import PtIdx
+
+    c = Class()
+    c.set(dict(PARAMS, **{"alpha_idm_dr": "1.5, 1.2, 1.0", "beta_dark": "0.5"}))
+    p = c._build().params
+    assert p.alpha_idm_dr == (1.5, 1.2, 1.0)
+    assert p.beta_idr == (0.5,)
+    idx = PtIdx(has_idm_dr=True, l_max_idr=6,
+                alpha_idm_dr=p.alpha_idm_dr, beta_idr=p.beta_idr)
+    al, be = idx.idr_damping_coeffs()
+    assert al == (1.5, 1.2, 1.0, 1.0, 1.0) and be == (0.5,) * 5
+    # default: the reference's all-1.5 fill (input_module.cpp:1007)
+    al0, be0 = PtIdx(has_idm_dr=True, l_max_idr=6).idr_damping_coeffs()
+    assert al0 == (1.5,) * 5 and be0 == (1.5,) * 5
+
+
+def test_alpha_beta_stiff_consistency():
+    """(I - gh J) stiff_solve(r) == r still holds with non-uniform per-l
+    alpha/beta damping, and the damping actually differs per multipole."""
+    import jax
+    import jax.numpy as jnp
+    from classpp_public_tpu import CosmoParams, PrecisionParams
+    from classpp_public_tpu.models import background as bgm
+    from classpp_public_tpu.models import thermodynamics as thm
+    from classpp_public_tpu.models.perturbations import equations as eq
+    from classpp_public_tpu.models.perturbations.indices import PtIdx
+
+    params = CosmoParams(Omega_idm_dr=0.05, xi_idr=0.3, a_idm_dr=1.0e3)
+    pr = PrecisionParams(background_Nloga=1024, recfast_Nz0=4000)
+    bg, bidx = bgm.compute_background(params, pr)
+    th = thm.compute_thermodynamics(params, pr, bg, bidx)
+    alpha = tuple(1.5 - 0.05 * i for i in range(16))
+    idx = PtIdx(pr.l_max_g, pr.l_max_pol_g, pr.l_max_ur, has_idm_dr=True,
+                l_max_idr=pr.l_max_idr, alpha_idm_dr=alpha, beta_idr=(0.7,))
+    ctx = eq.PertCtx(k=jnp.asarray(0.3), tca_on=jnp.asarray(False),
+                     rsa_on=jnp.asarray(False), ufa_on=jnp.asarray(False),
+                     bg_spline=bg.lntau_spline, th_spline=th.lntau_spline,
+                     bidx=bidx, idx=idx)
+    tau = jnp.asarray(30.0)
+    rng = np.random.default_rng(2)
+    r = jnp.asarray(rng.normal(size=idx.size))
+    for gh in (1e-4, 1.0, 1e4):
+        x = eq.stiff_solve(tau, jnp.asarray(gh), r, ctx)
+        resid = x - gh * eq.stiff_apply(tau, x, ctx) - r
+        assert float(jnp.max(jnp.abs(resid))) < 1e-9 * max(1.0, gh)
+    # per-l damping: the implicit Jacobian diagonal over the F_idr block
+    # follows alpha_l (distinct entries => distinct damping rates)
+    J = jax.jacfwd(lambda y: eq.stiff_apply(tau, y, ctx))(
+        jnp.zeros((idx.size,)))
+    dF = np.asarray(jnp.diagonal(J))[idx.F_idr: idx.F_idr + idx.n_F_idr]
+    assert np.all(np.diff(dF) > 0), dF  # decreasing alpha => weaker damping
