@@ -11,6 +11,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Iterable, List, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from . import constants as const
@@ -171,10 +172,6 @@ class Class:
                 raise CosmoSevereError(f"unknown gauge {gauge!r}")
         if "recombination" in p:
             kw["recombination"] = str(p.pop("recombination")).strip().lower()
-            if (kw.get("annihilation") or kw.get("decay")) and \
-                    kw["recombination"] != "recfast":
-                raise CosmoSevereError(
-                    "energy injection implemented in the recfast branch only")
         if "reio_parametrization" in p:
             reio = str(p.pop("reio_parametrization")).strip().lower()
             if reio not in ("reio_camb", "reio_half_tanh", "reio_bins_tanh",
@@ -385,9 +382,17 @@ class Class:
                                ("b_idr", ("b_idr", "b_dark")),
                                ("nindex_idm_dr", ("nindex_idm_dr", "nindex_dark"))):
                 val = 4.0 if dst == "nindex_idm_dr" else 0.0
+                # canonical name wins over the *_dark alias when both are
+                # given (input_module.cpp:988-998 reads the canonical name
+                # first and falls back only when it is absent); pop both so
+                # neither reaches the unknown-key check
+                found = False
                 for nm in names:
                     if nm in p:
-                        val = float(p.pop(nm))
+                        v = float(p.pop(nm))
+                        if not found:
+                            val = v
+                            found = True
                 kw[dst] = val
             kw["m_idm"] = float(p.pop("m_idm", 1.0e9))
             nat = str(p.pop("idr_nature", "free_streaming")).strip().lower()
@@ -401,7 +406,9 @@ class Class:
                                ("beta_idr", ("beta_idr", "beta_dark"))):
                 for nm in names:
                     if nm in p:
-                        kw[dst] = tuple(_parse_list(p.pop(nm)))
+                        v = tuple(_parse_list(p.pop(nm)))
+                        if dst not in kw:     # canonical name wins
+                            kw[dst] = v
 
         # scalar-field dark energy (quintessence): Omega_scf < 0 means "scf
         # closes the budget" and requires Omega_Lambda = Omega_fld = 0
@@ -1241,6 +1248,63 @@ class Class:
         nl = self.cosmo.nonlinear
         return np.asarray(nl.k_nl)[:nz]
 
+    def pk_tilt(self, k, z):
+        """Effective logarithmic slope dln P_L/dln k of the total-matter
+        linear spectrum at (k, z) (classy.pyx pk_tilt :710; reference
+        nonlinear_pk_tilt_at_k_and_z differentiates the spline of ln P)."""
+        from .models.nonlinear import pk_linear_at_z
+
+        bg, _ = self._bg()
+        pert = self.cosmo.perturbations
+        lnk_tab = np.log(np.asarray(pert.k_np if pert.k_np is not None
+                                    else pert.k))
+        if len(lnk_tab) < 2 or not (lnk_tab[1] <= np.log(k) <= lnk_tab[-2]):
+            raise CosmoSevereError(
+                f"pk_tilt at k={k:e} 1/Mpc needs P(k,z) computed on a wider "
+                "range of k")
+        lnp = np.log(np.asarray(
+            pk_linear_at_z(pert, bg, self.cosmo.primordial, float(z))))
+        tilt = np.gradient(lnp, lnk_tab)
+        return float(np.interp(np.log(k), lnk_tab, tilt))
+
+    @property
+    def Omega_nu(self):
+        """Omega0_ncdm_tot (classy.pyx Omega_nu property :158)."""
+        bg, _ = self._bg()
+        return float(bg.Omega0_ncdm_tot)
+
+    def get_ncdm(self):
+        """Per-species ncdm quadrature info dict (classy.pyx get_ncdm :893):
+        deg[i], m_ncdm[i] (eV), q_size[i], q[i][j]."""
+        from .models.background import ncdm_psd_weights, ncdm_q_rule
+
+        p = self.cosmo.params
+        if p.N_ncdm == 0:
+            return {}
+        nq, gauss, qmax = ncdm_q_rule(p, self.cosmo.pr)
+        qn, _, _ = ncdm_psd_weights(p, nq, gauss=gauss, qmax=qmax)
+        qn = np.asarray(qn)
+        out = {}
+        for i in range(p.N_ncdm):
+            out[f"deg[{i}]"] = p.deg_ncdm_of(i)
+            out[f"m_ncdm[{i}]"] = p.m_ncdm[i]
+            out[f"q_size[{i}]"] = len(qn)
+            for j, qv in enumerate(qn):
+                out[f"q[{i}][{j}]"] = float(qv)
+        return out
+
+    def theta_d_100(self):
+        """100 * rd_rec / ra_rec (classy.pyx theta_d_100 :779)."""
+        th = self.cosmo.thermodynamics
+        return 100.0 * float(th.rd_rec) / float(th.ra_rec)
+
+    def k_eq(self):
+        """a_eq * H_eq [1/Mpc] (classy.pyx k_eq :801)."""
+        bg, bidx = self._bg()
+        a_eq = 1.0 / (1.0 + float(bg.z_eq))
+        row = bg.at_tau(jnp.asarray(float(bg.tau_eq)))
+        return a_eq * float(row[bidx["H"]])
+
     # --- tables ----------------------------------------------------------------
 
     def get_background(self):
@@ -1417,9 +1481,173 @@ class Class:
                 vals[name] = float(bg.z_eq)
             elif name == "tau_eq":
                 vals[name] = float(bg.tau_eq)
+            elif name in ("Omega0_lambda", "Omega_Lambda"):
+                vals[name] = float(bg.Omega0_lambda)
+            elif name == "Omega0_fld":
+                p = self.cosmo.params
+                vals[name] = (1.0 - float(bg.Omega0_m) - float(bg.Omega0_r)
+                              - p.Omega_k) if p.use_fld else 0.0
+            elif name == "m_ncdm_in_eV":
+                p = self.cosmo.params
+                if p.N_ncdm == 0:
+                    raise CosmoSevereError("m_ncdm_in_eV: no ncdm species")
+                vals[name] = p.m_ncdm[0]
+            elif name == "m_ncdm_tot":
+                # classy.pyx:1469: Omega0_ncdm_tot h^2 * 93.14 eV
+                p = self.cosmo.params
+                vals[name] = float(bg.Omega0_ncdm_tot) * p.h * p.h * 93.14
+            elif name == "Omega_ncdm":
+                vals[name] = float(bg.Omega0_ncdm_tot)
+            elif name == "omega_m":
+                vals[name] = self.Omega_m() * self.cosmo.params.h ** 2
+            elif name == "Omega_g":
+                vals[name] = float(bg.Omega0_g)
+            elif name == "xi_idr":
+                vals[name] = self.cosmo.params.xi_idr
+            elif name == "N_dg":
+                p = self.cosmo.params
+                O_idr = p.stat_f_idr * p.xi_idr ** 4 * float(bg.Omega0_g)
+                vals[name] = O_idr / float(bg.Omega0_g) * 8.0 / 7.0 \
+                    * (11.0 / 4.0) ** (4.0 / 3.0)
+            elif name == "Gamma_0_nadm":
+                p = self.cosmo.params
+                O_idr = p.stat_f_idr * p.xi_idr ** 4 * float(bg.Omega0_g)
+                vals[name] = p.a_idm_dr * (4.0 / 3.0) * p.h * p.h * O_idr
+            elif name == "a_dark":
+                vals[name] = self.cosmo.params.a_idm_dr
+            elif name == "rs_rec_h":
+                vals[name] = float(th.rs_rec) * self.cosmo.params.h
+            elif name in ("ds_rec", "ds_rec_h"):
+                v = float(th.rs_rec) / (1.0 + float(th.z_rec))
+                vals[name] = v * self.cosmo.params.h if name.endswith("_h") else v
+            elif name in ("ra_rec", "ra_rec_h"):
+                v = float(th.ra_rec)
+                vals[name] = v * self.cosmo.params.h if name.endswith("_h") else v
+            elif name in ("da_rec", "da_rec_h"):
+                v = float(th.ra_rec) / (1.0 + float(th.z_rec))
+                vals[name] = v * self.cosmo.params.h if name.endswith("_h") else v
+            elif name == "tau_star":
+                vals[name] = float(th.tau_star)
+            elif name == "ds_star":
+                vals[name] = float(th.rs_star) / (1.0 + float(th.z_star))
+            elif name == "ra_star":
+                vals[name] = float(th.ra_star)
+            elif name == "da_star":
+                vals[name] = float(th.ra_star) / (1.0 + float(th.z_star))
+            elif name == "rd_star":
+                vals[name] = float(th.rd_star)
+            elif name == "rd_rec":
+                vals[name] = float(th.rd_rec)
+            elif name == "tau_d":
+                vals[name] = float(th.tau_d)
+            elif name in ("ds_d", "ds_d_h"):
+                v = float(th.rs_d) / (1.0 + float(th.z_d))
+                vals[name] = v * self.cosmo.params.h if name.endswith("_h") else v
+            elif name == "rs_d_h":
+                vals[name] = float(th.rs_d) * self.cosmo.params.h
+            elif name == "100*theta_d":
+                vals[name] = self.theta_d_100()
+            elif name == "n_e":
+                vals[name] = float(th.n_e)
+            elif name == "A_s":
+                vals[name] = float(self.cosmo.primordial.A_s)
+            elif name == "ln10^{10}A_s":
+                vals[name] = float(np.log(1.0e10 * float(self.cosmo.primordial.A_s)))
+            elif name == "n_s":
+                vals[name] = float(self.cosmo.primordial.n_s)
+            elif name == "alpha_s":
+                vals[name] = float(self.cosmo.primordial.alpha_s)
+            elif name == "beta_s":
+                # derived numerically from the spectrum around the pivot
+                # (primordial_module.cpp:490-498): beta_s = d^3 ln P/dlnk^3
+                pm = self.cosmo.primordial
+                kp = self.cosmo.params.k_pivot
+                d = 0.1
+                lp = [float(np.log(pm.scalar_pk(jnp.asarray(kp * np.exp(j * d)))))
+                      for j in (-2, -1, 1, 2)]
+                vals[name] = (lp[3] - 2.0 * lp[2] + 2.0 * lp[1] - lp[0]) / d ** 3
+            elif name == "r":
+                vals[name] = float(self.cosmo.primordial.r)
+            elif name == "r_0002":
+                pm = self.cosmo.primordial
+                kp = self.cosmo.params.k_pivot
+                vals[name] = float(pm.r) * (0.002 / kp) ** (
+                    float(pm.n_t) - float(pm.n_s) - 1.0
+                    + 0.5 * float(pm.alpha_s) * np.log(0.002 / kp))
+            elif name == "n_t":
+                vals[name] = float(self.cosmo.primordial.n_t)
+            elif name == "alpha_t":
+                vals[name] = float(self.cosmo.primordial.alpha_t)
+            elif name == "exp_m_2_tau_As":
+                vals[name] = float(np.exp(-2.0 * float(th.tau_reio))
+                                   * float(self.cosmo.primordial.A_s))
+            elif name == "k_eq":
+                vals[name] = self.k_eq()
+            elif name in ("V_0", "V_1", "V_2", "V_3", "V_4", "epsilon_V",
+                          "eta_V", "ksi_V^2", "phi_min", "phi_max"):
+                infl = getattr(self.cosmo, "inflation_model", None)
+                if infl is None:
+                    raise CosmoSevereError(
+                        f"derived parameter {name!r} not applicable: no "
+                        "inflation (inflation_V/H/V_end) primordial model")
+                vals[name] = self._inflation_derived(name, infl)
             else:
-                raise CosmoSevereError(f"derived parameter {name!r} not implemented")
+                raise CosmoSevereError(
+                    f"{name} was not recognized as a derived parameter")
         return vals
+
+    def get_slowroll_parameters(self):
+        """(eps1, eps2, eps23) from (n_s, alpha_s, r) at the pivot
+        (classy.pyx get_slowroll_parameters :1390-1411)."""
+        pm = self.cosmo.primordial
+        n_s = float(pm.n_s)
+        alpha_s = float(pm.alpha_s)
+        r = float(pm.r)
+        C = np.euler_gamma + np.log(2.0) - 2.0  # -0.7296
+        eps1 = r * (1.0 / 16.0 + C / 16.0 * (r / 8.0 + n_s - 1.0))
+        eps2 = -n_s + 1.0 + C * alpha_s - r * (1.0 / 8.0 + 1.0 / 8.0
+                                               * (n_s - 1.0) * (C - 1.5)) \
+            - (r / 8.0) ** 2 * (C - 1.0)
+        eps23 = 1.0 / 8.0 * (r ** 2 / 8.0 + (n_s - 1.0) * r - 8.0 * alpha_s)
+        return eps1, eps2, eps23
+
+    def _inflation_derived(self, name, infl):
+        """Inflation-potential derived values (classy.pyx:1605-1640):
+        V-coefficients and slow-roll combinations at the pivot."""
+        if name in ("epsilon_V", "eta_V", "ksi_V^2"):
+            eps1, eps2, eps23 = self.get_slowroll_parameters()
+            if name == "epsilon_V":
+                return eps1 * ((1.0 - eps1 / 3.0 + eps2 / 6.0)
+                               / (1.0 - eps1 / 3.0)) ** 2
+            if name == "eta_V":
+                return (2.0 * eps1 - eps2 / 2.0 - 2.0 / 3.0 * eps1 ** 2
+                        + 5.0 / 6.0 * eps1 * eps2 - eps2 ** 2 / 12.0
+                        - eps23 / 6.0) / (1.0 - eps1 / 3.0)
+            return 2.0 * (1.0 - eps1 / 3.0 + eps2 / 6.0) \
+                * (2.0 * eps1 ** 2 - 1.5 * eps1 * eps2 + eps23 / 4.0) \
+                / (1.0 - eps1 / 3.0) ** 2
+        kind = infl[0]
+        if name in ("V_0", "V_1", "V_2", "V_3", "V_4"):
+            i = int(name[-1])
+            if kind == "hubble":
+                raise CosmoSevereError(
+                    f"{name} not applicable: inflation_H parametrization")
+            spec = infl[1] if kind != "V_end" else infl[1][1]
+            coeffs = spec[1] if isinstance(spec, tuple) and len(spec) == 2 \
+                else spec
+            try:
+                return float(coeffs[i])
+            except (IndexError, TypeError):
+                raise CosmoSevereError(f"{name}: coefficient not set")
+        # phi_min/phi_max: range of the inflaton trajectory actually used
+        # (primordial_module phi_min_/phi_max_); recorded by the inflation
+        # solver when available
+        rng = getattr(self.cosmo, "inflation_phi_range", None)
+        if rng is None:
+            raise CosmoSevereError(
+                f"{name} not applicable: inflaton trajectory range not "
+                "recorded for this primordial mode")
+        return rng[0 if name == "phi_min" else 1]
 
     def get_current_derived_parameters_dict(self, names):
         return self.get_current_derived_parameters(names)

@@ -20,8 +20,11 @@ length 512) with precomputed cubic-interpolation weights, and XLA keeps the
 buffer in place across steps. The NDIFF-bin Lyman-alpha diffusion system is
 a batched Thomas solve (one inner scan, three right-hand sides at once).
 
-Energy injection (annihilation/decay) is not wired: all energy_rate terms
-of the reference are identically zero here.
+Energy injection (annihilation/decay): the reference evaluates
+energy_injection_rate(param, z) per step (hyrec/history.c:161-176,
+:380-470); the rate depends only on z, so it is precomputed on the dlna
+grid (hyrec_injection_grid, including the beyond-on-the-spot deposition
+convolution) and threaded through the scan as a table.
 """
 
 from __future__ import annotations
@@ -189,14 +192,33 @@ def hubble_s(ctx: HyrecCtx, z):
     return 3.2407792896393e-18 * jnp.sqrt(rho)
 
 
-def tm_ss(xe, Tr, H, fHe):
-    """Steady-state matter temperature, K (history.c:104 rec_Tmss)."""
-    return Tr / (1.0 + H / 4.91466895548409e-22 / Tr**4 * (1.0 + xe + fHe) / xe)
+def _chi_heat(xe):
+    """Fraction of injected energy going into heat (Galli et al. 2013 fit,
+    history.c:111-116)."""
+    xc = jnp.clip(xe, 0.0, 1.0)
+    fit = 0.996857 * (1.0 - (1.0 - xc ** 0.300134) ** 1.51035)
+    return jnp.where(xe < 1.0, jnp.minimum(fit, 1.0), 1.0)
 
 
-def dtm_dlna(xe, Tm, Tr, H, fHe):
+def _chi_ion(xe):
+    """Fraction going into H ionization (hydrogen.c:58 fit)."""
+    xc = jnp.clip(xe, 0.0, 1.0)
+    fit = 0.369202 * (1.0 - xc ** 0.463929) ** 1.70237
+    return jnp.where(xe < 1.0, fit, 0.0)
+
+
+def tm_ss(xe, Tr, H, fHe, nH=1.0, er=0.0):
+    """Steady-state matter temperature, K (history.c:104 rec_Tmss).
+    nH in cm^-3, er = injected energy rate in eV/cm^3/s."""
+    return Tr / (1.0 + H / 4.91466895548409e-22 / Tr**4 * (1.0 + xe + fHe) / xe) \
+        + 2.0 / 3.0 / KBOLTZ * _chi_heat(xe) / nH * er \
+        / (4.91466895548409e-22 * Tr**4 * xe)
+
+
+def dtm_dlna(xe, Tm, Tr, H, fHe, nH=1.0, er=0.0):
     """dTm/dlna, K (history.c:127 rec_dTmdlna)."""
-    return -2.0 * Tm + 4.91466895548409e-22 * Tr**4 * xe / (1.0 + xe + fHe) * (Tr - Tm) / H
+    return -2.0 * Tm + 4.91466895548409e-22 * Tr**4 * xe / (1.0 + xe + fHe) * (Tr - Tm) / H \
+        + 2.0 / 3.0 / KBOLTZ * _chi_heat(xe) / nH * er / (1.0 + xe + fHe) / H
 
 
 def saha_xe_H(ctx: HyrecCtx, z):
@@ -299,9 +321,10 @@ def interpolate_rates(ctx: HyrecCtx, TR, TM_TR):
     return Alpha, Beta, R2p2s
 
 
-def hmla_dxedlna(ctx: HyrecCtx, xe, nH, H, TM, TR):
+def hmla_dxedlna(ctx: HyrecCtx, xe, nH, H, TM, TR, er=0.0):
     """Steady-state 2s/2p EMLA with Sobolev Ly-alpha, no feedback
-    (hydrogen.c:218 rec_HMLA_dxedlna). nH in cm^-3, TM/TR in eV."""
+    (hydrogen.c:218 rec_HMLA_dxedlna). nH in cm^-3, TM/TR in eV;
+    er = injected energy rate [eV/cm^3/s] (hydrogen.c:259)."""
     Alpha, Beta, R2p2s = interpolate_rates(ctx, TR, TM / TR)
     x1s_db = (1.0 - xe) * jnp.exp(-E21 / TR)
     RLya = 4.662899067555897e15 * H / nH / (1.0 - xe)
@@ -314,10 +337,12 @@ def hmla_dxedlna(ctx: HyrecCtx, xe, nH, H, TM, TR):
     det = m00 * m11 - m01 * m10
     x2s = (m11 * b0 - m01 * b1) / det
     x2p = (m00 * b1 - m10 * b0) / det
-    return (x1s_db * (L2S1S + 3.0 * RLya) - x2s * L2S1S - x2p * RLya) / H
+    C_2p = (RLya + R2p2s * L2S1S / m00) / (m11 - R2p2s * 3.0 * R2p2s / m00)
+    inj = _chi_ion(xe) / nH * er * (1.0 / EI + (1.0 - C_2p) / E21)
+    return (x1s_db * (L2S1S + 3.0 * RLya) - x2s * L2S1S - x2p * RLya + inj) / H
 
 
-def peebles_dxedlna(xe, nH, H, TM, TR, fudge=1.0):
+def peebles_dxedlna(xe, nH, H, TM, TR, fudge=1.0, er=0.0):
     """Peebles effective 3-level rate (hydrogen.c:45); with fudge=1.14 this
     is rec_HRecFast_dxedlna (hydrogen.c:72). nH cm^-3, T in eV."""
     t4 = TM / KBOLTZ / 1e4
@@ -325,11 +350,13 @@ def peebles_dxedlna(xe, nH, H, TM, TR, fudge=1.0):
     RLya = 4.662899067555897e15 * H / nH / (1.0 - xe)
     four_betaB = 3.016103031869581e21 * TR * jnp.sqrt(TR) * jnp.exp(-0.25 * EI / TR) * alphaB
     C = (3.0 * RLya + L2S1S) / (3.0 * RLya + L2S1S + four_betaB)
-    return (-nH * xe * xe * alphaB + four_betaB * (1.0 - xe) * jnp.exp(-E21 / TR)) * C / H
+    inj = _chi_ion(xe) / nH * er * (1.0 / EI + (1.0 - C) / E21)
+    return (-nH * xe * xe * alphaB
+            + four_betaB * (1.0 - xe) * jnp.exp(-E21 / TR)) * C / H + inj / H
 
 
-def recfast_dxedlna(xe, nH, H, TM, TR):
-    return peebles_dxedlna(xe, nH, H, TM, TR, fudge=1.14)
+def recfast_dxedlna(xe, nH, H, TM, TR, er=0.0):
+    return peebles_dxedlna(xe, nH, H, TM, TR, fudge=1.14, er=er)
 
 
 # --- the two-photon radiative-transfer core --------------------------------
@@ -434,10 +461,11 @@ def _diffusion_rates(ctx: HyrecCtx, TM):
     return Aup, Adn, A2p_up, A2p_dn
 
 
-def twophoton_dxedlna(ctx: HyrecCtx, xe, nH, H, TM, TR, ring, m):
+def twophoton_dxedlna(ctx: HyrecCtx, xe, nH, H, TM, TR, ring, m, er=0.0):
     """Full two-photon + diffusion dxe/dlna (rec_HMLA_2photon_dxedlna,
     hydrogen.c:663), plus the new log f^- row to store at slot m.
-    nH in cm^-3, TM/TR in eV. Returns (dxedlna, new_row[NVIRT+3])."""
+    nH in cm^-3, TM/TR in eV, er = injection rate [eV/cm^3/s]
+    (hydrogen.c:727). Returns (dxedlna, new_row[NVIRT+3])."""
     Eb = ctx.Eb
     fplus, fplus_Ly = _fplus(ctx, ring, m)
 
@@ -517,7 +545,12 @@ def twophoton_dxedlna(ctx: HyrecCtx, xe, nH, H, TM, TR, ring, m):
     xr1 = (Trr_new00 * sr_new1 - Trr_new10 * sr_new0) / det
     xv = inv_sv - inv_Tvr0 * xr0 - inv_Tvr1 * xr1
 
-    xedot = -nH * xe * xe * (Alpha[0] + Alpha[1]) + xr0 * Beta[0] + xr1 * Beta[1]
+    # DM injection (hydrogen.c:714-727): C_2p from the base 2x2 blocks
+    C_2p = (RLya + R2p2s * L2S1S / (Beta[0] + 3.0 * R2p2s + L2S1S)) \
+        / (Beta[1] + R2p2s + RLya
+           - R2p2s * 3.0 * R2p2s / (Beta[0] + 3.0 * R2p2s + L2S1S))
+    xedot = -nH * xe * xe * (Alpha[0] + Alpha[1]) + xr0 * Beta[0] + xr1 * Beta[1] \
+        + _chi_ion(xe) / nH * er * (1.0 / EI + (1.0 - C_2p) / E21)
 
     # update f^- (hydrogen.c:730-749)
     xv_up = jnp.concatenate([xv[1:], jnp.zeros(1)])
@@ -538,9 +571,15 @@ def twophoton_dxedlna(ctx: HyrecCtx, xe, nH, H, TM, TR, ring, m):
 # --- the staged history as one scan ----------------------------------------
 
 
-def build_history(ctx: HyrecCtx, zstart: float, model: str = "recfast"):
+def build_history(ctx: HyrecCtx, zstart: float, model: str = "recfast",
+                  inj=None):
     """xe(lna), Tm(lna) on the uniform dlna grid (rec_build_history,
     history.c:242). Returns (z_grid_desc, xe, Tm) as arrays of length nz.
+
+    inj: optional per-slot DM energy-injection rate [eV/cm^3/s] aligned with
+    the z grid (the reference evaluates energy_injection_rate(param, z) at
+    each step, history.c:161-176; the rate depends only on z so it is
+    precomputed as a table — see hyrec_injection_grid).
 
     model: the hydrogen rate model (history.h:20 '#define MODEL'):
     'recfast' = effective 3-level atom with fudge 1.14 — this is what the
@@ -574,6 +613,9 @@ def build_history(ctx: HyrecCtx, zstart: float, model: str = "recfast"):
         nHp_cm = ctx.nH0 * aip**3 * 1e-6
         Trp_K = ctx.T0 * aip
         Trp_eV = Trp_K * KBOLTZ
+        # DM energy-injection rate at this / previous slot [eV/cm^3/s]
+        er = inj[j] if inj is not None else 0.0
+        erp = inj[j - 1] if inj is not None else 0.0
 
         def he_saha(_):
             xe_new, xHeIII = saha_HeII(ctx, z)
@@ -600,24 +642,24 @@ def build_history(ctx: HyrecCtx, zstart: float, model: str = "recfast"):
         def he_evol(_):
             dxe = helium_dxedt(ctx, xe, Hp, zp) / Hp
             xe_new = xe + DLNA * (1.25 * dxe - 0.25 * dxe_p2)
-            Tm_new = tm_ss(xe_new, Tr_K, H, ctx.fHe)
+            Tm_new = tm_ss(xe_new, Tr_K, H, ctx.fHe, nH_cm, er)
             row = thermal_row(Tr_eV)
             delta = jnp.abs(xe_new - saha_xe_H(ctx, z))
             done = jnp.logical_and(delta <= 1e-4, z <= 1650.0)
             return (xe_new, Tm_new, row, j, done, dxe, dxe_p)
 
-        def h_rate(xe_v, nH_v, H_v, TM_v, TR_v, m):
+        def h_rate(xe_v, nH_v, H_v, TM_v, TR_v, m, er_v=0.0):
             """Hydrogen rate per the compiled MODEL (history.c:144-177)."""
             if model == "full":
-                return twophoton_dxedlna(ctx, xe_v, nH_v, H_v, TM_v, TR_v, ring, m)
-            return recfast_dxedlna(xe_v, nH_v, H_v, TM_v, TR_v), ring[m % RING]
+                return twophoton_dxedlna(ctx, xe_v, nH_v, H_v, TM_v, TR_v, ring, m, er_v)
+            return recfast_dxedlna(xe_v, nH_v, H_v, TM_v, TR_v, er_v), ring[m % RING]
 
-        def h_late_rate(xe_v, nH_v, H_v, TM_v, TR_v, kind):
+        def h_late_rate(xe_v, nH_v, H_v, TM_v, TR_v, kind, er_v=0.0):
             if model == "full":
                 if kind == "hmla":
-                    return hmla_dxedlna(ctx, xe_v, nH_v, H_v, TM_v, TR_v)
-                return peebles_dxedlna(xe_v, nH_v, H_v, TM_v, TR_v)
-            return recfast_dxedlna(xe_v, nH_v, H_v, TM_v, TR_v)
+                    return hmla_dxedlna(ctx, xe_v, nH_v, H_v, TM_v, TR_v, er_v)
+                return peebles_dxedlna(xe_v, nH_v, H_v, TM_v, TR_v, er=er_v)
+            return recfast_dxedlna(xe_v, nH_v, H_v, TM_v, TR_v, er_v)
 
         def h_postsaha(_):
             ai_ = 1.0 + z
@@ -627,34 +669,34 @@ def build_history(ctx: HyrecCtx, zstart: float, model: str = "recfast"):
             xeS = 2.0 / (1.0 + jnp.sqrt(1.0 + 4.0 / s))
             dxeS = -(EI / Tr_eV - 1.5) / (2.0 * xeS + s) * xeS * xeS
             eps = 0.01 * (1.0 - xeS)
-            d_hi, _ = h_rate(xeS + eps, nH_cm, H, Tr_eV, Tr_eV, j)
-            d_lo, row = h_rate(xeS - eps, nH_cm, H, Tr_eV, Tr_eV, j)
+            d_hi, _ = h_rate(xeS + eps, nH_cm, H, Tr_eV, Tr_eV, j, er)
+            d_lo, row = h_rate(xeS - eps, nH_cm, H, Tr_eV, Tr_eV, j, er)
             dd = (d_hi - d_lo) / (2.0 * eps)
             delta = dxeS / dd
             xe_new = xeS + delta
-            Tm_new = tm_ss(xe_new, Tr_K, H, ctx.fHe)
+            Tm_new = tm_ss(xe_new, Tr_K, H, ctx.fHe, nH_cm, er)
             done = delta >= 5e-5
             return (xe_new, Tm_new, row, j, done, dxe_p, dxe_p2)
 
         def h2g_tmss(_):
-            Tmp = tm_ss(xe, Trp_K, Hp, ctx.fHe)
-            dxe, row = h_rate(xe, nHp_cm, Hp, Tmp * KBOLTZ, Trp_eV, j - 1)
+            Tmp = tm_ss(xe, Trp_K, Hp, ctx.fHe, nHp_cm, erp)
+            dxe, row = h_rate(xe, nHp_cm, Hp, Tmp * KBOLTZ, Trp_eV, j - 1, erp)
             xe_new = xe + DLNA * (1.25 * dxe - 0.25 * dxe_p2)
-            Tm_new = tm_ss(xe_new, Tr_K, H, ctx.fHe)
+            Tm_new = tm_ss(xe_new, Tr_K, H, ctx.fHe, nH_cm, er)
             done = jnp.logical_or(1.0 - Tm_new / Tr_K >= 5e-4, z <= 700.0)
             return (xe_new, Tm_new, row, j - 1, done, dxe, dxe_p)
 
         def h2g_tm(_):
-            dxe, row = h_rate(xe, nHp_cm, Hp, Tm * KBOLTZ, Trp_eV, j - 1)
-            dTm = dtm_dlna(xe, Tm, Trp_K, Hp, ctx.fHe)
+            dxe, row = h_rate(xe, nHp_cm, Hp, Tm * KBOLTZ, Trp_eV, j - 1, erp)
+            dTm = dtm_dlna(xe, Tm, Trp_K, Hp, ctx.fHe, nHp_cm, erp)
             xe_new = xe + DLNA * (1.25 * dxe - 0.25 * dxe_p2)
             Tm_new = Tm + DLNA * (1.25 * dTm - 0.25 * dTm_p2)
             done = z <= 700.0
             return (xe_new, Tm_new, row, j - 1, done, dxe, dxe_p, dTm, dTm_p)
 
         def hmla(_):
-            dxe = h_late_rate(xe, nHp_cm, Hp, Tm * KBOLTZ, Trp_eV, "hmla")
-            dTm = dtm_dlna(xe, Tm, Trp_K, Hp, ctx.fHe)
+            dxe = h_late_rate(xe, nHp_cm, Hp, Tm * KBOLTZ, Trp_eV, "hmla", erp)
+            dTm = dtm_dlna(xe, Tm, Trp_K, Hp, ctx.fHe, nHp_cm, erp)
             xe_new = xe + DLNA * (1.25 * dxe - 0.25 * dxe_p2)
             Tm_new = Tm + DLNA * (1.25 * dTm - 0.25 * dTm_p2)
             done = z <= 20.0
@@ -662,8 +704,8 @@ def build_history(ctx: HyrecCtx, zstart: float, model: str = "recfast"):
                     dxe, dxe_p, dTm, dTm_p)
 
         def peebles(_):
-            dxe = h_late_rate(xe, nHp_cm, Hp, Tm * KBOLTZ, Trp_eV, "peebles")
-            dTm = dtm_dlna(xe, Tm, Trp_K, Hp, ctx.fHe)
+            dxe = h_late_rate(xe, nHp_cm, Hp, Tm * KBOLTZ, Trp_eV, "peebles", erp)
+            dTm = dtm_dlna(xe, Tm, Trp_K, Hp, ctx.fHe, nHp_cm, erp)
             xe_new = xe + DLNA * (1.25 * dxe - 0.25 * dxe_p2)
             Tm_new = Tm + DLNA * (1.25 * dTm - 0.25 * dTm_p2)
             done = jnp.asarray(False)
@@ -680,7 +722,7 @@ def build_history(ctx: HyrecCtx, zstart: float, model: str = "recfast"):
                     # next evolution phase starts with sane previous
                     # derivatives (history.c:281-287 seeds them the same way)
                     dxe_n, dxe_n2 = (xe_new - xe) / DLNA, dxe_p
-                dTm_n = dtm_dlna(xe_new, Tm_new, Tr_K, H, ctx.fHe)
+                dTm_n = dtm_dlna(xe_new, Tm_new, Tr_K, H, ctx.fHe, nH_cm, er)
                 return (xe_new, Tm_new, row, slot, done, dxe_n, dxe_n2, dTm_n, dTm_p)
             return g
 
@@ -724,6 +766,83 @@ def _cubic_resample(ytab, x0, dx, x):
     return jnp.sum(ytab[idx] * w, axis=-1)
 
 
+@lru_cache(maxsize=4)
+def _history_core(zstart: float, model: str, with_inj: bool = False):
+    """Trace-cached jitted build_history head (statics in the closure)."""
+    from ..ops.export_cache import export_cached
+
+    if with_inj:
+        def fn(ctx, inj):
+            return build_history(ctx, zstart, model, inj=inj)
+    else:
+        def fn(ctx):
+            return build_history(ctx, zstart, model)
+
+    return export_cached(jax.jit(fn), tag="hyrec_hist",
+                         static_key=(zstart, model, with_inj))
+
+
+def hyrec_injection_grid(params, ctx: HyrecCtx, zstart: float) -> np.ndarray:
+    """DM energy-injection rate [eV/cm^3/s] on the dlna z grid — the
+    reference's energy_injection_rate(param, z) (hyrec/history.c:380-470):
+    on-the-spot rate from annihilation (with variation / halo terms) + decay,
+    optionally convolved with the deposition kernel when 'on the spot = no'
+    (trapezoid in z' with dz = 1 until integrand/first <= 0.02)."""
+    nz = int(np.floor(2 + np.log(1.0 + zstart) / DLNA))
+    z = (1.0 + zstart) * np.exp(-DLNA * np.arange(nz)) - 1.0
+
+    ann = params.annihilation
+    dec = params.decay
+
+    def onthespot(zv):
+        if params.annihilation_variation == 0.0:
+            ann_at_z = ann
+        else:
+            # history.c:386-406 (the z < annihilation_zmax branch varies
+            # log F quadratically in log(1+z))
+            lo = np.log((1.0 + params.annihilation_z)
+                        / (1.0 + params.annihilation_zmax))
+            lmin = np.log((1.0 + params.annihilation_zmin)
+                          / (1.0 + params.annihilation_zmax))
+            lz = np.log((1.0 + zv) / (1.0 + params.annihilation_zmax))
+            mid = np.exp(params.annihilation_variation * (lz**2 - lo**2))
+            hi = np.exp(params.annihilation_variation * (-lo**2))
+            lo_b = np.exp(params.annihilation_variation * (lmin**2 - lo**2))
+            ann_at_z = ann * np.where(
+                zv > params.annihilation_zmax, hi,
+                np.where(zv > params.annihilation_zmin, mid, lo_b))
+        rho_cdm = float(ctx.omh2) * 1.44729366e-9        # kg/m^3
+        u_min = (1.0 + zv) / (1.0 + params.annihilation_z_halo)
+        erfc = (1.0 + 0.278393 * u_min + 0.230389 * u_min**2
+                + 0.000972 * u_min**3 + 0.078108 * u_min**4) ** (-4)
+        c2 = 2.99792458e8 ** 2
+        return (rho_cdm**2 / c2 * (1.0 + zv) ** 3
+                * ((1.0 + zv) ** 3 * ann_at_z
+                   + params.annihilation_f_halo * erfc)
+                + rho_cdm * (1.0 + zv) ** 3 * dec) / 1.0e6 / 1.60217653e-19
+
+    if ann <= 0.0 or params.on_the_spot:
+        return onthespot(z) if (ann > 0.0 or dec > 0.0) else np.zeros(nz)
+
+    # beyond-on-the-spot deposition (history.c:426-455): trapezoid over z'
+    # included while the PREVIOUS integrand/first ratio exceeds 0.02 (the
+    # reference's do-while adds each step before testing it)
+    factor = 2.99792458e8 * 6.6524616e-29 * float(ctx.nH0) \
+        / (3.2407792896393e-18 * np.sqrt(float(ctx.omh2)))
+    NP = 2048
+    zp = z[:, None] + np.arange(NP)[None, :] * 1.0       # dz = 1
+    kern = factor * (1.0 + z[:, None]) ** 8 / (1.0 + zp) ** 7.5 \
+        * np.exp(2.0 / 3.0 * factor * ((1.0 + z[:, None]) ** 1.5
+                                       - (1.0 + zp) ** 1.5)) * onthespot(zp)
+    ratio = kern / kern[:, :1]
+    keep = np.concatenate([np.ones((nz, 1), bool),
+                           np.cumprod(ratio[:, :-1] > 0.02, axis=1)
+                           .astype(bool)], axis=1)
+    w = np.where(keep, 1.0, 0.0)
+    w[:, 0] = 0.5
+    return np.sum(w * kern, axis=1)
+
+
 def compute_recombination_hyrec(params, pr, rec_ctx, bg, model="recfast"):
     """RecoTable from the HyRec history, resampled to the recfast_Nz0 grid
     exactly as thermodynamics_recombination_with_hyrec
@@ -734,8 +853,12 @@ def compute_recombination_hyrec(params, pr, rec_ctx, bg, model="recfast"):
 
     zstart = pr.recfast_z_initial
     ctx = make_hyrec_ctx(params, bg, float(rec_ctx.YHe), params.N_eff, pr=pr)
-    z_hi, xe_hi, Tm_hi = jax.jit(build_history, static_argnums=(1, 2))(
-        ctx, zstart, model)
+    has_inj = params.annihilation > 0.0 or params.decay > 0.0
+    if has_inj:
+        inj = jnp.asarray(hyrec_injection_grid(params, ctx, zstart))
+        z_hi, xe_hi, Tm_hi = _history_core(zstart, model, True)(ctx, inj)
+    else:
+        z_hi, xe_hi, Tm_hi = _history_core(zstart, model)(ctx)
 
     Nz = pr.recfast_Nz0
     i = jnp.arange(Nz)

@@ -75,7 +75,10 @@ def _lensing_core(l_unlensed_max: int, l_lensed_max: int, accurate: bool,
         return _lensing_impl(cl_of_l, l_unlensed_max, l_lensed_max, accurate,
                              num_mu_minus_lmax)
 
-    return jax.jit(core)
+    from ..ops.export_cache import export_cached
+    return export_cached(jax.jit(core), tag="lensing",
+                         static_key=(l_unlensed_max, l_lensed_max, accurate,
+                                     num_mu_minus_lmax))
 
 
 def compute_lensing(sp: SpectraResult, pr: PrecisionParams, l_lensed_max: int) -> LensedResult:

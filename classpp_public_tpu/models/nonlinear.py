@@ -453,7 +453,9 @@ def _halofit_core(min_k_nl: float, iOm: int, iOr: int, pk_eq: bool = False):
         sigma8 = sigma_R(k, pk0, 8.0 / h)[0]
         return pk_lin, pk_cb, pk_nl, pk_cb_nl, k_nl, sigma8
 
-    return jax.jit(core)
+    from ..ops.export_cache import export_cached
+    return export_cached(jax.jit(core), tag="halofit",
+                         static_key=(min_k_nl, iOm, iOr, pk_eq))
 
 
 def _pk_eq_tables(params, bg, pr, tau_rec, z_pk):

@@ -621,7 +621,9 @@ def _nc_core(lmax_scan, n_l, n_row, nk, ntau):
         return _nc_scan(x, Wrow, rad_onehot, l_emit, emit_idx, lmax_scan,
                         n_l, n_row, nk)
 
-    return jax.jit(core)
+    from ..ops.export_cache import export_cached
+    return export_cached(jax.jit(core), tag="nc_core",
+                         static_key=(lmax_scan, n_l, n_row, nk, ntau))
 
 
 def _nc_scan(x, Wrow, rad_onehot, l_emit, emit_idx, lmax_scan, n_l, n_row, nk):

@@ -25,6 +25,7 @@ from functools import lru_cache
 
 from ...config.params import CosmoParams
 from ...config.precision import PrecisionParams
+from ...ops.export_cache import export_cached
 from ...ops.ode import rkck_integrate
 from ..background import BackgroundResult, BgIdx
 from ..thermodynamics import ThermoResult
@@ -147,9 +148,10 @@ def get_batch_solver(bidx_key, idx, ic="ad", evolver="imex"):
                            bg_spline, th_spline, ncdm, bidx, idx, ic=ic,
                            evolver=evolver, **_sc_kwargs(sc))
 
-    return jax.jit(jax.vmap(
+    return export_cached(jax.jit(jax.vmap(
         fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None,
-                     SolverScalars.axes())))
+                     SolverScalars.axes()))),
+        tag="pt_batch", static_key=(bidx_key, idx, ic, evolver))
 
 
 @lru_cache(maxsize=16)
@@ -167,9 +169,10 @@ def get_window_solver(bidx_key, idx, evolver="imex"):
                            bg_spline, th_spline, ncdm, bidx, idx,
                            y_carry=(y, h), evolver=evolver, **_sc_kwargs(sc))
 
-    return jax.jit(jax.vmap(
+    return export_cached(jax.jit(jax.vmap(
         fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None, 0, 0,
-                     SolverScalars.axes())))
+                     SolverScalars.axes()))),
+        tag="pt_window", static_key=(bidx_key, idx, evolver))
 
 
 class PerturbResult(NamedTuple):
@@ -404,9 +407,10 @@ def get_init_solver(bidx_key, idx, ic="ad", evolver="imex"):
                           th_spline, ncdm, bidx, idx, ic=ic, evolver=evolver,
                           **_sc_kwargs(sc))
 
-    return jax.jit(jax.vmap(
+    return export_cached(jax.jit(jax.vmap(
         fn, in_axes=(0, 0, 0, 0, 0, 0, None, None, None,
-                     SolverScalars.axes())))
+                     SolverScalars.axes()))),
+        tag="pt_init", static_key=(bidx_key, idx, ic, evolver))
 
 
 @lru_cache(maxsize=16)
@@ -419,9 +423,10 @@ def get_advance_solver(bidx_key, idx, evolver="imex"):
                              bg_spline, th_spline, ncdm, y, h, bidx, idx,
                              evolver=evolver, **_sc_kwargs(sc))
 
-    return jax.jit(jax.vmap(
+    return export_cached(jax.jit(jax.vmap(
         fn, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, 0, 0,
-                     SolverScalars.axes())))
+                     SolverScalars.axes()))),
+        tag="pt_advance", static_key=(bidx_key, idx, evolver))
 
 
 @lru_cache(maxsize=16)
@@ -434,9 +439,10 @@ def get_emit_solver(bidx_key, idx, evolver="imex"):
                           th_spline, ncdm, y, bidx, idx, evolver=evolver,
                           **_sc_kwargs(sc))
 
-    return jax.jit(jax.vmap(
+    return export_cached(jax.jit(jax.vmap(
         fn, in_axes=(0, 0, 0, 0, 0, None, None, None, None, 0,
-                     SolverScalars.axes())))
+                     SolverScalars.axes()))),
+        tag="pt_emit", static_key=(bidx_key, idx, evolver))
 
 
 def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
@@ -548,6 +554,19 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                     lambda x: x.astype(jnp.float32)
                     if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, tree)
             bsp, tsp, ncdm_d = _c32(bsp), _c32(tsp), _c32(ncdm_ctx)
+        if mesh is None and jax.default_backend() != "cpu":
+            # tables are built on the pinned host stage: commit them to the
+            # accelerator ONCE instead of re-transferring per launch
+            dev0 = jax.local_devices(backend=jax.default_backend())[0]
+            bsp, tsp, ncdm_d = jax.device_put((bsp, tsp, ncdm_d), dev0)
+        elif mesh is not None:
+            # replicate shared tables over the mesh: upstream stages may
+            # return device-committed arrays (trace-cache calls commit their
+            # outputs), and jit refuses sharded-lane args mixed with
+            # single-device-committed ones
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            bsp, tsp, ncdm_d = jax.device_put((bsp, tsp, ncdm_d), rep)
         import os as _os
         import time as _time
         _dbg = bool(_os.environ.get("CLASSPP_TPU_DEBUG"))
@@ -673,6 +692,12 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
             # one executable
             taus_np = np.asarray(taus)
             wlen = max(1, -(-(ntau - 1) // nwin))
+            # bucket the window length to a multiple of 256 intervals: the
+            # tau-grid size varies by a few % across cosmologies/outputs, and
+            # an exact-ntau window would retrace + recompile the (huge)
+            # continuation head per config; padded tail intervals are
+            # zero-length and integrate trivially
+            wlen = -(-wlen // 256) * 256
             for b0 in range(0, ntau - 1, wlen):
                 b1 = min(b0 + wlen, ntau - 1)
                 tw = taus_np[b0: b0 + wlen + 1]

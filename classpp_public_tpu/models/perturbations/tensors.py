@@ -316,8 +316,10 @@ def get_tensor_solver(bidx_key, idx):
         return solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, taus, bg_spline,
                            th_spline, bidx, idx, rtol, K=K)
 
-    return jax.jit(jax.vmap(
-        fn, in_axes=(0, 0, 0, 0, 0, None, None, None, None, None)))
+    from ...ops.export_cache import export_cached
+    return export_cached(jax.jit(jax.vmap(
+        fn, in_axes=(0, 0, 0, 0, 0, None, None, None, None, None))),
+        tag="pt_tensor", static_key=(bidx_key, idx))
 
 
 class TensorResult(NamedTuple):

@@ -430,9 +430,28 @@ class RecoTable(NamedTuple):
     dkappadtau: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("pr", "inj_on"))
 def compute_recombination(params: CosmoParams, pr: PrecisionParams, ctx: RecfastCtx,
                           inj_on: bool = False) -> RecoTable:
+    """Trace-cached wrapper (statics bound into the closure; see
+    _compute_recombination_impl for the physics)."""
+    return _reco_core(pr, inj_on)(params, ctx)
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8)
+def _reco_core(pr: PrecisionParams, inj_on: bool):
+    from ..ops.export_cache import export_cached
+
+    def fn(params, ctx):
+        return _compute_recombination_impl(params, pr, ctx, inj_on)
+
+    return export_cached(jax.jit(fn), tag="recfast", static_key=(pr, inj_on))
+
+
+def _compute_recombination_impl(params: CosmoParams, pr: PrecisionParams,
+                                ctx: RecfastCtx, inj_on: bool = False) -> RecoTable:
     """RECFAST history as one lax.scan over the fixed z grid (descending),
     mirroring the staged approximation scheme of
     thermodynamics_recombination_with_recfast (:3461-3647).
@@ -606,6 +625,14 @@ class ThermoResult(NamedTuple):
     # time above which visibility is negligible (ref tau_cut_,
     # thermodynamics_module.cpp:1219); drives transfer late-source neglect
     tau_cut: jnp.ndarray = None
+    # comoving angular distance to recombination (ra_rec_, :1047)
+    ra_rec: jnp.ndarray = None
+    # photon damping scale r_d at the derived epochs (rd_rec_/rd_star_,
+    # :1054/:1158; table column per :598-676)
+    rd_rec: jnp.ndarray = None
+    rd_star: jnp.ndarray = None
+    # electron number density today [1/m^3] (n_e_, :3194)
+    n_e: jnp.ndarray = None
 
     def at_tau(self, tau):
         return self.lntau_spline.eval(jnp.log(tau))
@@ -712,9 +739,22 @@ def _xe_reio_inter(z, params: CosmoParams, xe_top, fHe):
     return xe, zi[-1]
 
 
-@jax.jit
-def _tb_march(z_fine, xe_fine, H_fine, rho_g_fine, rho_b_fine, Tb_start,
-              idx_start, kappa_fac, YHe, T_cmb):
+def _tb_march(*args):
+    """Trace-cached dispatcher for _tb_march_impl."""
+    global _tb_march_cached
+    if _tb_march_cached is None:
+        from ..ops.export_cache import export_cached
+
+        _tb_march_cached = export_cached(jax.jit(_tb_march_impl),
+                                         tag="tb_march")
+    return _tb_march_cached(*args)
+
+
+_tb_march_cached = None
+
+
+def _tb_march_impl(z_fine, xe_fine, H_fine, rho_g_fine, rho_b_fine, Tb_start,
+                   idx_start, kappa_fac, YHe, T_cmb):
     """Backward-Euler Tb march through reionization on the fine z grid
     (thermodynamics_reionization_sample :2880-2960). Module-level jit: the
     scan body is a closure, so an unjitted call would recompile per run."""
@@ -942,6 +982,19 @@ def _compute_thermodynamics_impl(params: CosmoParams, pr: PrecisionParams,
     d2d = spline_d2(lntau_u, integrand_d)
     taud_u = spline_integrate_reverse(lntau_u, integrand_d, d2d)
 
+    # photon damping scale r_d(tau) = 2 pi sqrt(I), I = 16/(15*6*3) *
+    # tau_ini/kappa'_ini + int_{tau_ini}^tau dtau (1/kappa') *
+    # (R^2 + 16/15 (1+R)) / (6 (1+R)^2)  (thermodynamics_module.cpp:598-676;
+    # the first term is the analytic radiation-era contribution below the
+    # table start, :662-667)
+    integrand_rd = (1.0 / dkappa_u) * (R_u**2 + 16.0 / 15.0 * (1.0 + R_u)) \
+        / (6.0 * (1.0 + R_u) ** 2) * tau_u
+    d2rd = spline_d2(lntau_u, integrand_rd)
+    from ..ops.splines import spline_integrate
+    I_rd = spline_integrate(lntau_u, integrand_rd, d2rd)
+    I_rd = I_rd + 16.0 / (15.0 * 6.0 * 3.0) * tau_u[0] / dkappa_u[0]
+    rd_u = 2.0 * jnp.pi * jnp.sqrt(jnp.maximum(I_rd, 0.0))
+
     # --- interacting DM <-> dark radiation scattering rates + idm sound speed
     # (thermodynamics_module.cpp:191-216 + the T_idm_dr march :845-985);
     # columns are always present (zeros without idm_dr) so ThIdx stays static
@@ -1016,6 +1069,19 @@ def _compute_thermodynamics_impl(params: CosmoParams, pr: PrecisionParams,
         return chi
 
     ra_star = _comoving_ang(bg.tau0 - tau_star)
+    ra_rec = _comoving_ang(bg.tau0 - tau_rec)
+
+    # damping scale at the derived epochs (rd_rec_/rd_star_,
+    # thermodynamics_module.cpp:1054/:1158) — always computed here (the
+    # integral is one cumulative sum; no 'compute damping scale' gate needed)
+    rd_rec = jnp.interp(lntau_rec, lntau_u, rd_u)
+    rd_star = jnp.interp(lntau_star, lntau_u, rd_u)
+
+    # electron number density today [1/m^3] (preco->Nnow,
+    # thermodynamics_module.cpp:3183; classy.pyx n_e)
+    H0_SI = params.h * 1.0e5 / const.Mpc_over_m
+    n_e = 3.0 * H0_SI**2 * params.omega_b / params.h**2 \
+        * (1.0 - ctx.YHe) / (8.0 * math.pi * const.G_SI * const.m_H)
 
     # tau_cut: time above which visibility falls below a fraction of its
     # maximum (thermodynamics_module.cpp:1219-1229); used by the transfer
@@ -1044,6 +1110,7 @@ def _compute_thermodynamics_impl(params: CosmoParams, pr: PrecisionParams,
         z_star=z_star, tau_star=tau_star, rs_star=rs_star, ra_star=ra_star,
         z_d=z_d, tau_d=tau_d, rs_d=rs_d,
         # ra_rec/(tau0 - tau_rec): 1 when flat (thermodynamics_module.cpp:1048)
-        angular_rescaling=_comoving_ang(bg.tau0 - tau_rec) / (bg.tau0 - tau_rec),
+        angular_rescaling=ra_rec / (bg.tau0 - tau_rec),
         tau_cut=tau_cut,
+        ra_rec=ra_rec, rd_rec=rd_rec, rd_star=rd_star, n_e=jnp.asarray(n_e),
     )

@@ -182,7 +182,10 @@ def _transfer_core(lmax_scan: int, n_l: int, n_tt: int, nq: int, ntau: int,
                               lmax_scan, n_l, n_tt, nq, l_switch_limber,
                               neglect_dk, l_late, ra_rec, late_mask, sgnK, K, kq)
 
-    return jax.jit(core)
+    from ..ops.export_cache import export_cached
+    return export_cached(jax.jit(core), tag="tr_core",
+                         static_key=(lmax_scan, n_l, n_tt, nq, ntau,
+                                     l_switch_limber, neglect_dk, l_late, sgnK))
 
 
 def compute_transfer(pert, th, pr: PrecisionParams, l_max: int,
@@ -314,7 +317,9 @@ def _phi_limber_ext_core(n_l: int, nq: int, sgnK: int):
                           / (chi_lim * qj[None, :]), 0.0)
         return jnp.where((lf > l_switch_limber)[:, None], d, 0.0)
 
-    return jax.jit(core)
+    from ..ops.export_cache import export_cached
+    return export_cached(jax.jit(core), tag="tr_phi_ext",
+                         static_key=(n_l, nq, sgnK))
 
 
 def _transfer_scan(W, Sq, taus, tau0, qj, l_emit, emit_idx,
@@ -613,7 +618,9 @@ def _transfer_tensor_core(lmax_scan: int, n_l: int, nq: int, ntau: int,
         return _tensor_scan(W, taus, tau0, qj, l_emit, emit_idx, lmax_scan, n_l,
                             nq, neglect_dk, ra_rec)
 
-    return jax.jit(core)
+    from ..ops.export_cache import export_cached
+    return export_cached(jax.jit(core), tag="tr_tensor",
+                         static_key=(lmax_scan, n_l, nq, ntau, neglect_dk, sgnK))
 
 
 def compute_transfer_tensor(tpert, th, pr: PrecisionParams, l_max: int,

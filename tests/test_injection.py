@@ -76,11 +76,40 @@ def test_injection_shifts_xe():
     assert d.max() > 0.5
 
 
-def test_injection_hyrec_raises():
-    c = Class()
-    with pytest.raises(CosmoSevereError):
-        c.set(dict(PARAMS, recombination="hyrec"))
-        c.compute(["thermodynamics"])
+def test_injection_hyrec_shifts_xe():
+    """Energy injection through the HyRec branch (hyrec/history.c:98-101
+    energy_injection_rate hook; REC_COSMOPARAMS filled at
+    thermodynamics_module.cpp:3031-3152): the injected history must deviate
+    from the clean one at freeze-out, by an amount comparable to the
+    recfast-branch shift for identical injection parameters."""
+    c0 = Class()
+    c0.set(dict(PARAMS, annihilation=0.0, recombination="hyrec",
+                output="tCl", l_max_scalars=50))
+    c0.compute(["thermodynamics"])
+    th0 = c0.cosmo.thermodynamics
+    c1 = Class()
+    c1.set(dict(PARAMS, recombination="hyrec", output="tCl",
+                l_max_scalars=50))
+    c1.compute(["thermodynamics"])
+    th1 = c1.cosmo.thermodynamics
+    z = np.asarray(th0.z_grid)
+    m = (z > 80) & (z < 300)
+    boost = np.interp(z[m], np.asarray(th1.z_grid), np.asarray(th1.xe_of_z)) \
+        / np.asarray(th0.xe_of_z)[m]
+    assert boost.max() > 1.5
+    # cross-branch consistency: same injection through recfast
+    c2 = Class()
+    c2.set(dict(PARAMS, output="tCl", l_max_scalars=50))
+    c2.compute(["thermodynamics"])
+    th2 = c2.cosmo.thermodynamics
+    c3 = Class()
+    c3.set(dict(PARAMS, annihilation=0.0, output="tCl", l_max_scalars=50))
+    c3.compute(["thermodynamics"])
+    th3 = c3.cosmo.thermodynamics
+    boost_rf = np.interp(z[m], np.asarray(th2.z_grid), np.asarray(th2.xe_of_z)) \
+        / np.interp(z[m], np.asarray(th3.z_grid), np.asarray(th3.xe_of_z))
+    # the two branches agree on the injection boost to ~10%
+    assert np.abs(boost / boost_rf - 1).max() < 0.15
 
 
 # --- beyond-on-the-spot deposition (on the spot = no) ----------------------
