@@ -541,13 +541,6 @@ class Class:
                 out.hm_eta0 = 0.98 - 0.12 * out.hm_cmin
         modes = str(p.pop("modes", "s"))
         out.modes = tuple(m.strip() for m in modes.replace(",", " ").split())
-        if abs(kw.get("Omega_k", 0.0)) > 1e-12:
-            # open + closed scalars/tensors are implemented (curved
-            # hierarchies + hyperspherical transfer, discrete-nu q-list for
-            # K > 0); newtonian gauge with K != 0 is not yet
-            if gauge != "synchronous":
-                raise CosmoSevereError(
-                    "Omega_k != 0 implemented in synchronous gauge only")
         if "v" in out.modes:
             # exact reference parity: the reference itself aborts with
             # "Vectors not coded yet" (perturbations_module.cpp:581
@@ -558,6 +551,18 @@ class Class:
                 "too: 'Vectors not coded yet', perturbations_module.cpp:581)")
         if "l_max_tensors" in p:
             out.l_tensor_max = int(float(p.pop("l_max_tensors")))
+        if "tensor method" in p:
+            # substring matching like the reference (input_module.cpp:2915-2920)
+            tm = str(p.pop("tensor method")).strip().lower()
+            if "photons" in tm:
+                kw["tensor_method"] = "photons"
+            elif "massless" in tm:
+                kw["tensor_method"] = "massless"
+            elif "exact" in tm:
+                kw["tensor_method"] = "exact"
+            else:
+                raise CosmoSevereError(
+                    f"unknown tensor method {tm!r} (photons/massless/exact)")
         if "t" in out.modes and kw.get("N_ncdm_decay_dr", 0):
             # parity with the reference class_test
             # (perturbations_module.cpp:7787)

@@ -50,6 +50,25 @@ def main(argv=None):
         om.output_primordial(c, root)
     if pars.get("write thermodynamics", "no").lower() in ("yes", "y", "true"):
         om.output_thermodynamics(c, root)
+    if pars.get("write parameters", "no").lower() in ("yes", "y", "true"):
+        # <root>parameters.ini (input_module.cpp:475-493): the list of
+        # input/precision parameters actually read, re-usable as an input
+        # file. The reference also writes <root>unused_parameters; here
+        # unknown keys are a hard error at Class.set, so that file is
+        # always empty — written anyway for drop-in parity.
+        with open(root + "parameters.ini", "w") as f:
+            f.write("# List of input/precision parameters actually read\n")
+            f.write("# (all other parameters set to default values)\n")
+            f.write("# This file can be used as the input file of another "
+                    "run\n#\n")
+            for k, v in pars.items():
+                f.write(f"{k} = {v}\n")
+            f.write(f"root = {root}\n")
+        with open(root + "unused_parameters", "w") as f:
+            f.write("# List of input/precision parameters passed but not "
+                    "used\n")
+            f.write("# (unknown parameters are a hard error here, so this "
+                    "list is always empty)\n")
     print(f"output written under {root}*")
     return 0
 

@@ -124,6 +124,9 @@ class CosmoParams:
     r: float = 0.0                   # tensor-to-scalar ratio
     n_t: float = 0.0                 # tensor tilt ('scc' consistency handled in primordial)
     alpha_t: float = 0.0
+    # neutrino treatment in the tensor hierarchy ('tensor method',
+    # input_module.cpp:2911-2920): photons | massless | exact
+    tensor_method: str = "massless"
 
     # thermodynamics
     YHe: Optional[float] = None      # None => BBN table interpolation

@@ -60,12 +60,43 @@ def _interp_sources_at_z(pert, bg, z, col):
     return spline_eval(taus, S.T, d2, tau_q)   # (..., nk)
 
 
+def pk_ic_deltas(pert, bg, z, col="delta_m"):
+    """{ic_name: delta(k, z)} for every evolved initial condition."""
+    ds = {"ad": _interp_sources_at_z(pert, bg, jnp.asarray(z), SrcIdx.ix[col])}
+    for ic, src in (getattr(pert, "sources_iso", None) or {}).items():
+        ds[ic] = _interp_sources_at_z(pert._replace(sources=src), bg,
+                                      jnp.asarray(z), SrcIdx.ix[col])
+    return ds
+
+
+def pair_primordial_pk(pm: PrimordialResult, n1, n2, k):
+    """Primordial spectrum of an (ic1, ic2) pair; None when uncorrelated."""
+    if n1 == "ad" and n2 == "ad":
+        return pm.scalar_pk(k)
+    if n1 == n2:
+        return pm.iso_pk(n1, k)
+    return pm.cross_pk(n1, n2, k)
+
+
 def pk_linear_at_z(pert, bg, pm: PrimordialResult, z, col="delta_m"):
-    """P(k,z) = 2 pi^2 / k^3 P_R(k) delta_m(k,z)^2 (nonlinear_pk_linear :1886)."""
-    delta = _interp_sources_at_z(pert, bg, jnp.asarray(z), SrcIdx.ix[col])
+    """P(k,z) = 2 pi^2 / k^3 sum_pairs P_R^{12}(k) delta_1 delta_2
+    (nonlinear_pk_linear :1886; off-diagonal ic pairs count twice,
+    spectra_module.cpp:305-308)."""
     k = pert.k
-    pk_prim = pm.scalar_pk(k)
-    return 2.0 * math.pi**2 / k**3 * pk_prim * delta**2
+    if not getattr(pert, "sources_iso", None):
+        delta = _interp_sources_at_z(pert, bg, jnp.asarray(z), SrcIdx.ix[col])
+        return 2.0 * math.pi**2 / k**3 * pm.scalar_pk(k) * delta**2
+    ds = pk_ic_deltas(pert, bg, z, col)
+    names = list(ds)
+    total = jnp.zeros_like(k)
+    for i1, n1 in enumerate(names):
+        for i2 in range(i1, len(names)):
+            n2 = names[i2]
+            pk12 = pair_primordial_pk(pm, n1, n2, k)
+            if pk12 is None:
+                continue
+            total = total + (1.0 if i1 == i2 else 2.0) * pk12 * ds[n1] * ds[n2]
+    return 2.0 * math.pi**2 / k**3 * total
 
 
 def sigma_R(k, pk, R):
@@ -553,6 +584,30 @@ def compute_nonlinear(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
                          pk_eq=use_pk_eq)
     S_dm = pert.sources[:, :, SrcIdx.ix["delta_m"]]
     S_cb = pert.sources[:, :, SrcIdx.ix["delta_cb"]]
+    if getattr(pert, "sources_iso", None):
+        # multi-IC: the core computes P = P_R^ad(k) delta^2, so fold every
+        # ic pair into an EFFECTIVE delta with delta_eff^2 = sum_pairs
+        # P_R^{12}/P_R^{ad} delta_1 delta_2 (off-diagonal twice,
+        # nonlinear_pk_linear sums ic_ic pairs the same way)
+        def _eff(col):
+            d = {"ad": pert.sources[:, :, SrcIdx.ix[col]]}
+            for icn, src in pert.sources_iso.items():
+                d[icn] = src[:, :, SrcIdx.ix[col]]
+            names = list(d)
+            kj = jnp.asarray(k)
+            p_ad = pm.scalar_pk(kj)
+            tot = jnp.zeros_like(d["ad"])
+            for i1, n1 in enumerate(names):
+                for i2 in range(i1, len(names)):
+                    p12 = pair_primordial_pk(pm, n1, names[i2], kj)
+                    if p12 is None:
+                        continue
+                    f = (1.0 if i1 == i2 else 2.0)
+                    tot = tot + f * (p12 / p_ad)[:, None] * d[n1] * d[names[i2]]
+            return jnp.sign(d["ad"]) * jnp.sqrt(jnp.maximum(tot, 0.0))
+
+        S_dm = _eff("delta_m")
+        S_cb = _eff("delta_cb")
     # pin every input to the accelerator holding the source table: the
     # background tables are host-CPU-committed (pipeline pins setup stages
     # there) and mixed-device args would force the jit onto the host,

@@ -109,6 +109,47 @@ def output_cl(cosmo, root: str, lensed: bool = True, fmt: str = "class"):
                  [f"{unit} total [l(l+1)/2pi] C_l's",
                   f"for l=2 to {int(ell[-1])}"], names, data)
 
+    if cosmo.out.has_cls and "t" in cosmo.out.modes:
+        # per-mode files when md_size > 1 (output_cl, output_module.cpp
+        # :300-330): cls.dat = scalar sum over ics, clt.dat = tensor
+        sp = cosmo.spectra
+        cl_t = np.asarray(sp.cl_tensor) if sp.cl_tensor is not None \
+            else np.zeros_like(np.asarray(sp.cl))
+        for rows, nm, label in [(np.asarray(sp.cl) - cl_t, "cls", "scalar"),
+                                (cl_t, "clt", "tensor")]:
+            names_m, data_m = _cl_table(ell, rows, ct, T_cmb, fmt)
+            _write_table(Path(root + f"{nm}.dat"),
+                         [f"{unit} [l(l+1)/2pi] C_l's for {label} mode",
+                          f"for l=2 to {int(ell[-1])}"], names_m, data_m)
+
+    if cosmo.out.has_cls and getattr(cosmo.spectra, "cl_pairs", None):
+        # per-ic-pair files when ic_size > 1 (output_module.cpp:340-470):
+        # cls_ad.dat, cls_cdi.dat, cls_ad_cdi.dat, ... Off-diagonal files
+        # hold the raw symmetrized cross (the total counts it twice).
+        from ..ops.splines import spline_d2, spline_eval
+        import jax.numpy as jnp
+
+        IC_LABEL = {"ad": "adiabatic (AD)", "bi": "baryon isocurvature (BI)",
+                    "cdi": "CDM isocurvature (CDI)",
+                    "nid": "neutrino density isocurvature (NID)",
+                    "niv": "neutrino velocity isocurvature (NIV)"}
+        sp = cosmo.spectra
+        l_f = jnp.asarray(sp.l_list, jnp.float64)
+        for (n1, n2), rows in sp.cl_pairs.items():
+            d2 = spline_d2(l_f, jnp.asarray(rows))
+            vals = np.asarray(spline_eval(l_f, jnp.asarray(rows), d2,
+                                          jnp.asarray(ell)))
+            if n1 == n2:
+                suffix, label = n1, f"scalar {IC_LABEL[n1]} mode"
+            else:
+                suffix = f"{n1}_{n2}"
+                label = (f"scalar cross {IC_LABEL[n1].split(' (')[1][:-1]}"
+                         f"x{IC_LABEL[n2].split(' (')[1][:-1]} mode")
+            names_i, data_i = _cl_table(ell, vals, ct, T_cmb, fmt)
+            _write_table(Path(root + f"cls_{suffix}.dat"),
+                         [f"{unit} [l(l+1)/2pi] C_l's for {label}",
+                          f"for l=2 to {int(ell[-1])}"], names_i, data_i)
+
     if lensed and cosmo.out.lensing:
         le = cosmo.lensing
         ell = np.asarray(le.ell, dtype=float)
@@ -133,6 +174,46 @@ def output_pk(cosmo, root: str):
                           "for k=... in h/Mpc, P in (Mpc/h)^3"],
                          ["k (h/Mpc)", "P (Mpc/h)^3"],
                          np.column_stack([k_h, pk]))
+        pert = cosmo.perturbations
+        if getattr(pert, "sources_iso", None):
+            # per-ic-pair linear P(k) files (output_module.cpp:670-795):
+            # z*_pk_ad.dat = P_ad, z*_pk_ad_cdi.dat = the CROSS entry, which
+            # the reference stores logarithmically as the correlation-angle
+            # cosine and its writer then exponentiates — reproduced verbatim
+            # (exp(cos theta_12) * h^3), quirk and all.
+            from .nonlinear import pair_primordial_pk, pk_ic_deltas
+
+            bg, _ = cosmo.background
+            pm = cosmo.primordial
+            ds = {n: np.asarray(v) for n, v in
+                  pk_ic_deltas(pert, bg, float(z)).items()}
+            k = np.asarray(pert.k)
+            fac = 2.0 * np.pi**2 / k**3
+            names = list(ds)
+            pk_diag = {n: fac * np.asarray(pair_primordial_pk(pm, n, n, k))
+                       * ds[n] ** 2 for n in names}
+            for i1, n1 in enumerate(names):
+                for i2 in range(i1, len(names)):
+                    n2 = names[i2]
+                    if n1 == n2:
+                        col = np.interp(k_h * h, k, pk_diag[n1]) * h**3
+                        sfx, label = n1, f"for {n1.upper()} mode"
+                    else:
+                        p12 = pair_primordial_pk(pm, n1, n2, k)
+                        if p12 is None:
+                            continue
+                        cross = fac * np.asarray(p12) * ds[n1] * ds[n2]
+                        cos12 = cross / np.sqrt(pk_diag[n1] * pk_diag[n2])
+                        col = np.exp(np.interp(k_h * h, k, cos12)) * h**3
+                        sfx = f"{n1}_{n2}"
+                        label = f"for cross {n1.upper()}x{n2.upper()} mode"
+                    _write_table(
+                        Path(f"{root}z{iz + 1}_pk_{sfx}.dat"),
+                        [f"Matter power spectrum P(k) {label} "
+                         f"at redshift z={z}",
+                         "for k=... in h/Mpc, P in (Mpc/h)^3"],
+                        ["k (h/Mpc)", "P (Mpc/h)^3"],
+                        np.column_stack([k_h, col]))
 
 
 def output_tk(cosmo, root: str, fmt: str = "class"):

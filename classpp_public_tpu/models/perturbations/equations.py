@@ -1347,7 +1347,11 @@ def _ic_to_newtonian(y, k, tau, ctx: PertCtx):
 
     delta_tot = (fracg * dg + fracnu * dur + rmr * (fracb * db + fraccdm * dc)) / (1.0 + rmr)
     velocity_tot = (4.0 / 3.0 * (fracg * tg + fracnu * tur) + rmr * fracb * tb) / (1.0 + rmr)
-    alpha = (eta + 1.5 * aH * aH / k2 * (delta_tot + 3.0 * aH / k2 * velocity_tot)) / aH
+    # curvature enters through s2^2 = 1 - 3K/k^2 dividing the bracket
+    # (perturb_initial_conditions :5130: 3/2 (a'/a)^2 /k^2 /s2_squared {...})
+    s2 = 1.0 - 3.0 * ctx.K / k2
+    alpha = (eta + 1.5 * aH * aH / (k2 * s2)
+             * (delta_tot + 3.0 * aH / k2 * velocity_tot)) / aH
 
     y = y.at[idx.eta].set(eta - aH * alpha)           # slot now holds phi
     y = y.at[idx.delta_g].add(-4.0 * aH * alpha)

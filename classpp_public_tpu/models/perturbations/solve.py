@@ -709,7 +709,19 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 st = st + stw
                 pieces.append(src[:, : b1 - b0])
             n_keep = i1 - i0
-            out_src.append(jnp.concatenate(pieces, axis=1)[:n_keep])
+            chunk_src = jnp.concatenate(pieces, axis=1)
+            if mesh is not None:
+                # gather each chunk's lane-sharded result to one device with
+                # an explicit device_put COPY. Leaving the result sharded
+                # makes every downstream eager op (concatenate here, the
+                # transfer stage's spline_eval) compile an implicit
+                # all-gather whose 8-thread rendezvous ABORTS the process
+                # after 40 s on hosts with fewer cores than mesh devices
+                # (xla/.../rendezvous.cc:127 termination timeout).
+                dev0 = mesh.devices.flat[0]
+                chunk_src = jax.device_put(chunk_src, dev0)
+                st = jax.device_put(st, dev0)
+            out_src.append(chunk_src[:n_keep])
             out_steps.append(st[:n_keep])
         src_all = jnp.concatenate(out_src, axis=0).astype(jnp.float64)
         return src_all, jnp.concatenate(out_steps, axis=0)

@@ -33,13 +33,24 @@ _SQRT6 = math.sqrt(6.0)
 @dataclass(frozen=True)
 class TnIdx:
     """Tensor state layout: gw, gw', photon temperature F~_l (l=0..l_max_g_ten),
-    photon polarization G~_l, ur hierarchy."""
+    photon polarization G~_l, ur hierarchy, and (tensor method = exact) the
+    per-species massive-ncdm Psi_l(q) hierarchies.
+
+    method selects the neutrino treatment (input 'tensor method',
+    input_module.cpp:2911-2920; dispatch perturbations_module.cpp:594-609):
+    'photons' = no neutrino contribution at all, 'massless' (default) = one
+    explicitly evolved massless hierarchy driven by rho_ur + 3 p_ncdm,
+    'exact' = massless hierarchy for ur only + full Psi_l(q) ncdm hierarchies
+    (perturb_derivs :9158-9205, gw source :6700-6745)."""
 
     l_max_g_ten: int = 5
     l_max_pol_g_ten: int = 5
     l_max_ur: int = 17
     n_ncdm: int = 0
     sgnK: int = 0
+    method: str = "massless"     # photons | massless | exact
+    q_size_ncdm: int = 0
+    l_max_ncdm: int = 17
 
     gw = 0
     gwdot = 1
@@ -66,11 +77,27 @@ class TnIdx:
 
     @property
     def n_ur(self):
-        return self.l_max_ur + 1
+        # tm_photons_only evolves no neutrino hierarchy at all
+        # (perturb_vector_init :3552 gates the ur block on evolve_tensor_ur)
+        return 0 if self.method == "photons" else self.l_max_ur + 1
+
+    @property
+    def n_l_ncdm(self):
+        return self.l_max_ncdm + 1
+
+    @property
+    def ncdm(self):
+        return self.ur + self.n_ur
+
+    @property
+    def n_ncdm_block(self):
+        if self.method != "exact":
+            return 0
+        return self.n_ncdm * self.q_size_ncdm * self.n_l_ncdm
 
     @property
     def size(self):
-        return self.ur + self.n_ur
+        return self.ncdm + self.n_ncdm_block
 
 
 class TensorCtx(NamedTuple):
@@ -83,6 +110,7 @@ class TensorCtx(NamedTuple):
     idx: TnIdx
     rho_rel_extra: jnp.ndarray   # 3*sum_s p_ncdm columns? passed as 0 for now
     K: float = 0.0               # curvature [Mpc^-2]
+    ncdm: object = None          # NcdmCtx when method == "exact" and n_ncdm
 
 
 def _hier_deriv(Fv, k, tau, kap=None, s_of_l=None, cotKgen=None):
@@ -146,24 +174,48 @@ def rhs_full(tau, y, ctx: TensorCtx):
     gwdot = y[idx.gwdot]
     F = jax.lax.dynamic_slice(y, (idx.F,), (idx.n_F,))
     G = jax.lax.dynamic_slice(y, (idx.G,), (idx.n_G,))
-    U = jax.lax.dynamic_slice(y, (idx.ur,), (idx.n_ur,))
 
     delta_g, theta_g, shear_g = F[0], F[1], F[2]   # F[1] stores theta_g
-    delta_ur, theta_ur, shear_ur = U[0], U[1], U[2]
 
-    # gw source (perturb_total_stress_energy :6625-6650): in the default
-    # tm_massless_approximation, massive neutrinos contribute their
-    # relativistic part 3 p_ncdm to the driving density.
-    rho_rel = rho_ur
-    for i in range(idx.n_ncdm):
-        rho_rel = rho_rel + 3.0 * bgv[bidx[f"p_ncdm{i}"]]
     gw_src_g = jnp.where(hier_on,
                          -_SQRT6 * 4.0 * a2 * rho_g * (delta_g / 15.0 + 4.0 / 21.0 * shear_g + F[4] / 35.0),
                          0.0)
-    gw_src_ur = -_SQRT6 * 4.0 * a2 * rho_rel * (delta_ur / 15.0 + 4.0 / 21.0 * shear_ur + U[4] / 35.0)
+
+    # gw source from neutrinos (perturb_total_stress_energy :6625-6650):
+    # tm_photons_only has none; in the default tm_massless_approximation the
+    # massive species contribute their relativistic part 3 p_ncdm to the
+    # density driving the explicitly evolved massless hierarchy; tm_exact
+    # drives it with rho_ur only and integrates the ncdm Psi_l(q) exactly.
+    if idx.n_ur:
+        U = jax.lax.dynamic_slice(y, (idx.ur,), (idx.n_ur,))
+        delta_ur, theta_ur, shear_ur = U[0], U[1], U[2]
+        rho_rel = rho_ur
+        if idx.method == "massless":
+            for i in range(idx.n_ncdm):
+                rho_rel = rho_rel + 3.0 * bgv[bidx[f"p_ncdm{i}"]]
+        gw_src_ur = -_SQRT6 * 4.0 * a2 * rho_rel * (delta_ur / 15.0 + 4.0 / 21.0 * shear_ur + U[4] / 35.0)
+    else:
+        gw_src_ur = 0.0
+
+    gw_src_nc = 0.0
+    if idx.n_ncdm_block:
+        # exact ncdm contribution (perturb_total_stress_energy :6700-6745):
+        # sum_q q^4/eps w_q (Psi0/15 + 2/21 Psi2 + 1/35 Psi4) per species,
+        # with the same pref/a^4 normalization as the scalar stress tensor
+        nc = ctx.ncdm
+        ns, nq, nl = idx.n_ncdm, idx.q_size_ncdm, idx.n_l_ncdm
+        Psi = jax.lax.dynamic_slice(y, (idx.ncdm,), (idx.n_ncdm_block,)).reshape(ns, nq, nl)
+        eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)
+        qw = nc.w * nc.q[None, :] ** 2
+        integ = jnp.sum(qw * nc.q[None, :] ** 2 / eps *
+                        (Psi[:, :, 0] / 15.0 + 2.0 / 21.0 * Psi[:, :, 2]
+                         + Psi[:, :, 4] / 35.0), axis=1)
+        gw_src_nc = -_SQRT6 * 4.0 * a2 * jnp.sum(nc.pref / (a2 * a2) * integ)
+
     # single tensor Einstein equation (perturb_einstein :6039): note the
     # curvature shift k^2 -> k^2 + 2K
-    gw_pp = -2.0 * aH * gwdot - (k2 + 2.0 * K) * gw + gw_src_g + gw_src_ur
+    gw_pp = -2.0 * aH * gwdot - (k2 + 2.0 * K) * gw \
+        + gw_src_g + gw_src_ur + gw_src_nc
 
     # tensor polarization combo P2 (perturb_derivs :9050-9062)
     P2 = -(1.0 / _SQRT6) * (delta_g / 10.0 + 2.0 / 7.0 * shear_g + 3.0 / 70.0 * F[4]
@@ -186,13 +238,37 @@ def rhs_full(tau, y, ctx: TensorCtx):
     dG = dG.at[0].set(-k * G[1] - kap * (G[0] - _SQRT6 * P2))
     dy = jax.lax.dynamic_update_slice(dy, jnp.where(hier_on, dG, jnp.zeros_like(dG)), (idx.G,))
 
-    # ur hierarchy (no scattering; evolved in both tensor methods, :9133-9155)
-    dU = _hier_deriv(U, k, tau, None, s_of_l, cotKgen)
-    dU = dU.at[0].set(-4.0 / 3.0 * theta_ur + _SQRT6 * gwdot)
-    dU = dU.at[1].set(k2 * (delta_ur / 4.0 - s2 * shear_ur))
-    dU = dU.at[2].set(4.0 / 15.0 * theta_ur - 3.0 / 10.0 * k * s_l3 / s_l2 * U[3])
-    dU = dU.at[3].set(k / 7.0 * (6.0 * s_l3 * s_l2 * shear_ur - 4.0 * s_l4 * U[4]))
-    dy = jax.lax.dynamic_update_slice(dy, dU, (idx.ur,))
+    # ur hierarchy (no scattering; evolved unless tm_photons_only, :9133-9155)
+    if idx.n_ur:
+        dU = _hier_deriv(U, k, tau, None, s_of_l, cotKgen)
+        dU = dU.at[0].set(-4.0 / 3.0 * theta_ur + _SQRT6 * gwdot)
+        dU = dU.at[1].set(k2 * (delta_ur / 4.0 - s2 * shear_ur))
+        dU = dU.at[2].set(4.0 / 15.0 * theta_ur - 3.0 / 10.0 * k * s_l3 / s_l2 * U[3])
+        dU = dU.at[3].set(k / 7.0 * (6.0 * s_l3 * s_l2 * shear_ur - 4.0 * s_l4 * U[4]))
+        dy = jax.lax.dynamic_update_slice(dy, dU, (idx.ur,))
+
+    if idx.n_ncdm_block:
+        # exact ncdm Psi_l(q) hierarchy (perturb_derivs :9158-9205):
+        # dPsi0 = -(qk/eps) Psi1 - sqrt(6)/4 gw' dlnf0/dlnq;
+        # dPsi_l = (qk/eps)/(2l+1) (l s_l Psi_{l-1} - (l+1) s_{l+1} Psi_{l+1});
+        # truncation dPsi_L = (qk/eps) Psi_{L-1} - (L+1) k cotKgen Psi_L
+        nc = ctx.ncdm
+        ns, nq, nl = idx.n_ncdm, idx.q_size_ncdm, idx.n_l_ncdm
+        Psi = jax.lax.dynamic_slice(y, (idx.ncdm,), (idx.n_ncdm_block,)).reshape(ns, nq, nl)
+        eps = jnp.sqrt(nc.q[None, :] ** 2 + (a * nc.x_fac[:, None]) ** 2)
+        qke = k * nc.q[None, :] / eps                         # (ns, nq)
+        ls = jnp.arange(nl, dtype=y.dtype)
+        sl = s_of_l(ls)
+        sl1 = s_of_l(ls + 1.0)
+        Pm1 = jnp.concatenate([jnp.zeros((ns, nq, 1), y.dtype), Psi[:, :, :-1]], axis=2)
+        Pp1 = jnp.concatenate([Psi[:, :, 1:], jnp.zeros((ns, nq, 1), y.dtype)], axis=2)
+        dP = qke[:, :, None] / (2.0 * ls + 1.0) * (
+            ls * sl * Pm1 - (ls + 1.0) * sl1 * Pp1)
+        dP = dP.at[:, :, 0].set(-qke * Psi[:, :, 1]
+                                - 0.25 * _SQRT6 * gwdot * nc.dlnf0)
+        dP = dP.at[:, :, -1].set(qke * Psi[:, :, -2]
+                                 - nl * k * cotKgen * Psi[:, :, -1])
+        dy = jax.lax.dynamic_update_slice(dy, dP.reshape(-1), (idx.ncdm,))
 
     # sources (perturb_sources :7243-7273)
     P_src = jnp.where(rsa, 0.0,
@@ -243,7 +319,7 @@ def remap_rsa_on(y, ctx: TensorCtx):
 
 
 def solve_one_k(k, tau_ini, t_tca, t_ufa_unused, t_rsa, taus, bg_spline, th_spline,
-                bidx, idx, rtol, K=0.0):
+                bidx, idx, rtol, K=0.0, ncdm=None):
     """Integrate one tensor k-mode, emitting (S_T2, S_P) at every sample.
     Single while_loop per interval with per-step flags (see scalar solver)."""
     from ...ops.ode import rkck_step
@@ -253,7 +329,8 @@ def solve_one_k(k, tau_ini, t_tca, t_ufa_unused, t_rsa, taus, bg_spline, th_spli
     def ctx_at(t):
         return TensorCtx(k=k, tca_on=t < t_tca, rsa_on=t >= t_rsa,
                          bg_spline=bg_spline, th_spline=th_spline, bidx=bidx,
-                         idx=idx, rho_rel_extra=jnp.asarray(0.0), K=K)
+                         idx=idx, rho_rel_extra=jnp.asarray(0.0), K=K,
+                         ncdm=ncdm)
 
     def integrate_interval(y, h, t_a, t_b):
         def cond(st):
@@ -312,13 +389,14 @@ def get_tensor_solver(bidx_key, idx):
 
     bidx = BgIdx(*bidx_key)
 
-    def fn(k, tau_ini, t_tca, t_ufa, t_rsa, taus, bg_spline, th_spline, rtol, K):
+    def fn(k, tau_ini, t_tca, t_ufa, t_rsa, taus, bg_spline, th_spline, rtol,
+           K, ncdm):
         return solve_one_k(k, tau_ini, t_tca, t_ufa, t_rsa, taus, bg_spline,
-                           th_spline, bidx, idx, rtol, K=K)
+                           th_spline, bidx, idx, rtol, K=K, ncdm=ncdm)
 
     from ...ops.export_cache import export_cached
     return export_cached(jax.jit(jax.vmap(
-        fn, in_axes=(0, 0, 0, 0, 0, None, None, None, None, None))),
+        fn, in_axes=(0, 0, 0, 0, 0, None, None, None, None, None, None))),
         tag="pt_tensor", static_key=(bidx_key, idx))
 
 
@@ -340,14 +418,35 @@ def compute_tensor_perturbations(params, pr: PrecisionParams, bg, bidx, th,
     sched = get_k_schedule(ks, pr, bg, bidx, th, tau_first_sample=float(taus[0]))
     K_curv = float(-params.Omega_k * float(bg.H0) ** 2)
     sgnK = 0 if params.Omega_k == 0.0 else (1 if K_curv > 0 else -1)
+    method = getattr(params, "tensor_method", "massless")
+    ncdm_ctx = None
+    nq_t = 0
+    if method == "exact" and params.N_ncdm:
+        from ...classy import CosmoSevereError
+        if getattr(params, "N_ncdm_decay_dr", 0):
+            raise CosmoSevereError(
+                "tensor method = exact with decaying ncdm not implemented")
+        from ..background import ncdm_q_rule
+        from .solve import make_ncdm_ctx
+        nq_t, q_gauss, q_max = ncdm_q_rule(params, pr)
+        shim = TnIdx(pr.l_max_g_ten, pr.l_max_pol_g_ten, pr.l_max_ur,
+                     params.N_ncdm, sgnK=sgnK, method=method,
+                     q_size_ncdm=nq_t, l_max_ncdm=pr.l_max_ncdm)
+        # make_ncdm_ctx reads q_size/q_gauss/q_max + n_ncdm off the idx
+        shim_ns = type("QS", (), dict(q_size_ncdm=nq_t, q_gauss=q_gauss,
+                                      q_max_ncdm=q_max, n_ncdm=params.N_ncdm,
+                                      n_dncdm=0))
+        ncdm_ctx = make_ncdm_ctx(params, bg, shim_ns)
     idx = TnIdx(pr.l_max_g_ten, pr.l_max_pol_g_ten, pr.l_max_ur, params.N_ncdm,
-                sgnK=sgnK)
+                sgnK=sgnK, method=method, q_size_ncdm=nq_t,
+                l_max_ncdm=pr.l_max_ncdm)
     solve = get_tensor_solver(bidx.key, idx)
     srcs, _ = solve(jnp.asarray(sched.k), jnp.asarray(sched.tau_ini),
                     jnp.asarray(sched.tau_tca_off), jnp.asarray(sched.tau_ufa_on),
                     jnp.asarray(sched.tau_rsa_on),
                     jnp.asarray(taus), bg.lntau_spline, th.lntau_spline,
-                    jnp.float64(pr.tol_perturb_integration), jnp.float64(K_curv))
+                    jnp.float64(pr.tol_perturb_integration), jnp.float64(K_curv),
+                    ncdm_ctx)
     if pr.gw_ini != 1.0:
         # linear system: scaling sources post-solve == scaling the tensor IC
         # amplitude gw_ini (precisions.h:221)

@@ -28,6 +28,14 @@ class SpectraResult(NamedTuple):
     cl: jnp.ndarray         # (nl_out, nct) raw C_l per CT_TYPES
     l_list: jnp.ndarray     # sparse computation multipoles
     cl_list: jnp.ndarray    # (nl_list, nct)
+    # multi-IC runs: raw per-pair C_l on the sparse l-list, keyed
+    # ("ad","cdi")... — diagonal pairs enter the total once, off-diagonal
+    # pairs twice (spectra_module.cpp:305-308); feeds the per-ic cl output
+    # files (output_module.cpp:340-470)
+    cl_pairs: dict = None
+    # tensor-mode-only C_l at the output multipoles (s,t runs write per-mode
+    # cls.dat/clt.dat, output_module.cpp:300-330)
+    cl_tensor: jnp.ndarray = None
 
     def cl_dict(self) -> Dict[str, jnp.ndarray]:
         out = {"ell": self.ell}
@@ -91,15 +99,18 @@ def compute_spectra(tr: TransferResult, pm: PrimordialResult, l_max: int,
                 quad_i(e1, p1, e2, p2),
             ], axis=1)
 
+        cl_pairs = {("ad", "ad"): cl_list}
         for ic in tr_iso:
-            cl_list = cl_list + add_pair(pm.iso_pk(ic, q), ic, ic, 1.0)
+            cl_pairs[(ic, ic)] = add_pair(pm.iso_pk(ic, q), ic, ic, 1.0)
+            cl_list = cl_list + cl_pairs[(ic, ic)]
         names = ["ad"] + list(tr_iso.keys())
         for i1 in range(len(names)):
             for i2 in range(i1 + 1, len(names)):
                 pk12 = pm.cross_pk(names[i1], names[i2], q)
                 if pk12 is not None:
-                    cl_list = cl_list + add_pair(pk12, names[i1], names[i2],
-                                                 2.0)
+                    pair = add_pair(pk12, names[i1], names[i2], 1.0)
+                    cl_pairs[(names[i1], names[i2])] = pair
+                    cl_list = cl_list + 2.0 * pair
 
     # spline over l to all integer multipoles
     l_f = tr.l.astype(jnp.float64)
@@ -137,4 +148,6 @@ def compute_spectra(tr: TransferResult, pm: PrimordialResult, l_max: int,
         cl_t_all = jnp.where((ells <= l_t_max)[:, None], cl_t_all, 0.0)
         cl_all = cl_all + cl_t_all
 
-    return SpectraResult(ell=ells, cl=cl_all, l_list=tr.l, cl_list=cl_list)
+    return SpectraResult(ell=ells, cl=cl_all, l_list=tr.l, cl_list=cl_list,
+                         cl_pairs=cl_pairs if tr_iso else None,
+                         cl_tensor=cl_t_all if tr_tensor is not None else None)

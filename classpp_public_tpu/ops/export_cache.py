@@ -75,10 +75,31 @@ def _aval_sig(args):
     return "|".join(parts)
 
 
+_SRC_HASH = None
+
+
+def _src_hash():
+    """Content hash of the package's traced source: a code edit must
+    invalidate every blob (the exported StableHLO bakes the old trace in;
+    __version__ alone would serve stale programs during development)."""
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        import glob
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for p in sorted(glob.glob(os.path.join(root, "**", "*.py"),
+                                  recursive=True)):
+            with open(p, "rb") as f:
+                h.update(f.read())
+        _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
+
+
 def _key(tag, static_key, platform, args):
     from .. import __version__
 
-    blob = repr((tag, static_key, __version__, jax.__version__,
+    blob = repr((tag, static_key, __version__, _src_hash(), jax.__version__,
                  platform, jax.config.jax_enable_x64, _aval_sig(args)))
     return f"{tag}-{hashlib.sha256(blob.encode()).hexdigest()[:20]}"
 

@@ -439,6 +439,29 @@ class Cosmology:
                 print(f" -> evolved {len(np.asarray(pt.k))} scalar k-modes "
                       f"({int(np.asarray(pt.stats_steps).sum())} total solver steps)",
                       file=sys.stderr)
+            elif lv == "primordial":
+                pm = self._cache["pm"]
+                print(f" -> primordial spectrum: A_s = {float(pm.A_s):.6e}, "
+                      f"n_s = {float(pm.n_s):.4f}", file=sys.stderr)
+            elif lv == "nonlinear" and "nl" in self._cache:
+                nl = self._cache["nl"]
+                print(f" -> sigma8 = {float(nl.sigma8):.6f} "
+                      f"({len(np.asarray(nl.k)) if hasattr(nl, 'k') else 0} "
+                      f"k-points x {len(np.asarray(nl.z))} redshifts)",
+                      file=sys.stderr)
+            elif lv == "transfer" and "tr" in self._cache:
+                tr = self._cache["tr"]
+                print(f" -> transfer functions at {tr.delta.shape[0]} "
+                      f"multipoles x {tr.delta.shape[-1]} wavenumbers",
+                      file=sys.stderr)
+            elif lv == "spectra" and "sp" in self._cache:
+                sp = self._cache["sp"]
+                print(f" -> harmonic C_l up to l = {int(sp.ell[-1])}",
+                      file=sys.stderr)
+            elif lv == "lensing" and "le" in self._cache:
+                le = self._cache["le"]
+                print(f" -> lensed C_l up to l = {int(le.ell[-1])}",
+                      file=sys.stderr)
         except Exception:
             pass
 
@@ -475,9 +498,24 @@ class Cosmology:
                 continue
             if lv == "lensing" and not (self.out.lensing and self.out.has_cls):
                 continue
-            getattr(self, {"background": "background", "thermodynamics": "thermodynamics",
-                           "perturbations": "perturbations", "primordial": "primordial",
-                           "nonlinear": "nonlinear", "transfer": "transfer",
-                           "spectra": "spectra", "lensing": "lensing"}[lv])
+            if self.verbosity >= 2:
+                # per-stage wall-clock with a device sync (the analog of the
+                # reference's "Running CLASS version ..." stage chatter at
+                # *_verbose >= 2; async dispatch otherwise charges device
+                # time to whoever first materializes a value)
+                import sys
+                import time
+
+                import jax
+
+                t0 = time.time()
+                res = getattr(self, lv)
+                try:
+                    jax.block_until_ready(res)
+                except Exception:
+                    pass
+                print(f"[{lv}] {time.time() - t0:.3f} s", file=sys.stderr)
+            else:
+                getattr(self, lv)
             self._announce(lv)
         return self

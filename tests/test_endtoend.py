@@ -130,12 +130,6 @@ def test_invalid_input_raises(g1_params):
     from classpp_public_tpu import CosmoSevereError
 
     c = Class()
-    # curvature is synchronous-gauge only (newtonian curved Einstein
-    # constraints not implemented)
-    c.set({"output": "tCl", "Omega_k": 0.01, "gauge": "newtonian"})
-    with pytest.raises(CosmoSevereError):
-        c.compute()
-    c = Class()
     c.set({"output": "tCl", "modes": "s,v"})  # vector modes: not implemented
     with pytest.raises(CosmoSevereError):
         c.compute()

@@ -66,3 +66,23 @@ def test_gauge_cross_sigma8(both_gauges):
     s8_s = both_gauges["synchronous"].sigma8()
     s8_n = both_gauges["newtonian"].sigma8()
     assert abs(s8_n / s8_s - 1) < 1e-2
+
+
+@pytest.mark.parametrize("omega_k", [0.02, -0.02])
+def test_gauge_cross_curved(omega_k):
+    """Curved Einstein constraints in BOTH gauges (perturb_einstein :5870
+    newtonian / :5911 synchronous; the sync->newt IC transform picks up the
+    1/s2^2 curvature factor, perturb_initial_conditions :5130). Open and
+    closed universes must give gauge-independent raw C_l^TT."""
+    cls = {}
+    for gauge in ("synchronous", "newtonian"):
+        c = Class()
+        c.set({"h": 0.67810, "omega_b": 0.02238280, "omega_cdm": 0.1201075,
+               "A_s": 2.100549e-09, "n_s": 0.9660499,
+               "tau_reio": 0.05430842, "Omega_k": omega_k, "gauge": gauge,
+               "output": "tCl", "l_max_scalars": 400})
+        c.compute(["spectra"])
+        cls[gauge] = c.raw_cl(400)
+    a = cls["synchronous"]["tt"][2:]
+    b = cls["newtonian"]["tt"][2:]
+    assert np.abs(b / a - 1).max() < 1.5e-2

@@ -143,3 +143,48 @@ def test_alpha_beta_stiff_consistency():
         jnp.zeros((idx.size,)))
     dF = np.asarray(jnp.diagonal(J))[idx.F_idr: idx.F_idr + idx.n_F_idr]
     assert np.all(np.diff(dF) > 0), dF  # decreasing alpha => weaker damping
+
+
+# --- per-l alpha/beta golden (tests/golden/gen/g34_idmdr_l.ini) -------------
+# Same ETHOS model with non-default angular coefficients
+# alpha_idm_dr = 1.0,1.2,1.4 (padded with 1.4) and beta_idr = 0.5,1.0
+# (padded with 1.0) — end-to-end acceptance of the per-l damping against
+# the reference build (the l>=2 idr collision terms, perturb :8593-8612).
+
+@pytest.fixture(scope="module")
+def g34():
+    return Golden(GOLDEN_DIR / "g34_idmdr_l.npz")
+
+
+@pytest.fixture(scope="module")
+def computed_lists():
+    c = Class()
+    c.set(dict(PARAMS, **{"alpha_idm_dr": "1.0, 1.2, 1.4",
+                          "beta_idr": "0.5, 1.0"}))
+    c.compute(["lensing"])
+    return c
+
+
+def test_lists_lensed_cl_vs_golden(computed_lists, g34):
+    cols = [str(x) for x in g34.cols("cl_lensed")]
+    T = g34.table("cl_lensed")
+    lr = T[:, 0]
+    cl = computed_lists.lensed_cl(1100)
+    ell = cl["ell"][2:]
+    fac = ell * (ell + 1) / (2 * np.pi)
+    for name, col in [("tt", "TT"), ("ee", "EE")]:
+        mine = fac * cl[name][2:]
+        ref = np.interp(ell, lr, T[:, cols.index(col)])
+        rel = np.abs(mine / ref - 1)
+        assert rel.max() < 3e-3, (name, rel.max(), ell[rel.argmax()])
+
+
+def test_lists_pk_vs_golden(computed_lists, g34):
+    h = computed_lists.h()
+    T = g34.table("pk")
+    ks = T[:, 0] * h
+    sel = (ks > 1e-3) & (ks < 0.9)
+    mine = np.array([computed_lists.pk_lin(kk, 0.0) for kk in ks[sel][::5]])
+    ref = T[sel, 1][::5] / h**3
+    rel = np.abs(mine / ref - 1)
+    assert rel.max() < 2e-2, (rel.max(), ks[sel][::5][rel.argmax()])
