@@ -1,11 +1,16 @@
 #!/usr/bin/env python
-"""Headline benchmark: lensed C_l^{TT,TE,EE} + phiphi + linear P(k) end-to-end.
+"""Headline benchmark: lensed C_l^{TT,TE,EE} + phiphi + P(k) end-to-end.
 
-Mirrors BASELINE.md row 2 (Planck-2018-like lensed TT/TE/EE + mPk): the
-reference C++ build does this in 9.58 s on one CPU core. We report the
-end-to-end wall-clock of the full pipeline (background -> thermo ->
-perturbations -> transfer -> spectra -> lensing -> P(k)), second run
-(compile-cached), on whatever accelerator JAX exposes.
+The headline is the EXACT BASELINE.md row-2 configuration
+(base_2018_plikHM_TTTEEE_lowl_lowE_lensing.ini: one 0.06 eV massive ncdm +
+halofit mPk + lensed TT/TE/EE/phiphi): the reference C++ build does this in
+9.58 s on one published CPU core (22.75 s re-measured on this container's
+1 vCPU — ref_same_host_s below). We report the end-to-end wall-clock of the
+full pipeline (background -> thermo -> perturbations -> transfer -> spectra
+-> lensing -> P(k)), min of two runs, on whatever accelerator JAX exposes.
+Through round 4 the headline used a simplified config without the ncdm
+species + halofit (kept below as planck_row2 for round-over-round
+continuity, with the per-stage split).
 
 Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
 BENCH_DETAIL.json (echoed on stderr) carries:
@@ -212,22 +217,22 @@ def main():
     if "ref_same_host_s" in probes:
         detail["ref_same_host_s"] = probes["ref_same_host_s"]
     t_start = time.time()
-    # headline: Planck row 2, min of two runs (second is compile-cached;
-    # the trace cache + persistent compile cache keep the first one short
-    # after the first-ever process on this machine)
+    # headline: the EXACT BASELINE.md row-2 config (1 massive ncdm +
+    # halofit), min of two runs (second is compile-cached; the trace cache +
+    # persistent compile cache keep the first one short after the first-ever
+    # process on this machine)
     t0 = time.time()
-    run_planck()
+    run_row2_exact()
     first = time.time() - t0
-    stages = {}
     t0 = time.time()
-    cl, pk = run_planck(stage_times=stages)
+    cl, pk = run_row2_exact()
     second = time.time() - t0
     value = min(first, second)
-    detail["planck_row2"] = {
+    detail["row2_exact"] = {
         "first_s": round(first, 3), "second_s": round(second, 3),
-        "stages_s": stages, "stages_sum_s": round(sum(stages.values()), 3),
         "baseline_s": BASELINE_SECONDS,
-        "accuracy_probe": _probe_accuracy("planck_row2", cl, pk)}
+        "vs_baseline": round(BASELINE_SECONDS / value, 3),
+        "accuracy_probe": _probe_accuracy("row2_exact", cl, pk)}
 
     budget_s = float(os.environ.get("CLASSPP_BENCH_BUDGET", "540"))
 
@@ -249,7 +254,24 @@ def main():
     if not os.environ.get("CLASSPP_BENCH_FAST"):
         extra_row("lcdm_row1", run_row1, BASELINE_ROW1, 60.0)
         extra_row("ncdm_row3", run_row3, BASELINE_ROW3, 120.0)
-        extra_row("row2_exact", run_row2_exact, BASELINE_SECONDS, 120.0)
+        # continuity row (the round-1..4 headline config) + per-stage split
+        if not over_budget(90.0):
+            try:
+                stages = {}
+                t0 = time.time()
+                cl_p, pk_p = run_planck(stage_times=stages)
+                t_p = time.time() - t0
+                detail["planck_row2"] = {
+                    "warm_s": round(t_p, 3), "stages_s": stages,
+                    "stages_sum_s": round(sum(stages.values()), 3),
+                    "baseline_s": BASELINE_SECONDS,
+                    "vs_baseline": round(BASELINE_SECONDS / t_p, 3),
+                    "accuracy_probe": _probe_accuracy("planck_row2",
+                                                      cl_p, pk_p)}
+            except Exception as e:  # pragma: no cover
+                detail["planck_row2"] = {"error": f"{type(e).__name__}: {e}"}
+        else:
+            detail["planck_row2"] = {"skipped": "over time budget"}
     else:
         detail["lcdm_row1"] = {"skipped": "CLASSPP_BENCH_FAST"}
 

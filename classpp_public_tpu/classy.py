@@ -99,7 +99,7 @@ class Class:
         elif "H0" in p:
             h = float(p.pop("H0")) / 100.0
         else:
-            h = 0.6781
+            h = 0.67556
         p.pop("H0", None)
         kw["h"] = h
 
@@ -372,7 +372,7 @@ class Class:
                 kw["Omega_idm_dr"] = float(p.pop("omega_idm_dr")) / (h * h)
             elif "f_idm_dr" in p:
                 f_idm = float(p.pop("f_idm_dr"))
-                Ocdm = kw.get("omega_cdm", 0.1201075) / (h * h)
+                Ocdm = kw.get("omega_cdm", 0.12038) / (h * h)
                 kw["Omega_idm_dr"] = f_idm * Ocdm
                 kw["omega_cdm"] = (Ocdm - kw["Omega_idm_dr"]) * h * h
             else:
@@ -394,7 +394,7 @@ class Class:
                             val = v
                             found = True
                 kw[dst] = val
-            kw["m_idm"] = float(p.pop("m_idm", 1.0e9))
+            kw["m_idm"] = float(p.pop("m_idm", 1.0e11))
             nat = str(p.pop("idr_nature", "free_streaming")).strip().lower()
             if nat not in ("free_streaming", "fluid"):
                 raise CosmoSevereError(f"unknown idr_nature {nat!r}")
@@ -447,7 +447,8 @@ class Class:
         out = OutputSelection()
         out.gauge = gauge
         kw["gauge"] = gauge
-        output = str(p.pop("output", "tCl,pCl,lCl,mPk"))
+        # reference default: empty output -> nothing computed beyond thermo
+        output = str(p.pop("output", ""))
         out.tCl = "tCl" in output
         out.pCl = "pCl" in output
         out.lCl = "lCl" in output
@@ -506,7 +507,19 @@ class Class:
             if "dNdz_evolution" in p:
                 v = str(p.pop("dNdz_evolution")).strip()
                 out.dndz_evo = "analytic" if v.lower() == "analytic" else v
+        lensing_explicit = "lensing" in p
         out.lensing = _parse_bool(p.pop("lensing", "yes" if out.lCl else "no"))
+        # reference guard (input_module.cpp:2427-2436): 'lensing = yes'
+        # requires scalar modes + (tCl or pCl) + lCl, else class_stop
+        has_s_mode = "s" in str(p.get("modes", "s")).replace(",", " ").split()
+        if lensing_explicit and out.lensing and not (
+                has_s_mode and (out.tCl or out.pCl) and out.lCl):
+            raise CosmoSevereError(
+                "you asked for lensed CMB Cls, but this requires a minimal "
+                "number of options: 'modes' should include 's', 'output' "
+                "should include 'tCl' and/or 'pCL', and also, importantly, "
+                "'lCl', the CMB lensing potential spectrum. You forgot one "
+                "of those in your input.")
         out.l_scalar_max = int(float(p.pop("l_max_scalars", 2500)))
         if "P_k_max_1/Mpc" in p:
             out.P_k_max = float(p.pop("P_k_max_1/Mpc"))
@@ -516,7 +529,17 @@ class Class:
             out.z_pk = tuple(_parse_list(p.pop("z_pk")))
         if "z_max_pk" in p:
             out.z_max_pk = float(p.pop("z_max_pk"))
+        # the source sampling must reach the highest requested P(k) redshift
+        # (reference: psp->z_max_pk = max over pop->z_pk, spectra init)
+        out.z_max_pk = max(out.z_max_pk, max(out.z_pk))
+        nl_explicit = "non linear" in p or "non_linear" in p
         out.non_linear = str(p.pop("non linear", p.pop("non_linear", ""))).strip().lower()
+        if nl_explicit and output.strip() in ("", "none"):
+            # reference: with no output there is nothing to correct, the key
+            # is never read and compute() raises the unread-parameter error
+            # (classy.pyx reset :181-191)
+            raise CosmoSevereError(
+                "Class did not read input parameter(s): non linear")
         if out.non_linear not in ("", "halofit", "hmcode"):
             raise CosmoSevereError(f"unknown non linear method {out.non_linear!r}")
         # HMcode baryonic feedback (input_module.cpp:2814-2867): either a
@@ -551,6 +574,32 @@ class Class:
                 "too: 'Vectors not coded yet', perturbations_module.cpp:581)")
         if "l_max_tensors" in p:
             out.l_tensor_max = int(float(p.pop("l_max_tensors")))
+        # reference consistency guards (input_module.cpp:1781-1803): lCl and
+        # mPk need scalar modes; tensors need at least one of tCl/pCl
+        if "s" not in out.modes:
+            if out.lCl:
+                raise CosmoSevereError(
+                    "Inconsistency: you want C_l's for cmb lensing potential, "
+                    "but no scalar modes")
+            if out.has_pk:
+                raise CosmoSevereError(
+                    "Inconsistency: you want P(k) of matter, but no scalar "
+                    "modes")
+            if "ic" in p:
+                # 'ic' is only read under has_scalars (input :1736); with no
+                # scalar modes classy's unread-parameter check fires
+                raise CosmoSevereError(
+                    "Class did not read input parameter(s): ic")
+        if "t" in out.modes and not (out.tCl or out.pCl):
+            raise CosmoSevereError(
+                "inconsistent input: you asked for tensors, so you should "
+                "have at least one non-zero tensor source type (temperature "
+                "or polarization). Please adjust your input.")
+        if "tensor method" in p and "t" not in out.modes:
+            # read only under has_tensors (input_module.cpp:2911) -> the
+            # unread-parameter check in classy reset() fires
+            raise CosmoSevereError(
+                "Class did not read input parameter(s): tensor method")
         if "tensor method" in p:
             # substring matching like the reference (input_module.cpp:2915-2920)
             tm = str(p.pop("tensor method")).strip().lower()
@@ -572,12 +621,17 @@ class Class:
             # tensor tilt/running: inflationary self-consistency unless given
             # (input_module.cpp:2126-2144: n_t = -r/8 (2 - r/8 - n_s),
             # alpha_t = r/8 (r/8 + n_s - 1))
-            r_val = kw.get("r", 0.0)
-            n_s_val = kw.get("n_s", 0.9660499)
+            r_val = kw.get("r", 1.0)
+            n_s_val = kw.get("n_s", 0.9619)
             if "n_t" not in kw:
                 kw["n_t"] = -r_val / 8.0 * (2.0 - r_val / 8.0 - n_s_val)
             if "alpha_t" not in kw:
                 kw["alpha_t"] = r_val / 8.0 * (r_val / 8.0 + n_s_val - 1.0)
+        if "ic" in p and not (out.has_cls or out.has_pk or out.has_nc
+                              or out.dTk or out.vTk):
+            # 'ic' is read under has_perturbations only; with an empty
+            # 'output' the reference's unread-parameter check fires
+            raise CosmoSevereError("Class did not read input parameter(s): ic")
         ics = tuple(x.strip() for x in str(p.pop("ic", "ad")).replace(",", " ").split())
         for icn in ics:
             if icn not in ("ad", "cdi", "bi", "nid", "niv"):
@@ -738,8 +792,8 @@ class Class:
             S8 = float(p.pop("S8"))
             if S8 < 0.0:
                 raise CosmoSevereError("S8 should be non-negative")
-            Om_bc = (kw.get("omega_b", 0.02238280)
-                     + kw.get("omega_cdm", 0.1201075)) / (h * h)
+            Om_bc = (kw.get("omega_b", 0.022032)
+                     + kw.get("omega_cdm", 0.12038)) / (h * h)
             sigma8_target = S8 / np.sqrt(Om_bc / 0.3)
             kw.setdefault("A_s", 2.1e-9)
 
@@ -785,8 +839,8 @@ class Class:
         # at all, substitute a negligible floor so the gauge stays defined
         # (input_module.cpp:872, Omega0_cdm_min_synchronous). In idm_dr-only
         # runs the floor is moved over from the interacting component (:912).
-        if gauge == "synchronous" and kw.get("omega_cdm", 0.1201075) == 0.0:
-            h_ = kw.get("h", 0.67810)
+        if gauge == "synchronous" and kw.get("omega_cdm", 0.12038) == 0.0:
+            h_ = kw.get("h", 0.67556)
             kw["omega_cdm"] = pr.Omega0_cdm_min_synchronous * h_ * h_
             if kw.get("Omega_idm_dr", 0.0) > 0.0:
                 kw["Omega_idm_dr"] -= pr.Omega0_cdm_min_synchronous
@@ -930,6 +984,12 @@ class Class:
             lv = ["spectra" if x == "lensing" else x for x in lv]
         if not self._cosmo.out.has_cls:
             lv = ["nonlinear" if x in ("lensing", "spectra", "transfer") else x for x in lv]
+        if not (self._cosmo.out.has_cls or self._cosmo.out.has_pk
+                or self._cosmo.out.has_nc):
+            # empty 'output': like the reference, the perturbation and later
+            # modules are no-ops (perturbations_module.cpp 'no perturbations
+            # requested' early return)
+            lv = ["thermodynamics"]
         self._cosmo.compute(lv)
         return
 
@@ -948,6 +1008,10 @@ class Class:
         """Unlensed C_l dict (classy.pyx raw_cl, keys per cl_output_index_map
         — CMB types plus "dens[i]-dens[j]" / "lens[i]-lens[j]" /
         "dens[i]-lens[j]" when nCl/sCl are computed)."""
+        if not (self.cosmo.out.has_cls or self.cosmo.out.has_nc):
+            # reference general_cl (classy.pyx:313): asking for C_l's the
+            # run never computed is an error, not an empty dict
+            raise CosmoSevereError("No Cls computed")
         if lmax < 0:
             lmax = self.cosmo.out.l_scalar_max if self.cosmo.out.has_cls \
                 else self.cosmo.out.l_lss_max
@@ -1020,6 +1084,12 @@ class Class:
                 "ll": np.asarray(nc.ll)[:, m], "dl": np.asarray(nc.dl)[:, m]}
 
     def lensed_cl(self, lmax=-1):
+        if not self.cosmo.out.has_cls:
+            raise CosmoSevereError("No Cls computed")
+        if not self.cosmo.out.lensing:
+            raise CosmoSevereError(
+                "Lensing Cls not computed, add 'lensing':'yes' to your "
+                "input.")
         le = self.cosmo.lensing
         ell = np.asarray(le.ell)
         cl = np.asarray(le.cl)
@@ -1152,6 +1222,7 @@ class Class:
         """Linear P_m(k,z) in Mpc^3 (classy.pyx pk_lin)."""
         from .models.nonlinear import pk_linear_at_z
 
+        self._require_mpk()
         bg, _ = self._bg()
         pert = self.cosmo.perturbations
         pm = self.cosmo.primordial
@@ -1185,6 +1256,7 @@ class Class:
 
     def pk(self, k, z):
         """P_m(k,z): nonlinear if 'non linear' was requested, else linear."""
+        self._require_mpk()
         if self.cosmo.out.non_linear in ("halofit", "hmcode"):
             nl = self.cosmo.nonlinear
             return self._pk_interp(k, z, nl.k, np.exp(self._pk_nl_row(z, nl.pk_nl)))
@@ -1193,6 +1265,8 @@ class Class:
     def pk_cb_lin(self, k, z):
         from .models.nonlinear import pk_linear_at_z
 
+        self._require_mpk()
+        self._require_pk_cb()
         bg, _ = self._bg()
         pert = self.cosmo.perturbations
         pk = np.asarray(pk_linear_at_z(pert, bg, self.cosmo.primordial, float(z), "delta_cb"))
@@ -1233,6 +1307,10 @@ class Class:
     def sigma(self, R, z):
         from .models.nonlinear import pk_linear_at_z, sigma_R
 
+        if not self.cosmo.out.has_pk:
+            raise CosmoSevereError(
+                "Power spectrum not computed. In order to get sigma(R, z) "
+                "you must add mPk to the list of outputs.")
         bg, _ = self._bg()
         pert = self.cosmo.perturbations
         pk = pk_linear_at_z(pert, bg, self.cosmo.primordial, float(z))
@@ -1259,6 +1337,10 @@ class Class:
         nonlinear_pk_tilt_at_k_and_z differentiates the spline of ln P)."""
         from .models.nonlinear import pk_linear_at_z
 
+        if not self.cosmo.out.has_pk:
+            raise CosmoSevereError(
+                "Power spectrum not computed. In order to get pk_tilt(k, z) "
+                "you must add mPk to the list of outputs.")
         bg, _ = self._bg()
         pert = self.cosmo.perturbations
         lnk_tab = np.log(np.asarray(pert.k_np if pert.k_np is not None
@@ -1271,6 +1353,245 @@ class Class:
             pk_linear_at_z(pert, bg, self.cosmo.primordial, float(z))))
         tilt = np.gradient(lnp, lnk_tab)
         return float(np.interp(np.log(k), lnk_tab, tilt))
+
+    # --- classy.pyx method tail (round-5 parity; classy.pyx:152-1776) -------
+
+    @property
+    def pars(self):
+        """The raw input parameter dict (classy.pyx pars property :152)."""
+        return self._pars
+
+    @property
+    def state(self):
+        """Always True once constructed (classy.pyx state property :155)."""
+        return True
+
+    @property
+    def nonlinear_method(self):
+        """0 when linear-only, nonzero otherwise (classy.pyx :161; the
+        reference returns the nl_none/nl_halofit/nl_HMcode enum value)."""
+        return {"": 0, "halofit": 1, "hmcode": 2}[self.cosmo.out.non_linear]
+
+    def reset(self):
+        """Rebuild the pipeline from the current parameter dict
+        (classy.pyx reset :173 — reconstructs Cosmology from the file
+        content; unread/unknown parameters raise there and in _build here)."""
+        self._cosmo = self._build()
+        self.parameters_changed = False
+        return self
+
+    # get_input_* family (classy.pyx:275-302): the reference returns the raw
+    # input structs; the analogs here are the typed parameter objects the
+    # pipeline actually consumes.
+    def get_input_precision(self):
+        return self.cosmo.pr
+
+    def get_input_background(self):
+        return self.cosmo.params
+
+    def get_input_thermodynamics(self):
+        return self.cosmo.params
+
+    def get_input_perturbations(self):
+        return self.cosmo.out
+
+    def get_input_transfers(self):
+        return self.cosmo.out
+
+    def get_input_primordial(self):
+        return self.cosmo.params
+
+    def get_input_spectra(self):
+        return self.cosmo.out
+
+    def get_input_nonlinear(self):
+        return self.cosmo.out
+
+    def get_input_lensing(self):
+        return self.cosmo.out
+
+    def get_input_output(self):
+        return self.cosmo.out
+
+    def raw_cl_no_copy(self, lmax=-1):
+        """classy.pyx raw_cl_no_copy :343 (zero-copy variant there; the
+        arrays returned here are freshly materialized from device anyway)."""
+        return self.raw_cl(lmax)
+
+    def lensed_cl_computed(self):
+        """All lensed C_l's over the full computed l range
+        (classy.pyx lensed_cl_computed :380)."""
+        return self.lensed_cl(-1)
+
+    def z_of_tau(self, tau):
+        """Redshift at conformal time tau [Mpc] (classy.pyx z_of_tau :978)."""
+        bg, _ = self._bg()
+        loga = np.interp(np.asarray(tau, dtype=float),
+                         np.asarray(bg.tau_of_loga), np.asarray(bg.loga))
+        return 1.0 / np.exp(loga) - 1.0
+
+    def Om_m(self, z):
+        """Matter density fraction Omega_m(z) — the background-table column
+        index_bg_Omega_m (classy.pyx Om_m :1029)."""
+        bg, bidx = self._bg()
+        loga = -np.log1p(np.asarray(z, dtype=float))
+        return np.interp(loga, np.asarray(bg.loga),
+                         np.asarray(bg.table[:, bidx["Omega_m"]]))
+
+    def ionization_fraction(self, z):
+        """x_e(z) from the thermodynamics table (classy.pyx :1047)."""
+        th = self.cosmo.thermodynamics
+        return np.interp(np.asarray(z, dtype=float),
+                         np.asarray(th.z_grid), np.asarray(th.xe_of_z))
+
+    def baryon_temperature(self, z):
+        """Tb(z) [K] from the thermodynamics table (classy.pyx :1063)."""
+        th = self.cosmo.thermodynamics
+        return np.interp(np.asarray(z, dtype=float),
+                         np.asarray(th.z_grid), np.asarray(th.Tb_of_z))
+
+    def Omega0_m(self):
+        """classy.pyx Omega0_m :1087 (kept alongside Omega_m for
+        compatibility, as the reference does)."""
+        return self.Omega_m()
+
+    def Omega0_cdm(self):
+        """classy.pyx Omega0_cdm :1775."""
+        bg, _ = self._bg()
+        return float(bg.Omega0_cdm)
+
+    def Omega0_k(self):
+        """Curvature contribution (classy.pyx Omega0_k :1771)."""
+        return float(self.cosmo.params.Omega_k)
+
+    # --- vectorized P(k) family (classy.pyx:454-643, 1743-1770) -------------
+
+    def _require_mpk(self):
+        if not self.cosmo.out.has_pk:
+            raise CosmoSevereError(
+                "Power spectrum not computed. You must add mPk to the list "
+                "of outputs.")
+
+    def _require_pk_cb(self):
+        if self.cosmo.params.N_ncdm == 0:
+            raise CosmoSevereError(
+                "P_cb not computed (probably because there are no massive "
+                "neutrinos) so you cannot ask for it")
+
+    def pk_general(self, k, z, index_pk, nonlinear):
+        """Scalar P(k,z) dispatch (classy.pyx pk_general :454): index_pk is
+        'm' or 'cb', nonlinear a truthy flag."""
+        self._require_mpk()
+        if index_pk == "cb":
+            self._require_pk_cb()
+            return self.pk_cb(k, z) if nonlinear else self.pk_cb_lin(k, z)
+        return self.pk(k, z) if nonlinear else self.pk_lin(k, z)
+
+    def _pk_rows(self, zs, species="delta_m", nonlinear=False):
+        """(lnk_table, [ln P rows per z]) for the requested species/flavor."""
+        from .models.nonlinear import pk_linear_at_z
+
+        if nonlinear and self.cosmo.out.non_linear in ("halofit", "hmcode"):
+            nl = self.cosmo.nonlinear
+            table = nl.pk_nl if species == "delta_m" else nl.pk_cb_nl
+            lnk = np.log(np.asarray(nl.k))
+            return lnk, [self._pk_nl_row(float(zv), table) for zv in zs]
+        bg, _ = self._bg()
+        pert = self.cosmo.perturbations
+        pm = self.cosmo.primordial
+        lnk = np.log(np.asarray(pert.k))
+        return lnk, [np.log(np.asarray(pk_linear_at_z(pert, bg, pm, float(zv),
+                                                      species)))
+                     for zv in zs]
+
+    def get_pk_general(self, k, z, k_size, z_size, mu_size, index_pk,
+                       nonlinear):
+        """P(k[ik,iz,imu], z[iz]) on a 3D k grid (classy.pyx get_pk_general
+        :562 — the MontePython 'fast' accessor). One log-log interpolation
+        per z row instead of k_size*z_size*mu_size scalar calls."""
+        self._require_mpk()
+        if index_pk == "cb":
+            self._require_pk_cb()
+        k = np.asarray(k, dtype=np.float64).reshape(k_size, z_size, mu_size)
+        zs = np.atleast_1d(np.asarray(z, dtype=np.float64))[:z_size]
+        species = "delta_cb" if index_pk == "cb" else "delta_m"
+        lnk_tab, rows = self._pk_rows(zs, species, nonlinear)
+        out = np.empty((k_size, z_size, mu_size))
+        for iz in range(z_size):
+            out[:, iz, :] = np.exp(np.interp(
+                np.log(k[:, iz, :]).ravel(), lnk_tab, rows[iz])
+            ).reshape(k_size, mu_size)
+        return out
+
+    def get_pk(self, k, z, k_size, z_size, mu_size):
+        """classy.pyx get_pk :584 (nonlinear when 'non linear' is set)."""
+        nl_on = self.cosmo.out.non_linear in ("halofit", "hmcode")
+        return self.get_pk_general(k, z, k_size, z_size, mu_size, "m", nl_on)
+
+    def get_pk_cb(self, k, z, k_size, z_size, mu_size):
+        """classy.pyx get_pk_cb :599."""
+        nl_on = self.cosmo.out.non_linear in ("halofit", "hmcode")
+        return self.get_pk_general(k, z, k_size, z_size, mu_size, "cb", nl_on)
+
+    def get_pk_lin(self, k, z, k_size, z_size, mu_size):
+        """classy.pyx get_pk_lin :620."""
+        return self.get_pk_general(k, z, k_size, z_size, mu_size, "m", False)
+
+    def get_pk_cb_lin(self, k, z, k_size, z_size, mu_size):
+        """classy.pyx get_pk_cb_lin :628."""
+        return self.get_pk_general(k, z, k_size, z_size, mu_size, "cb", False)
+
+    def get_pk_array_general(self, k, z, k_size, z_size, nonlinear):
+        """(P_m, P_cb) flattened over the (z, k) product (classy.pyx
+        get_pk_array_general :1743, nonlinear_pks_at_kvec_and_zvec)."""
+        self._require_mpk()
+        k = np.asarray(k, dtype=np.float64)[:k_size]
+        zs = np.atleast_1d(np.asarray(z, dtype=np.float64))[:z_size]
+        has_cb = self.cosmo.params.N_ncdm > 0
+        pk = np.empty(k_size * z_size)
+        pk_cb = np.empty(k_size * z_size)
+        lnk_q = np.log(k)
+        lnk_m, rows_m = self._pk_rows(zs, "delta_m", nonlinear)
+        rows_cb = None
+        if has_cb:
+            lnk_cb, rows_cb = self._pk_rows(zs, "delta_cb", nonlinear)
+        for iz in range(z_size):
+            pk[iz * k_size:(iz + 1) * k_size] = np.exp(
+                np.interp(lnk_q, lnk_m, rows_m[iz]))
+            if has_cb:
+                pk_cb[iz * k_size:(iz + 1) * k_size] = np.exp(
+                    np.interp(lnk_q, lnk_cb, rows_cb[iz]))
+            else:
+                pk_cb[iz * k_size:(iz + 1) * k_size] = \
+                    pk[iz * k_size:(iz + 1) * k_size]
+        return pk, pk_cb
+
+    def get_pk_cb_array(self, k, z, k_size, z_size, nonlinear=False):
+        """classy.pyx get_pk_cb_array :1768."""
+        self._require_pk_cb()
+        return self.get_pk_array_general(k, z, k_size, z_size, nonlinear)[1]
+
+    def sigma_cb(self, R, z):
+        """sigma_cb(R, z) of the baryon+CDM spectrum (classy.pyx :675)."""
+        from .models.nonlinear import pk_linear_at_z, sigma_R
+
+        self._require_mpk()
+        if self.cosmo.out.P_k_max < self.cosmo.params.h:
+            raise CosmoSevereError(
+                "In order to get sigma(R,z) you must set 'P_k_max_h/Mpc' to "
+                "1 or bigger, in order to have k_max > 1 h/Mpc.")
+        self._require_pk_cb()
+        bg, _ = self._bg()
+        pert = self.cosmo.perturbations
+        pk = pk_linear_at_z(pert, bg, self.cosmo.primordial, float(z),
+                            "delta_cb")
+        return float(sigma_R(pert.k, pk, R)[0])
+
+    def nonlinear_scale_cb(self, z, nz):
+        """k_nl(z) of the cb spectrum (classy.pyx nonlinear_scale_cb :1678)."""
+        self._require_pk_cb()
+        nl = self.cosmo.nonlinear
+        return np.asarray(nl.k_nl_cb)[:nz]
 
     @property
     def Omega_nu(self):

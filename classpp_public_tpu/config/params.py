@@ -49,11 +49,15 @@ def _pytree_dataclass(cls):
 class CosmoParams:
     """User-level cosmological parameters (reference explanatory.ini semantics)."""
 
-    # background
-    h: float = 0.67810
-    T_cmb: float = 2.7255            # K
-    omega_b: float = 0.02238280      # Omega_b h^2
-    omega_cdm: float = 0.1201075     # Omega_cdm h^2
+    # background. Defaults replicate the reference's built-in
+    # `input_default_params` (input_module.cpp:3150-3400): the Planck 2013+WP
+    # best fit with massless neutrinos and h raised to 0.67556 to keep
+    # 100*theta_s = 1.042143 (comment at input_module.cpp:3168-3182) — NOT the
+    # Planck-2018 values, so an unpinned run reproduces the reference binary.
+    h: float = 0.67556               # input_module.cpp:3183
+    T_cmb: float = 2.7255            # K (:3185)
+    omega_b: float = 0.022032        # Omega_b h^2 (:3192)
+    omega_cdm: float = 0.12038       # Omega_cdm h^2 (:3193)
     N_ur: float = 3.046              # effective number of massless neutrinos
     Omega_k: float = 0.0
     # dark energy: cosmological constant by default; CLP fluid if w0 != -1 or wa != 0
@@ -116,22 +120,30 @@ class CosmoParams:
     attractor_ic_scf: bool = True
     Gamma_dcdm: float = 0.0
 
-    # primordial (analytic power law)
-    A_s: float = 2.100549e-09
-    n_s: float = 0.9660499
+    # primordial (analytic power law; defaults input_module.cpp:3328-3331)
+    A_s: float = 2.215e-09
+    n_s: float = 0.9619
     alpha_s: float = 0.0
     k_pivot: float = 0.05            # 1/Mpc
-    r: float = 0.0                   # tensor-to-scalar ratio
-    n_t: float = 0.0                 # tensor tilt ('scc' consistency handled in primordial)
-    alpha_t: float = 0.0
+    # tensor defaults (input_module.cpp:3375-3378): r = 1 with the slow-roll
+    # self-consistency tilt n_t = -r/8 (2 - r/8 - n_s) and running
+    # alpha_t = r/8 (r/8 + n_s - 1) evaluated at the default (r, n_s);
+    # classy.set() re-derives them for user-supplied r/n_s ('scc')
+    r: float = 1.0                   # tensor-to-scalar ratio
+    n_t: float = -0.1141375          # = -1/8 (2 - 1/8 - 0.9619)
+    alpha_t: float = 0.0108625       # = 1/8 (1/8 + 0.9619 - 1)
     # neutrino treatment in the tensor hierarchy ('tensor method',
     # input_module.cpp:2911-2920): photons | massless | exact
     tensor_method: str = "massless"
 
     # thermodynamics
     YHe: Optional[float] = None      # None => BBN table interpolation
-    tau_reio: float = 0.05430842
-    z_reio: Optional[float] = None   # alternative to tau_reio
+    # reference default reionization: reio_z mode at z_reio = 11.357
+    # (input_module.cpp:3228-3230 sets reio_z_or_tau=reio_z, z_reio=11.357,
+    # tau_reio=0.0925). z_reio is not None here, so it wins; classy.set()
+    # nulls it when the user pins tau_reio instead.
+    tau_reio: float = 0.0925
+    z_reio: Optional[float] = 11.357  # alternative to tau_reio
     reio_parametrization: str = "reio_camb"
     reionization_exponent: float = 1.5
     reionization_width: float = 0.5
@@ -155,7 +167,7 @@ class CosmoParams:
     a_idm_dr: float = 0.0            # scattering amplitude [1/Mpc]
     b_idr: float = 0.0               # idr self-interaction amplitude
     nindex_idm_dr: float = 4.0       # ETHOS power-law index
-    m_idm: float = 1.0e9             # idm mass [eV]
+    m_idm: float = 1.0e11            # idm mass [eV] (input_module.cpp:3260)
     idr_nature: str = "free_streaming"   # or "fluid"
     # ETHOS per-l angular coefficients for the l>=2 idr collision damping
     # (input_module.cpp:988-1031): entries for l = 2..l_max_idr; shorter

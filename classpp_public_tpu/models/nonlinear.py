@@ -46,6 +46,7 @@ class PkResult(NamedTuple):
     pk_cb_lin: jnp.ndarray   # (nz, nk) cdm+baryon
     pk_cb_nl: jnp.ndarray
     k_nl: jnp.ndarray        # (nz,) nonlinearity scale
+    k_nl_cb: jnp.ndarray     # (nz,) cb nonlinearity scale (classy.pyx :1678)
     sigma8: jnp.ndarray      # scalar sigma8(z=0)
 
 
@@ -419,12 +420,13 @@ def compute_hmcode(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
                              params.h, eta_0, c_min, de_corr, growtable, ztable, pr)
 
     pk_nl, k_nl = jax.vmap(one_m)(pk_lin, pk_cb, D_z, z_arr, Om_z)
-    pk_cb_nl, _ = jax.vmap(one_cb)(pk_cb, D_z, z_arr, Om_z)
+    pk_cb_nl, k_nl_cb = jax.vmap(one_cb)(pk_cb, D_z, z_arr, Om_z)
 
     pk0 = pk_linear_at_z(pert, bg, pm, 0.0, "delta_m")
     sigma8 = sigma_R(k, pk0, 8.0 / params.h)[0]
     return PkResult(k=k, z=z_arr, pk_lin=pk_lin, pk_nl=pk_nl,
-                    pk_cb_lin=pk_cb, pk_cb_nl=pk_cb_nl, k_nl=k_nl, sigma8=sigma8)
+                    pk_cb_lin=pk_cb, pk_cb_nl=pk_cb_nl, k_nl=k_nl,
+                    k_nl_cb=k_nl_cb, sigma8=sigma8)
 
 
 @lru_cache(maxsize=8)
@@ -470,7 +472,7 @@ def _halofit_core(min_k_nl: float, iOm: int, iOr: int, pk_eq: bool = False):
         pk_nl, k_nl = jax.vmap(lambda p, om, ov, w1: one_z(p, p, om, ov, w1,
                                                            fnu))(
             pk_lin, Om, Ov, w0_z)
-        pk_cb_nl, _ = jax.vmap(
+        pk_cb_nl, k_nl_cb = jax.vmap(
             lambda p, pc, om, ov, w1: one_z(p, pc, om, ov, w1,
                                             jnp.asarray(0.0)))(
             pk_lin, pk_cb, Om, Ov, w0_z)
@@ -482,7 +484,7 @@ def _halofit_core(min_k_nl: float, iOm: int, iOr: int, pk_eq: bool = False):
         delta0 = spline_eval(taus, S_dm.T, d2s, tau_q0)
         pk0 = anorm_k * delta0**2
         sigma8 = sigma_R(k, pk0, 8.0 / h)[0]
-        return pk_lin, pk_cb, pk_nl, pk_cb_nl, k_nl, sigma8
+        return pk_lin, pk_cb, pk_nl, pk_cb_nl, k_nl, k_nl_cb, sigma8
 
     from ..ops.export_cache import export_cached
     return export_cached(jax.jit(core), tag="halofit",
@@ -617,7 +619,8 @@ def compute_nonlinear(pert, bg, bidx, pm: PrimordialResult, pr: PrecisionParams,
         (S_dm, S_cb, jnp.asarray(pert.tau), jnp.asarray(k), k_hf, pk_prim,
          bg.loga, bg.tau_of_loga, bg.lntau_spline, z_arr, w0_z, fnu, Omega0_m,
          jnp.asarray(params.h), om_eff_z), dev)
-    pk_lin, pk_cb, pk_nl, pk_cb_nl, k_nl, sigma8 = core(*args)
+    pk_lin, pk_cb, pk_nl, pk_cb_nl, k_nl, k_nl_cb, sigma8 = core(*args)
 
     return PkResult(k=k, z=z_arr, pk_lin=pk_lin, pk_nl=pk_nl,
-                    pk_cb_lin=pk_cb, pk_cb_nl=pk_cb_nl, k_nl=k_nl, sigma8=sigma8)
+                    pk_cb_lin=pk_cb, pk_cb_nl=pk_cb_nl, k_nl=k_nl,
+                    k_nl_cb=k_nl_cb, sigma8=sigma8)

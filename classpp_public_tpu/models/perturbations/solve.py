@@ -598,9 +598,19 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
         # absolute floor stops the controller resolving those oscillations
         # (measured: 8117 -> 1823 steps on the k = 11.3 lane with delta_m
         # moving by 1.3e-4, far inside the 1e-2 P(k) contract).
+        # Newtonian gauge keeps the tail TIGHT: psi is algebraic in the
+        # photon/ur shear (perturb_einstein, newtonian branch), so loosened
+        # radiation rows leak straight into delta_cdm/delta_b and P(k) —
+        # measured 4.2% at k=3.6 vs the g9 golden with the synchronous
+        # tuning, 0.46% with the tail tight (round-5 fix). Synchronous
+        # integrates matter against h' (a time integral of the loosened
+        # noise), which self-averages inside the 1e-2 contract.
+        newt = gauge == "newtonian"
+        tail_factor = 1.0 if newt else pr.tol_perturb_tail_factor
+        tail_atol = 1e-11 if newt else pr.atol_perturb_tail_radiation
         atol_rad = np.full(nstate, 3e-8)
         for s0, s1 in idx.radiation_slices:
-            atol_rad[s0:s1] = pr.atol_perturb_tail_radiation
+            atol_rad[s0:s1] = tail_atol
         # rtol loosening zones for the tail: rows that feed the late-time
         # phi+psi (metric, cdm, baryons, fld/scf) KEEP the tight rtol up to
         # k_pp_max when the lensing potential is requested — C_l^phiphi at
@@ -613,7 +623,7 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
         k_pp_max = (l_scalar_max + 0.5) / 900.0 if has_lcmb else 0.0
         rtol_tail = np.full(nstate, rtol)
         for s0, s1 in idx.radiation_slices:
-            rtol_tail[s0:s1] = rtol * pr.tol_perturb_tail_factor
+            rtol_tail[s0:s1] = rtol * tail_factor
         for i0 in starts:
             i1 = min(i0 + cs, nk if i0 >= n_cmb_lanes else max(n_cmb_lanes, i0 + 1))
             i1 = min(i1, nk)
@@ -638,7 +648,7 @@ def compute_perturbations(params: CosmoParams, pr: PrecisionParams,
                 lane_k = sl[0]
                 rtol_c = np.where((lane_k <= k_pp_max)[:, None],
                                   rtol_tail[None, :],
-                                  rtol * pr.tol_perturb_tail_factor)
+                                  rtol * tail_factor)
                 atol_c = np.broadcast_to(atol_rad, (cs, nstate)).copy()
             else:
                 rtol_c = np.full((cs, nstate), rtol)

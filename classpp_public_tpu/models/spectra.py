@@ -15,12 +15,60 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.quadrature import trapz_weights
 from ..ops.splines import spline_d2, spline_eval
+
+
 from .primordial import PrimordialResult
 from .transfer import TT_TYPES, TransferResult
 
 CT_TYPES = ["tt", "ee", "te", "bb", "pp", "tp", "ep"]
+
+
+def cl_quad_weights(x, sgnK: int = 0, q0_over_k0: float = 1.0,
+                    sqrtK: float = 0.0, q_flat_idx: int = 0):
+    """Quadrature weights of the reference C_l integrator
+    (array_integrate_all_trapzd_or_spline, tools/arrays.c:1382, called from
+    spectra_module.cpp:1313): cubic-spline integral with _SPLINE_EST_DERIV_
+    boundary conditions over the full q range. In the closed case the low-q
+    region (below the flat-approximation index, where nu is integer and dq
+    jumps) is integrated by trapezoid, and the discrete sum's first-mode
+    weight is restored exactly (spectra_module.cpp:1326-1337:
+    += I[0] * q0/k0 * sqrt(K)/2).
+
+    The integral is a LINEAR functional of the integrand, so the whole
+    integrator collapses to a weight vector w with sum(w * y) == integral:
+    computed as jax.grad of the scalar integral — ONE reverse pass through
+    the tridiagonal spline solve instead of a sequential solve per integrand
+    column. The quadrature over all (l x spectra-pair) columns then becomes
+    a single MXU-friendly contraction, and under a q-sharded mesh a
+    local-partial-sum + psum (parallel/mesh.sharded_cl_quadrature).
+
+    The +h^3/24 correction sign follows the reference (tools/arrays.c:1419)
+    — parity with the binary that produced the goldens takes precedence over
+    the textbook exact-spline segment (which carries -h^3/24).
+    """
+
+    def total(y):
+        y2 = spline_d2(x, y, bc="est_deriv")
+        h = jnp.diff(x)
+        seg_tr = h * (y[:-1] + y[1:]) / 2.0
+        seg_sp = seg_tr + h**3 * (y2[:-1] + y2[1:]) / 24.0
+        if sgnK == 1:
+            i = jnp.arange(seg_sp.shape[0])
+            seg = jnp.where(i < q_flat_idx, seg_tr, seg_sp)
+            return seg.sum() + y[0] * (q0_over_k0 * sqrtK / 2.0)
+        return seg_sp.sum()
+
+    return jax.grad(total)(jnp.zeros_like(x))
+
+
+def cl_spline_quad(x, I, **quad_kw):
+    """Spline-integrate integrand columns I (nq, ncols) over x (nq,) with
+    the reference's integrator semantics — see cl_quad_weights. Trapz at low
+    l in curved space is NOT equivalent: the integrand peak sits on a few
+    grid points and the h^3/24 spline correction moves C_2 by percents (the
+    round-5 g29 open-universe fix)."""
+    return cl_quad_weights(x, **quad_kw) @ I
 
 
 class SpectraResult(NamedTuple):
@@ -45,13 +93,26 @@ class SpectraResult(NamedTuple):
 
 
 def compute_spectra(tr: TransferResult, pm: PrimordialResult, l_max: int,
-                    tr_tensor: TransferResult = None, tr_iso: dict = None) -> SpectraResult:
+                    tr_tensor: TransferResult = None, tr_iso: dict = None,
+                    sgnK: int = 0, K: float = 0.0,
+                    q_flat_nu: float = 0.0) -> SpectraResult:
+    import math
+
     # curved case: quadrature over k(q) with the primordial spectrum at k
     # (spectra_compute_cl :958: cl_integrand column 0 is k, P at k)
     q = tr.k if tr.k is not None else tr.q
-    w = trapz_weights(q)
     pk = pm.scalar_pk(q)
-    meas = 4.0 * jnp.pi / q * pk * w        # (nq,)
+    meas = 4.0 * jnp.pi / q * pk            # (nq,) reference factor 4pi/k
+
+    # closed case: index below which nu is integer and the q steps jump
+    # (trapz there; spectra_module.cpp:1309-1311)
+    quad_kw = {"sgnK": sgnK}
+    if sgnK == 1:
+        sqrtK = math.sqrt(K)
+        q_np = np.asarray(tr.q)
+        quad_kw.update(
+            q0_over_k0=float(q_np[0]) / float(np.asarray(q)[0]), sqrtK=sqrtK,
+            q_flat_idx=int(np.searchsorted(q_np, q_flat_nu * sqrtK)))
 
     ix = {n: i for i, n in enumerate(TT_TYPES)}
     d = tr.delta                             # (nl, ntt, nq)
@@ -59,17 +120,23 @@ def compute_spectra(tr: TransferResult, pm: PrimordialResult, l_max: int,
     e = d[:, ix["e"]]
     p = d[:, ix["lcmb"]]
 
-    def quad(a, b):
-        return jnp.sum(meas[None, :] * a * b, axis=-1)
+    # the spline-integrator weight vector, computed ONCE per q grid (one
+    # tridiagonal pass); each C_l block is then a single contraction
+    wq = cl_quad_weights(q, **quad_kw)
 
+    def quad_block(rows_pairs, meas_row):
+        """Spline-integrate a list of (a, b) transfer products sharing one
+        measure: returns (n_pairs, nl) totals."""
+        prods = jnp.stack([a * b for a, b in rows_pairs], axis=0)  # (np, nl, nq)
+        return jnp.einsum("pln,n->pl", prods, wq * meas_row)
+
+    tt, ee, te, pp, tp, ep = quad_block(
+        [(t_total, t_total), (e, e), (t_total, e),
+         (p, p), (t_total, p), (e, p)], meas)
     cl_list = jnp.stack([
-        quad(t_total, t_total),
-        quad(e, e),
-        quad(t_total, e),
+        tt, ee, te,
         jnp.zeros((d.shape[0],)),           # BB: tensors/lensing only
-        quad(p, p),
-        quad(t_total, p),
-        quad(e, p),
+        pp, tp, ep,
     ], axis=1)                               # (nl, nct)
 
     if tr_iso:
@@ -85,18 +152,16 @@ def compute_spectra(tr: TransferResult, pm: PrimordialResult, l_max: int,
         def add_pair(pk_pair, r1, r2, factor):
             t1, e1, p1 = rows[r1]
             t2, e2, p2 = rows[r2]
-            meas_i = factor * 4.0 * jnp.pi / q * pk_pair * w
-
-            def quad_i(a, b, a2, b2):
-                return jnp.sum(meas_i[None, :]
-                               * 0.5 * (a * b2 + a2 * b), axis=-1)
-
+            meas_i = factor * 4.0 * jnp.pi / q * pk_pair
+            sym = [(0.5 * (a * b2 + a2 * b), jnp.ones_like(a))
+                   for (a, b, a2, b2) in
+                   [(t1, t1, t2, t2), (e1, e1, e2, e2), (t1, e1, t2, e2),
+                    (p1, p1, p2, p2), (t1, p1, t2, p2), (e1, p1, e2, p2)]]
+            tt_i, ee_i, te_i, pp_i, tp_i, ep_i = quad_block(sym, meas_i)
             return jnp.stack([
-                quad_i(t1, t1, t2, t2), quad_i(e1, e1, e2, e2),
-                quad_i(t1, e1, t2, e2),
+                tt_i, ee_i, te_i,
                 jnp.zeros((t1.shape[0],)),
-                quad_i(p1, p1, p2, p2), quad_i(t1, p1, t2, p2),
-                quad_i(e1, p1, e2, p2),
+                pp_i, tp_i, ep_i,
             ], axis=1)
 
         cl_pairs = {("ad", "ad"): cl_list}
@@ -122,20 +187,25 @@ def compute_spectra(tr: TransferResult, pm: PrimordialResult, l_max: int,
         # tensor contributions (spectra_compute_cl tensor branch: temperature
         # uses Delta_t2 only; BB is purely tensor before lensing)
         qt = tr_tensor.k if tr_tensor.k is not None else tr_tensor.q
-        wt = trapz_weights(qt)
         pk_h = pm.tensor_pk(qt)
-        meas_t = 4.0 * jnp.pi / qt * pk_h * wt
+        meas_t = 4.0 * jnp.pi / qt * pk_h
+        quad_kw_t = {"sgnK": sgnK}
+        if sgnK == 1:
+            qt_np = np.asarray(tr_tensor.q)
+            quad_kw_t.update(
+                q0_over_k0=float(qt_np[0]) / float(np.asarray(qt)[0]),
+                sqrtK=math.sqrt(K),
+                q_flat_idx=int(np.searchsorted(qt_np, q_flat_nu * math.sqrt(K))))
         dt = tr_tensor.delta                  # (nl_t, 3, nq_t): t2, e, b
         t2, e_t, b_t = dt[:, 0], dt[:, 1], dt[:, 2]
-
-        def quad_t(a, b):
-            return jnp.sum(meas_t[None, :] * a * b, axis=-1)
-
+        prods_t = jnp.stack([t2 * t2, e_t * e_t, t2 * e_t, b_t * b_t], axis=0)
+        wq_t = cl_quad_weights(qt, **quad_kw_t)
+        tot_t = jnp.einsum("pln,n->pl", prods_t, wq_t * meas_t)
         cl_t_list = jnp.stack([
-            quad_t(t2, t2),
-            quad_t(e_t, e_t),
-            quad_t(t2, e_t),
-            quad_t(b_t, b_t),
+            tot_t[0],
+            tot_t[1],
+            tot_t[2],
+            tot_t[3],
             jnp.zeros((dt.shape[0],)),
             jnp.zeros((dt.shape[0],)),
             jnp.zeros((dt.shape[0],)),

@@ -245,8 +245,43 @@ def compute_transfer(pert, th, pr: PrecisionParams, l_max: int,
         else jnp.ones_like(pert.tau, bool)
     core = _transfer_core(lmax_scan, len(ls), len(TT_TYPES), len(q), W.shape[-1],
                           pr.l_switch_limber, neglect_dk, l_late, sgnK)
-    acc = core(W, Sq, taus, pert.tau0, qj, jnp.asarray(ls), jnp.asarray(emit_idx_np),
-               jnp.asarray(ra_rec), late_mask, jnp.asarray(K), jnp.asarray(k_of_q))
+    # multi-device: shard the q axis over the mesh — the LOS scan is
+    # elementwise over q, so GSPMD splits the one compiled program across
+    # chips with no collectives (SURVEY 2.5; the reference threads this loop
+    # per q, transfer_module.cpp:287-319). The result is gathered to one
+    # device with an explicit COPY before the eager downstream stages, for
+    # the same rendezvous-timeout reason as the solve (solve.py run_ic).
+    kq_j = jnp.asarray(k_of_q)
+    from ..parallel.mesh import make_mesh, n_compute_devices, pad_to_multiple
+    tr_mesh = make_mesh() if n_compute_devices() > 1 else None
+    nq_orig = len(q)
+    if tr_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        nd = tr_mesh.devices.size
+        # q grids are not device-count aligned: edge-pad (replicating the
+        # last q keeps the padded lanes numerically benign), drop after
+        W_p, _ = pad_to_multiple(np.asarray(W), nd, axis=1)
+        Sq_p, _ = pad_to_multiple(np.asarray(Sq), nd, axis=1)
+        qj_p, _ = pad_to_multiple(np.asarray(qj), nd)
+        kq_p, _ = pad_to_multiple(np.asarray(k_of_q), nd)
+        sh_q3 = NamedSharding(tr_mesh, P(None, "k", None))
+        sh_q1 = NamedSharding(tr_mesh, P("k"))
+        W = jax.device_put(W_p, sh_q3)
+        Sq = jax.device_put(Sq_p, sh_q3)
+        qj_run = jax.device_put(qj_p, sh_q1)
+        kq_j = jax.device_put(kq_p, sh_q1)
+        core = _transfer_core(lmax_scan, len(ls), len(TT_TYPES), W_p.shape[1],
+                              W.shape[-1], pr.l_switch_limber, neglect_dk,
+                              l_late, sgnK)
+    else:
+        qj_run = qj
+    acc = core(W, Sq, taus, pert.tau0, qj_run, jnp.asarray(ls),
+               jnp.asarray(emit_idx_np), jnp.asarray(ra_rec), late_mask,
+               jnp.asarray(K), kq_j)
+    if tr_mesh is not None:
+        dev0 = tr_mesh.devices.flat[0]
+        acc = jax.device_put(acc, dev0)[:, :, :nq_orig]
+        qj = jax.device_put(qj, dev0)
 
     # --- lensing-potential q extension (Limber-only, OFF by default).
     # Delta_l^phi(q) keeps support at q beyond the CMB block (chi = (l+1/2)/q
@@ -456,6 +491,46 @@ def _limber_parabola(taus, tau0, S_row, tau_lim, nq):
             + V3 * (xl - x1) * (xl - x2) / ((x3 - x1) * (x3 - x2)))
 
 
+def _curved_series_phi(l, x, bx, lnx_df_C, Ktilde, beta2):
+    """Small-x series of the hyperspherical Phi_l^nu and its x-derivative:
+
+        Phi_l = exp(lnx_df_C) * (1 + c1 x^2 + c2 x^4 + c3 x^6)
+
+    with lnx_df_C = l ln(beta x) - ln(2l+1)!! + ln prod sqrtK(n)/beta, and
+    c1..c3 the exact curved coefficients solving the hyperspherical ODE
+    Phi'' + 2 cotK Phi' + (beta^2 - Ktilde - l(l+1)/sinK^2) Phi = 0 order by
+    order in x (derived symbolically; flat Bessel limit is the beta^2-only
+    part). The flat j_l(beta x) series used before round 5 misses the
+    curvature terms — at Omega_k = 0.1, l=2, x~0.4 that bias is +5% on Phi_2
+    and +2.6% on the scalar C_2 (round-5 g29/g30 fix). Accuracy here:
+    <=1e-4 for bx <= 1.3 over the full relevant (l, beta) range."""
+    l2 = l * l
+    c1 = (Ktilde * (l2 + 3.0 * l + 3.0) - 3.0 * beta2) / (6.0 * (2.0 * l + 3.0))
+    c2 = (5.0 * l2 * l2 + 30.0 * l2 * l + 95.0 * l2 + 150.0 * l + 105.0
+          - Ktilde * beta2 * (30.0 * l2 + 90.0 * l + 150.0) + 45.0 * beta2 * beta2
+          + (12.0 * l2 * l + 38.0 * l2 + 30.0 * l)
+          ) / (360.0 * (4.0 * l2 + 16.0 * l + 15.0))
+    b2, b4, b6 = beta2, beta2 * beta2, beta2 * beta2 * beta2
+    l3, l4, l5, l6 = l2 * l, l2 * l2, l2 * l2 * l, l2 * l2 * l2
+    c3 = (Ktilde * (35.0 * l6 + 315.0 * l5 + 1680.0 * l4 + 5355.0 * l3
+                    + 11200.0 * l2 + 13755.0 * l + 8085.0)
+          - b2 * (315.0 * l4 + 1890.0 * l3 + 7245.0 * l2
+                  + 13230.0 * l + 13755.0)
+          + Ktilde * b4 * (945.0 * l2 + 2835.0 * l + 6615.0)
+          + Ktilde * (252.0 * l5 + 2042.0 * l4 + 7188.0 * l3 + 11980.0 * l2
+                      + 8442.0 * l + 1680.0)
+          - 945.0 * b6
+          - b2 * (756.0 * l3 + 2898.0 * l2 + 3402.0 * l + 1680.0)
+          ) / (45360.0 * (8.0 * l3 + 60.0 * l2 + 142.0 * l + 105.0))
+    x2 = x * x
+    base = jnp.exp(lnx_df_C)
+    poly = 1.0 + x2 * (c1 + x2 * (c2 + x2 * c3))
+    dpoly = x * (2.0 * c1 + x2 * (4.0 * c2 + x2 * 6.0 * c3))
+    phi = base * poly
+    dphi = base * (l / x * poly + dpoly)
+    return phi, dphi
+
+
 def _transfer_scan_curved(W, Sq, taus, tau0, qj, l_emit, emit_idx,
                           lmax_scan, n_l, n_tt, nq, l_switch_limber,
                           neglect_dk, l_late, ra_rec, late_mask, sgnK, K, kq):
@@ -516,9 +591,20 @@ def _transfer_scan_curved(W, Sq, taus, tau0, qj, l_emit, emit_idx,
         # recurrence divides by sqrtK(l) ~ 1e-7, so a bare l < beta lets one
         # exploded lane through per integer nu = l
         xf = beta * sinK
-        mask = l <= xf + 6.0 * jnp.cbrt(xf) + 2.0
+        # forbidden-region mask. Closed universe: near l -> nu each upward
+        # step amplifies the unphysical growing solution by
+        # (2l-1) cotK / sqrt(beta^2 - l^2) (>>1 when l approaches beta), so
+        # the flat-style 6 cbrt(xf) buffer lets O(100) garbage through a
+        # marginal window at the largest x (round-5 g30 fix: the buffer is
+        # capped by the distance to beta; the true Phi there is
+        # WKB-suppressed by e^-40, so zeroing it is exact at double
+        # precision)
         if sgnK > 0:
-            mask = mask & (l + 0.5 < beta)
+            buf = jnp.minimum(6.0 * jnp.cbrt(xf) + 2.0,
+                              0.5 * (beta - l) + 2.0)
+            mask = (l <= xf + buf) & (l + 0.5 < beta)
+        else:
+            mask = l <= xf + 6.0 * jnp.cbrt(xf) + 2.0
         pl = jnp.where(mask, pl, 0.0)
         # series prefactor ln prod_{n<=l} (sqrtK[n]/beta); clamp keeps the
         # log real when l >= beta in the closed case (the factor is then 0)
@@ -527,26 +613,17 @@ def _transfer_scan_curved(W, Sq, taus, tau0, qj, l_emit, emit_idx,
         ei = emit_idx[l_int]
 
         def do_emit(acc):
-            # small-argument series: Phi_l ~ C_l * j_l(beta x)
-            lnx = jnp.log(bx)
+            # small-argument CURVED series (see _curved_series_phi)
             ln2 = math.log(2.0)
             lndf = gammaln(2.0 * l + 2.0) - l * ln2 - gammaln(l + 1.0)
-            lndf1 = gammaln(2.0 * l + 4.0) - (l + 1.0) * ln2 - gammaln(l + 2.0)
-            c1 = 2.0 * l + 3.0
-            corr = 1.0 - bx2 / (2.0 * c1) * (1.0 - bx2 / (4.0 * (c1 + 2.0))
-                                             * (1.0 - bx2 / (6.0 * (c1 + 4.0))))
-            c1b = 2.0 * l + 5.0
-            corr1 = 1.0 - bx2 / (2.0 * c1b) * (1.0 - bx2 / (4.0 * (c1b + 2.0))
-                                               * (1.0 - bx2 / (6.0 * (c1b + 4.0))))
-            js = jnp.exp(l * lnx - lndf + lnC_new) * corr
-            js1 = jnp.exp((l + 1.0) * lnx - lndf1 + lnC_new) * corr1
+            js, djs = _curved_series_phi(l, x, bx, l * jnp.log(bx) - lndf
+                                         + lnC_new, Ktilde, beta2)
             use_series = bx < 1.0
             pl_e = jnp.where(use_series, js, pl)
             # dPhi/dx: recurrence sqrtK[l] Phi_{l-1} - (l+1) cotK Phi_l;
-            # series: beta * d j_l(bx)/d(bx)
+            # series: analytic derivative of the curved series
             dp_rec = sq_l * pm1 - (l + 1.0) * cotK * pl
-            dp_ser = beta * (l * inv_bx * js - js1)
-            dp_e = jnp.where(use_series, dp_ser, dp_rec)
+            dp_e = jnp.where(use_series, djs, dp_rec)
             # d2Phi/dx2 from the hyperspherical ODE (hyperspherical.c:389)
             d2p = -2.0 * dp_e * cotK + pl_e * (l * (l + 1.0) / (sinK * sinK)
                                                - beta2 + Ktilde)
@@ -724,32 +801,28 @@ def _tensor_scan_curved(W, taus, tau0, qj, l_emit, emit_idx, lmax_scan, n_l,
         sq_l = sqK(l)
         pl = ((2.0 * l - 1.0) * cotK_x * pm1 - sqK(l - 1.0) * pm2) / sq_l
         xf = beta * sinK
-        mask = l <= xf + 6.0 * jnp.cbrt(xf) + 2.0
+        # closed: cap the forbidden-region buffer near l -> beta (see the
+        # scalar scan; identical round-5 g30 fix)
         if sgnK > 0:
-            mask = mask & (l + 0.5 < beta)
+            buf = jnp.minimum(6.0 * jnp.cbrt(xf) + 2.0,
+                              0.5 * (beta - l) + 2.0)
+            mask = (l <= xf + buf) & (l + 0.5 < beta)
+        else:
+            mask = l <= xf + 6.0 * jnp.cbrt(xf) + 2.0
         pl = jnp.where(mask, pl, 0.0)
         lnC_new = lnC + 0.5 * jnp.log1p(
             jnp.maximum(-Ktilde * l * l / beta2, -1.0 + 1e-14))
         ei = emit_idx[l_int]
 
         def do_emit(acc):
-            lnx = jnp.log(bx)
             ln2 = math.log(2.0)
             lndf = gammaln(2.0 * l + 2.0) - l * ln2 - gammaln(l + 1.0)
-            lndf1 = gammaln(2.0 * l + 4.0) - (l + 1.0) * ln2 - gammaln(l + 2.0)
-            c1 = 2.0 * l + 3.0
-            corr = 1.0 - bx2 / (2.0 * c1) * (1.0 - bx2 / (4.0 * (c1 + 2.0))
-                                             * (1.0 - bx2 / (6.0 * (c1 + 4.0))))
-            c1b = 2.0 * l + 5.0
-            corr1 = 1.0 - bx2 / (2.0 * c1b) * (1.0 - bx2 / (4.0 * (c1b + 2.0))
-                                               * (1.0 - bx2 / (6.0 * (c1b + 4.0))))
-            js = jnp.exp(l * lnx - lndf + lnC_new) * corr
-            js1 = jnp.exp((l + 1.0) * lnx - lndf1 + lnC_new) * corr1
+            js, djs = _curved_series_phi(l, x, bx, l * jnp.log(bx) - lndf
+                                         + lnC_new, Ktilde, beta2)
             use_series = bx < 1.0
             pl_e = jnp.where(use_series, js, pl)
             dp_rec = sq_l * pm1 - (l + 1.0) * cotK_x * pl
-            dp_ser = beta * (l * inv_bx * js - js1)
-            dp_e = jnp.where(use_series, dp_ser, dp_rec)
+            dp_e = jnp.where(use_series, djs, dp_rec)
             d2p = -2.0 * dp_e * cotK_x + pl_e * (l * (l + 1.0) / (sinK * sinK)
                                                  - beta2 + Ktilde)
             rad_t2 = t2_fac[ei] / (si * ssqrt2) * cscKgen * cscKgen * pl_e

@@ -53,8 +53,10 @@ def spline_d2(x: jnp.ndarray, y: jnp.ndarray, bc: str = "natural") -> jnp.ndarra
     """Second derivatives of the cubic spline through (x, y).
 
     Equivalent of array_spline_table_lines (tools/arrays.c:514). y may be
-    (n,) or (n, m) — splined along axis 0. bc: 'natural' or 'not_a_knot'
-    (reference _SPLINE_EST_DERIV_ is approximated by not-a-knot).
+    (n,) or (n, m) — splined along axis 0. bc: 'natural', 'not_a_knot'
+    (approximation of the reference _SPLINE_EST_DERIV_), or 'est_deriv'
+    (the exact reference BC: clamped with 3-point end-derivative estimates,
+    tools/arrays.c array_spline _SPLINE_EST_DERIV_ branch).
     """
     n = x.shape[0]
     h = jnp.diff(x)  # (n-1,)
@@ -69,6 +71,25 @@ def spline_d2(x: jnp.ndarray, y: jnp.ndarray, bc: str = "natural") -> jnp.ndarra
         [jnp.zeros((1, y2d.shape[1]), y2d.dtype), 6.0 * (dy[1:] - dy[:-1]), jnp.zeros((1, y2d.shape[1]), y2d.dtype)],
         axis=0,
     )
+    if bc == "est_deriv":
+        # clamped spline, end slopes from the quadratic through the 3
+        # outermost points (reference dy_first/dy_last, tools/arrays.c)
+        x0, x1, x2 = x[0], x[1], x[2]
+        dy_first = (((x2 - x0) ** 2 * (y2d[1] - y2d[0])
+                     - (x1 - x0) ** 2 * (y2d[2] - y2d[0]))
+                    / ((x2 - x0) * (x1 - x0) * (x2 - x1)))
+        xm0, xm1, xm2 = x[-1], x[-2], x[-3]
+        dy_last = (((xm2 - xm0) ** 2 * (y2d[-2] - y2d[-1])
+                    - (xm1 - xm0) ** 2 * (y2d[-3] - y2d[-1]))
+                   / ((xm2 - xm0) * (xm1 - xm0) * (xm2 - xm1)))
+        # clamped rows: 2 y2[0] + y2[1] = 6 (dy[0] - A)/h0;
+        #               y2[n-2] + 2 y2[n-1] = 6 (B - dy[-1])/h_{n-2}
+        d = d.at[0].set(2.0)
+        du = du.at[0].set(1.0)
+        rhs = rhs.at[0].set(6.0 * (dy[0] - dy_first) / h[0])
+        dl = dl.at[-1].set(1.0)
+        d = d.at[-1].set(2.0)
+        rhs = rhs.at[-1].set(6.0 * (dy_last - dy[-1]) / h[-1])
     if bc == "not_a_knot":
         # y2 continuity of third derivative at x1 and x_{n-2}
         # d0: y2[0]*h1 - y2[1]*(h0+h1) + y2[2]*h0 = 0  -> fold into first row via

@@ -84,14 +84,25 @@ def sharded_solve(mesh: Mesh, solve_one_k, k, tau_ini, t_tca, t_ufa, t_rsa, t_nc
     return srcs[:n_orig], steps[:n_orig]
 
 
-def sharded_cl_quadrature(mesh: Mesh, meas, delta_t, delta_e, delta_p):
+def sharded_cl_quadrature(mesh: Mesh, x, meas, delta_t, delta_e, delta_p,
+                          **quad_kw):
     """C_l quadrature with the q axis sharded: per-device partial sums + psum.
 
-    meas: (nq,) measure 4 pi/q P(q) w(q); delta_*: (nl, nq).
+    Numerically identical to the production integrator (the reference's
+    array_integrate_all_trapzd_or_spline, see spectra.cl_quad_weights): the
+    spline integral is a linear functional of the integrand, so the sharded
+    form is a local weighted partial sum over each device's q slice plus one
+    psum over the mesh — the SURVEY 2.5 design (reference threads the same
+    loop, spectra_module.cpp:856).
+
+    x: (nq,) integration variable; meas: (nq,) measure 4 pi/q P(q);
+    delta_*: (nl, nq); quad_kw: closed-case options of cl_quad_weights.
     """
+    from ..models.spectra import cl_quad_weights
+
     nd = mesh.devices.size
-    nq = meas.shape[0]
-    meas_p, _ = pad_to_multiple(np.asarray(meas), nd, pad_value=0.0)
+    w = np.asarray(cl_quad_weights(jnp.asarray(x), **quad_kw))
+    meas_p, _ = pad_to_multiple(w * np.asarray(meas), nd, pad_value=0.0)
     dts = []
     for d in (delta_t, delta_e, delta_p):
         dp, _ = pad_to_multiple(np.asarray(d), nd, axis=1, pad_value=0.0)

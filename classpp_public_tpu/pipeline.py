@@ -26,17 +26,19 @@ _LEVELS = ["background", "thermodynamics", "perturbations", "primordial",
 class OutputSelection:
     """What to compute (reference 'output=' parsing, input_module.cpp)."""
 
-    tCl: bool = True
-    pCl: bool = True
-    lCl: bool = True
-    mPk: bool = True
+    # reference defaults: every output flag OFF (input_default_params,
+    # input_module.cpp:3266-3290, ple->has_lensed_cls=_FALSE_ :3434)
+    tCl: bool = False
+    pCl: bool = False
+    lCl: bool = False
+    mPk: bool = False
     dTk: bool = False
     vTk: bool = False
-    lensing: bool = True
+    lensing: bool = False
     l_scalar_max: int = 2500
-    P_k_max: float = 10.0        # 1/Mpc
+    P_k_max: float = 1.0         # 1/Mpc (ref k_max_for_pk, input_module.cpp:3309)
     z_pk: tuple = (0.0,)
-    z_max_pk: float = 5.0
+    z_max_pk: float = 0.0        # ref z_max_pk default = z_pk[0] = 0 (:3321,3429)
     non_linear: str = ""        # "", "halofit", "hmcode"
     hm_eta0: float = 0.603      # HMcode feedback (default nl_emu_dmonly,
     hm_cmin: float = 3.13       #  input_module.cpp:3411)
@@ -74,6 +76,44 @@ class OutputSelection:
         return self.mPk or self.dTk or self.vTk
 
 
+# --- cross-instance stage memos --------------------------------------------
+# The reference's Cosmology memoizes per instance; samplers (MontePython /
+# Cobaya) and the bench construct a FRESH Class per point, so the background
+# and thermodynamics tables — which do not depend on the primordial /
+# perturbation-only parameters below — are re-built needlessly whenever only
+# (A_s, n_s, ...) move (the classic "fast parameters" split). Key = the
+# params pytree with those fields normalized out, plus the precision set.
+_PRIMORDIAL_ONLY = dict(A_s=2.215e-09, n_s=0.9619, alpha_s=0.0, k_pivot=0.05,
+                        r=1.0, n_t=-0.1141375, alpha_t=0.0108625,
+                        tensor_method="massless", gauge="synchronous",
+                        temp_contributions=(1.0, 1.0, 1.0, 1.0, 1.0),
+                        eisw_lisw_split_z=120.0)
+_STAGE_MEMO: dict = {}
+_STAGE_MEMO_MAX = 8
+
+
+def _bg_th_key(params: CosmoParams, pr: PrecisionParams, stage: str):
+    import dataclasses as _dc
+
+    try:
+        norm = _dc.replace(params, **_PRIMORDIAL_ONLY)
+        return (stage, norm, pr)
+    except Exception:
+        return None
+
+
+def _memo_get(key):
+    return _STAGE_MEMO.get(key) if key is not None else None
+
+
+def _memo_put(key, value):
+    if key is None:
+        return
+    if len(_STAGE_MEMO) >= _STAGE_MEMO_MAX:
+        _STAGE_MEMO.pop(next(iter(_STAGE_MEMO)))
+    _STAGE_MEMO[key] = value
+
+
 class Cosmology:
     """Lazy pipeline over (CosmoParams, PrecisionParams, OutputSelection)."""
 
@@ -103,8 +143,13 @@ class Cosmology:
         if "bg" not in self._cache:
             from .models.background import compute_background
 
-            with jax.default_device(self._host_device()):
-                self._cache["bg"] = compute_background(self.params, self.pr)
+            key = _bg_th_key(self.params, self.pr, "bg")
+            hit = _memo_get(key)
+            if hit is None:
+                with jax.default_device(self._host_device()):
+                    hit = compute_background(self.params, self.pr)
+                _memo_put(key, hit)
+            self._cache["bg"] = hit
         return self._cache["bg"]
 
     @property
@@ -113,8 +158,14 @@ class Cosmology:
             from .models.thermodynamics import compute_thermodynamics
 
             bg, bidx = self.background
-            with jax.default_device(self._host_device()):
-                self._cache["th"] = compute_thermodynamics(self.params, self.pr, bg, bidx)
+            key = _bg_th_key(self.params, self.pr, "th")
+            hit = _memo_get(key)
+            if hit is None:
+                with jax.default_device(self._host_device()):
+                    hit = compute_thermodynamics(self.params, self.pr,
+                                                 bg, bidx)
+                _memo_put(key, hit)
+            self._cache["th"] = hit
         return self._cache["th"]
 
     @property
@@ -306,9 +357,11 @@ class Cosmology:
 
             tr_tensor = self.tensor_transfer if "t" in self.out.modes else None
             tr_iso = self.transfer_iso if len(self.out.ics) > 1 else None
-            self._cache["sp"] = compute_spectra(self.transfer, self.primordial,
-                                                l_max=self.l_max_internal,
-                                                tr_tensor=tr_tensor, tr_iso=tr_iso)
+            self._cache["sp"] = compute_spectra(
+                self.transfer, self.primordial, l_max=self.l_max_internal,
+                tr_tensor=tr_tensor, tr_iso=tr_iso,
+                sgnK=self.sgnK, K=self.curvature_K,
+                q_flat_nu=self.pr.hyper_flat_approximation_nu)
         return self._cache["sp"]
 
     @property

@@ -64,24 +64,61 @@ def test_sharded_solve_matches_unsharded(small_pipeline):
                                rtol=3e-8, atol=1e-18)
 
 
-def test_sharded_cl_quadrature_matches_einsum():
+def test_sharded_cl_quadrature_matches_production():
+    """The psum quadrature must reproduce the production spline integrator
+    (spectra.cl_spline_quad = the reference array_integrate_all_trapzd_or_
+    spline) exactly: the integral is a linear functional, so local weighted
+    partial sums + psum commute with it up to roundoff."""
+    from classpp_public_tpu.models.spectra import cl_spline_quad
     from classpp_public_tpu.parallel.mesh import make_mesh, sharded_cl_quadrature
 
-    nl, nq = 8, 32
+    nl, nq = 8, 37       # deliberately not a multiple of 8 (padding path)
     rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0.01, 1.0, nq))
     meas = rng.uniform(size=nq)
     dt = rng.normal(size=(nl, nq))
     de = rng.normal(size=(nl, nq))
     dp = rng.normal(size=(nl, nq))
     mesh = make_mesh(8)
-    cls = np.asarray(sharded_cl_quadrature(mesh, meas, dt, de, dp))
+    cls = np.asarray(sharded_cl_quadrature(mesh, x, meas, dt, de, dp))
 
     def q2(a, b):
-        return np.sum(meas[None, :] * a * b, axis=-1)
+        I = (meas[None, :] * a * b).T      # (nq, nl)
+        return np.asarray(cl_spline_quad(jnp.asarray(x), jnp.asarray(I)))
 
     expect = np.stack([q2(dt, dt), q2(de, de), q2(dt, de),
                        q2(dp, dp), q2(dt, dp), q2(de, dp)], axis=1)
-    np.testing.assert_allclose(cls, expect, rtol=1e-12)
+    np.testing.assert_allclose(cls, expect, rtol=1e-10, atol=1e-14)
+
+
+def test_full_pipeline_sharded_matches_unsharded():
+    """End-to-end C_l parity: the full production pipeline (perturbations ->
+    transfer -> spectra -> lensing) under the 8-device mesh must match a
+    single-device run. Perturbations shard lanes, transfer runs GSPMD with
+    the q axis sharded, spectra contracts against the quadrature weights
+    (XLA inserts the reduction collective)."""
+    from unittest import mock
+
+    from classpp_public_tpu import (Cosmology, CosmoParams, OutputSelection,
+                                    PrecisionParams)
+
+    pr = PrecisionParams(background_Nloga=1024, recfast_Nz0=4000,
+                         perturb_sampling_stepsize=1.0,
+                         tol_perturb_integration=1e-4, k_chunk_size=8)
+    out = OutputSelection(tCl=True, pCl=True, lCl=True, lensing=True,
+                          l_scalar_max=100, P_k_max=0.2)
+
+    cos = Cosmology(CosmoParams(), precision=pr, output=out)
+    cl_multi = np.asarray(cos.lensing.cl)
+
+    with mock.patch("classpp_public_tpu.parallel.mesh.n_compute_devices",
+                    return_value=1):
+        cos1 = Cosmology(CosmoParams(), precision=pr.replace(k_chunk_size=64),
+                         output=out)
+        cl_single = np.asarray(cos1.lensing.cl)
+
+    assert np.isfinite(cl_multi).all()
+    np.testing.assert_allclose(cl_multi, cl_single, rtol=5e-6, atol=1e-300)
 
 
 def test_pipeline_shards_over_devices(small_pipeline):
