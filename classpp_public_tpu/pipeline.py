@@ -326,12 +326,64 @@ class Cosmology:
         return 1 if self.curvature_K > 0 else -1
 
     @property
+    def nl_source_ratio(self):
+        """sqrt(P_nl/P_lin)(tau, k) on the source sampling — the reference's
+        nl_corr_density, which transfer_perturbation_copy_sources_and_nl_
+        corrections multiplies into the metric/density transfer sources
+        whenever a nonlinear method is on (transfer_module.cpp:542-597).
+        Computed on a fixed 24-point z grid (z <= 10; the lensing kernel's
+        weight beyond is negligible and halofit is unreliable there, so the
+        ratio clamps to 1) and linearly interpolated in tau per k column."""
+        if "nlr" not in self._cache:
+            from .models.nonlinear import compute_nonlinear
+
+            bg, bidx = self.background
+            pert = self.perturbations
+            z_grid = np.concatenate([[0.0], np.geomspace(0.05, 10.0, 23)])
+            nl = compute_nonlinear(
+                pert, bg, bidx, self.primordial, self.pr, self.params,
+                z_pk=tuple(z_grid), method=self.out.non_linear or "halofit",
+                hm_eta0=self.out.hm_eta0, hm_cmin=self.out.hm_cmin,
+                tau_rec=float(self.thermodynamics.tau_rec)
+                if getattr(self.params, "pk_eq", False) else None)
+            ratio = np.sqrt(np.asarray(nl.pk_nl)
+                            / np.maximum(np.asarray(nl.pk_lin), 1e-300))
+            ratio = np.where(np.isfinite(ratio) & (ratio > 0), ratio, 1.0)
+            loga = np.asarray(bg.loga)
+            tau_z = np.interp(-np.log1p(z_grid), loga,
+                              np.asarray(bg.tau_of_loga))
+            order = np.argsort(tau_z)
+            tau_s, r_s = tau_z[order], ratio[order]       # (nz,), (nz, nk)
+            taus = np.asarray(pert.tau_np)
+            j = np.clip(np.searchsorted(tau_s, taus) - 1, 0, len(tau_s) - 2)
+            f = np.clip((taus - tau_s[j]) / (tau_s[j + 1] - tau_s[j]), 0.0, 1.0)
+            out = (1.0 - f)[:, None] * r_s[j] + f[:, None] * r_s[j + 1]
+            out[taus < tau_s[0]] = 1.0                    # z > 10: linear
+            self._cache["nlr"] = out                      # (ntau, nk)
+        return self._cache["nlr"]
+
+    def _pert_for_transfer(self, pert):
+        """Scalar-source table entering the CMB transfer integrals: with a
+        nonlinear method on, phi+psi (the lensing/lcmb source) carries the
+        halofit/hmcode correction exactly as the reference's copied sources
+        do (transfer_module.cpp:566-588); without one it is the linear table."""
+        if not self.out.non_linear:
+            return pert
+        from .models.perturbations.indices import SrcIdx
+
+        col = SrcIdx.ix["phi_plus_psi"]
+        r = jnp.asarray(self.nl_source_ratio.T)           # (nk, ntau)
+        src = pert.sources.at[:, :, col].mul(r[: pert.sources.shape[0]])
+        return pert._replace(sources=src)
+
+    @property
     def transfer(self):
         if "tr" not in self._cache:
             from .models.transfer import compute_transfer
 
             self._cache["tr"] = compute_transfer(
-                self.perturbations, self.thermodynamics, self.pr,
+                self._pert_for_transfer(self.perturbations),
+                self.thermodynamics, self.pr,
                 l_max=self.l_max_internal, K=self.curvature_K, sgnK=self.sgnK)
         return self._cache["tr"]
 
@@ -344,7 +396,10 @@ class Cosmology:
             out = {}
             if pert.sources_iso:
                 for ic, src in pert.sources_iso.items():
-                    pert_ic = pert._replace(sources=src)
+                    # the same IC-summed nl_corr scales every ic's sources
+                    # (reference copies + corrects per (ic, tp) with one
+                    # nl_corr_density table, transfer_module.cpp:556-588)
+                    pert_ic = self._pert_for_transfer(pert._replace(sources=src))
                     out[ic] = compute_transfer(pert_ic, self.thermodynamics,
                                                self.pr, l_max=self.l_max_internal)
             self._cache["tr_iso"] = out
